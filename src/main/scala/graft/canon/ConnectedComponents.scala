@@ -1,0 +1,81 @@
+package graft.canon
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative connected components over the entity same-as graph —
+  * the global canonicalization fixpoint (north rule: "iterative
+  * connected-components, hash-join label propagation, salted to kill skew").
+  *
+  * Pattern carried over from the reference's fixpoints (SURVEY.md §2.4):
+  *   - monotone lattice join (min) with changed-count termination, like the
+  *     reaching-defs worklist (jpanlib `ddg/DDGCreator.java:43-68`) and the
+  *     dominator intersect loop (`dom/DominatorTree.java:118-140`);
+  *   - frontier/visited-set BFS instead of path enumeration — the
+  *     "massive optimization" comment at joern-lang `cfg.groovy:13-26`.
+  *
+  * Scale design:
+  *   - label propagation shuffles only (id, label) pairs; the min-aggregate
+  *     is partially aggregated map-side, so a hub entity (our head entity 0)
+  *     never concentrates its messages on one reducer — plus an EXPLICIT
+  *     two-level salted aggregation (`groupBy(id, salt).min → groupBy(id).min`)
+  *     so the pattern survives engines/configs without partial agg;
+  *   - each iteration repartitions by `id` so consecutive joins reuse the
+  *     hash partitioning (no extra exchange for the label-vs-label compare);
+  *   - lineage is truncated with localCheckpoint every iteration, otherwise
+  *     the plan doubles per iteration and the driver dies long before 100 TB;
+  *   - iterations ≈ graph diameter; same-as graphs are shallow (alias
+  *     chains + hubs), and a cap guards runaway inputs like the reference's
+  *     execution guard (`docs/source/performance.rst:109-127`).
+  */
+object ConnectedComponents {
+  val MaxIterations = 50
+  val SaltBuckets = 16
+
+  /** edges: DataFrame with two long columns (a, b), undirected pairs.
+    * Returns (id, component) where component = min id reachable. */
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = MaxIterations): DataFrame = {
+    import spark.implicits._
+    val e = edges.toDF("a", "b").filter($"a" =!= $"b")
+      .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = e.select($"a".as("id")).union(e.select($"b".as("id")))
+      .distinct()
+      .withColumn("label", $"id")
+      .repartition($"id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // propagate: each edge endpoint offers its label to the other side
+      val la = e.join(labels.withColumnRenamed("id", "a"), "a")
+        .select($"b".as("id"), $"label")
+      val lb = e.join(labels.withColumnRenamed("id", "b"), "b")
+        .select($"a".as("id"), $"label")
+      // two-level salted min: (id, salt) partial → id total (explicit skew kill)
+      val offered = la.union(lb)
+        .withColumn("salt", pmod(hash($"label"), lit(SaltBuckets)))
+        .groupBy($"id", $"salt").agg(min($"label").as("label"))
+        .groupBy($"id").agg(min($"label").as("label"))
+      val newLabels = labels.join(offered.withColumnRenamed("label", "offered"), Seq("id"), "left")
+        .select($"id",
+          least($"label", coalesce($"offered", $"label")).as("label"),
+          ($"offered".isNotNull && $"offered" < $"label").as("changed"))
+        .repartition($"id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = newLabels.filter($"changed").count() // ≙ DDGCreator's changedNodes
+      val old = labels
+      labels = newLabels.drop("changed").localCheckpoint(true)
+      newLabels.unpersist(false)
+      old.unpersist(false)
+      converged = changed == 0
+      iter += 1
+    }
+    e.unpersist(false)
+    labels.toDF("id", "component")
+  }
+}

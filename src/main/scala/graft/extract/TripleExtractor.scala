@@ -1,0 +1,173 @@
+package graft.extract
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.util.LongAccumulator
+
+import graft.model._
+
+/** Per-page extraction result: everything locally derivable from one page.
+  * ≙ one function's worth of AST/CFG/UDG rows in the reference
+  * (`FunctionExporter.addToDatabaseSafe`,
+  * jpanlib `outputModules/common/FunctionExporter.java:32-61`). */
+case class PageExtract(
+    pageId: Long,
+    url: String,
+    host: String,
+    nSentences: Int,
+    mentions: Seq[LinkedMention],
+    triples: Seq[PageTriple],
+    error: String) // null when clean; a bad page never kills the job
+
+/** A page-local triple over *linked* entity ids (pre-canonicalization). */
+case class PageTriple(
+    subj: Long,
+    pred: String,
+    obj: Long,     // -1 for literal objects
+    objValue: String, // literal text when obj == -1, else null
+    sentIdx: Int,
+    conf: Double)
+
+/** Counters surfaced to the manifest/metrics (≙ the reference silently
+  * dropping dangling edges at `CSVImporter.java:209-222` — we count instead). */
+final class ExtractMetrics(spark: SparkSession) extends Serializable {
+  val pagesIn: LongAccumulator = spark.sparkContext.longAccumulator("pagesIn")
+  val pagesErrored: LongAccumulator = spark.sparkContext.longAccumulator("pagesErrored")
+  val sentences: LongAccumulator = spark.sparkContext.longAccumulator("sentences")
+  val mentions: LongAccumulator = spark.sparkContext.longAccumulator("mentions")
+  val ambiguousMentions: LongAccumulator = spark.sparkContext.longAccumulator("ambiguousMentions")
+  val triples: LongAccumulator = spark.sparkContext.longAccumulator("triples")
+}
+
+/** The local half of the pipeline: HTML→text → sentences → mentions →
+  * pattern matches → page-locally linked triples, all inside ONE
+  * `mapPartitions` with broadcast-compiled rules. No shuffle happens here —
+  * exactly joern's "local until emit" shape (SURVEY.md §3.1).
+  *
+  * Linking is two-pass *within the page* (broadcast dictionary):
+  *   pass 1 — aliases with a single candidate link directly (the page's
+  *            unambiguous entity context set);
+  *   pass 2 — ambiguous aliases score candidates:
+  *            score = prior + 2.0 * [entity ∈ context]; argmax, ties → min id.
+  * ≙ joern's CALLS resolution: normalized-name lookup with candidate
+  * multimap (CallResolver.java:70-80; PHPCGFactory.java:41-47).
+  */
+object TripleExtractor {
+  val ContextBonus = 2.0
+
+  /** Sentence cap per page — a semantic bound, like the reference's slice
+    * depth 5 / path cap 30 (`slice.groovy:2-3`, `dataflow.groovy:157-158`). */
+  val MaxSentencesPerPage = 1000
+
+  def extract(
+      pages: Dataset[Page],
+      gaz: Broadcast[Gazetteer],
+      rules: Broadcast[PatternAutomaton],
+      metrics: ExtractMetrics): Dataset[PageExtract] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.mapPartitions { it =>
+      val g = gaz.value
+      val auto = rules.value
+      it.map { p =>
+        metrics.pagesIn.add(1)
+        try {
+          val ex = extractPage(p, g, auto)
+          metrics.sentences.add(ex.nSentences)
+          metrics.mentions.add(ex.mentions.size)
+          metrics.triples.add(ex.triples.size)
+          ex
+        } catch {
+          case e: Throwable =>
+            metrics.pagesErrored.add(1)
+            PageExtract(Ids.pageId(p.url), p.url, hostOf(p.url), 0, Nil, Nil,
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
+      }
+    }
+  }
+
+  def hostOf(url: String): String = {
+    val noScheme = {
+      val i = url.indexOf("://")
+      if (i >= 0) url.substring(i + 3) else url
+    }
+    val slash = noScheme.indexOf('/')
+    if (slash >= 0) noScheme.substring(0, slash) else noScheme
+  }
+
+  /** Pure single-page extraction — also the single-threaded oracle path. */
+  def extractPage(p: Page, gaz: Gazetteer, auto: PatternAutomaton): PageExtract = {
+    val pageId = Ids.pageId(p.url)
+    val text = TextExtractor.pageText(p.html, p.text)
+    val sents = Tokenizer.sentences(text).take(MaxSentencesPerPage)
+
+    // pass 0: tokenize + find mentions per sentence
+    val sentToks = sents.map(Tokenizer.tokens)
+    val sentMentions: Array[List[(Int, Int, String)]] = sentToks.map(gaz.findMentions)
+
+    // pass 1: page context = entities of unambiguous mentions
+    val context: Set[Long] = sentMentions.iterator.flatten.flatMap { case (_, _, norm) =>
+      gaz.candidates.get(norm) match {
+        case Some((id, _) :: Nil) => Some(id)
+        case _ => None
+      }
+    }.toSet
+
+    // pass 2: resolve every mention
+    def resolve(norm: String): Long = gaz.candidates.get(norm) match {
+      case Some(List((id, _))) => id
+      case Some(cands) =>
+        var bestId = -1L
+        var bestScore = Double.NegativeInfinity
+        cands.foreach { case (id, prior) =>
+          val s = prior + (if (context.contains(id)) ContextBonus else 0.0)
+          if (s > bestScore || (s == bestScore && id < bestId)) { bestScore = s; bestId = id }
+        }
+        bestId
+      case None => -1L
+    }
+
+    val mentions = Vector.newBuilder[LinkedMention]
+    val triples = Vector.newBuilder[PageTriple]
+    var si = 0
+    while (si < sentToks.length) {
+      val toks = sentToks(si)
+      val ms = sentMentions(si)
+      val mentionAt = Array.fill(toks.length)(-1)
+      val msArr = ms.toArray
+      var k = 0
+      while (k < msArr.length) {
+        val (s, e, _) = msArr(k)
+        var j = s; while (j < e) { mentionAt(j) = k; j += 1 }
+        k += 1
+      }
+      val linked: Array[Long] = msArr.map { case (_, _, norm) => resolve(norm) }
+      msArr.zipWithIndex.foreach { case ((s, e, norm), idx) =>
+        mentions += LinkedMention(pageId, p.url, Ids.mentionId(pageId, si, s),
+          toks.slice(s, e).mkString(" "), norm, linked(idx),
+          if (linked(idx) >= 0) 1.0 else 0.0)
+      }
+      auto.matchAll(toks, mentionAt).foreach { case (rule, bindings) =>
+        // bindings are token positions for each slot in pattern order
+        def slotEntity(slot: Int): Long = {
+          val pos = bindings(slot)
+          val mIdx = mentionAt(pos)
+          if (mIdx >= 0) linked(mIdx) else -1L
+        }
+        val subj = slotEntity(rule.subjSlot)
+        val objPos = bindings(rule.objSlot)
+        val objMention = mentionAt(objPos)
+        val (obj, objValue) =
+          if (objMention >= 0) (linked(objMention), null)
+          else (-1L, toks(objPos)) // numeric literal slot
+        if (subj >= 0 && (obj >= 0 || objValue != null)) {
+          triples += PageTriple(subj, rule.pred, obj, objValue, si, 1.0)
+        }
+      }
+      si += 1
+    }
+    PageExtract(pageId, p.url, hostOf(p.url), sents.length,
+      mentions.result(), triples.result(), null)
+  }
+}

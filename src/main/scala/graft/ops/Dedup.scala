@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale shape for all near-dup variants: per-doc signature computed narrowly
+  * (no shuffle), candidate generation via banding/blocking (one shuffle on
+  * the band key — never an O(N²) cross join), verification only within
+  * buckets. Bucket sizes are capped so one hot bucket (boilerplate text)
+  * cannot quadratically blow up a task — the skew story is explicit.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash (hash-groupBy; partial agg map-side). */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  /** Word n-gram shingle set as a column expression. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, "\\s+")
+    val idx = sequence(lit(0), greatest(size(toks) - lit(n), lit(0)))
+    array_distinct(transform(idx, i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+  }
+
+  /** Exact n-gram Jaccard near-dup via shared-shingle blocking:
+    * explode shingles → co-occurrence counts per pair → |A∩B| / (|A|+|B|−|A∩B|).
+    * All relational; the self-join is on the shingle key, bounded by
+    * `maxBucket` (drop ubiquitous shingles — they carry no signal and all
+    * the skew). */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                   maxBucket: Int = 100): DataFrame = {
+    val withSh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .withColumn("shSize", size(col("sh")))
+    val exploded = withSh.select(col("doc_id"), col("shSize"), explode(col("sh")).as("s"))
+    // drop hot shingles (stopword-only n-grams): the skew kill
+    val rare = exploded.withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("s")))
+      .filter(col("cnt") <= maxBucket)
+    val a = rare.select(col("s"), col("doc_id").as("a"), col("shSize").as("aSize"))
+    val b = rare.select(col("s"), col("doc_id").as("b"), col("shSize").as("bSize"))
+    a.join(b, Seq("s")).filter(col("a") < col("b"))
+      .groupBy("a", "b", "aSize", "bSize").agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter") / (col("aSize") + col("bSize") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** MinHash signature: k independent permutations approximated by
+    * (a_i * h + b_i) over the 64-bit shingle hashes (standard public
+    * construction; one pass, no shuffle). */
+  def minhashSignature(sh: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val sigs = (0 until numHashes).map { i =>
+      val a = graft.model.Det.rand(seed, i.toLong, 1) | 1L // odd multiplier
+      val b = graft.model.Det.rand(seed, i.toLong, 2)
+      array_min(transform(sh, h => hash(h * lit(a) + lit(b)).cast("long")))
+    }
+    array(sigs: _*)
+  }
+
+  /** MinHash + LSH banding: signature → bands → bucket-join on
+    * (band, bandHash) → candidate pairs verified by signature agreement.
+    * One shuffle (the band-key groupBy); no cross join anywhere. */
+  def minhashLSH(docs: DataFrame, shingleN: Int = 3, numHashes: Int = 32,
+                 bands: Int = 8, threshold: Double = 0.7,
+                 maxBucket: Int = 50): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sig = docs.select(col("doc_id"),
+      minhashSignature(shingles(col("text"), shingleN), numHashes).as("sig"))
+      .persist()
+    val banded = sig.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(concat_ws(",", transform(
+          slice(col("sig"), bnd * rows + lit(1), lit(rows)), _.cast("string")))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+    // cap hot buckets: keep the `maxBucket` smallest doc_ids per bucket
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bandHash").orderBy("doc_id")
+    val capped = banded.withColumn("rn", row_number().over(w)).filter(col("rn") <= maxBucket)
+    val l = capped.select(col("band"), col("bandHash"), col("doc_id").as("a"), col("sig").as("sigA"))
+    val r = capped.select(col("band"), col("bandHash"), col("doc_id").as("b"), col("sig").as("sigB"))
+    val cand = l.join(r, Seq("band", "bandHash")).filter(col("a") < col("b"))
+      .select("a", "b", "sigA", "sigB").dropDuplicates("a", "b")
+    val est = cand.withColumn("estJaccard",
+      size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => x === y), b => b))
+        .cast("double") / lit(numHashes))
+      .filter(col("estJaccard") >= threshold)
+      .select("a", "b", "estJaccard")
+    sig.unpersist(false)
+    est
+  }
+
+  /** 64-bit SimHash of the token stream, as a single column expression:
+    * per-bit weighted majority over token hashes. Near-dups = pairs within
+    * `maxHamming`, found by 4×16-bit chunk banding (pigeonhole: any pair at
+    * Hamming ≤ 3 agrees on ≥ 1 chunk). */
+  def simhash(text: Column): Column = {
+    val toks = split(text, "\\s+")
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
+    val sh = docs.select(col("doc_id"), simhash(col("text")).as("sh")).persist()
+    val chunked = sh.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sh"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunkVal")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk", "chunkVal").orderBy("doc_id")
+    val capped = chunked.withColumn("rn", row_number().over(w)).filter(col("rn") <= maxBucket)
+    val l = capped.select(col("chunk"), col("chunkVal"), col("doc_id").as("a"), col("sh").as("shA"))
+    val r = capped.select(col("chunk"), col("chunkVal"), col("doc_id").as("b"), col("sh").as("shB"))
+    val cand = l.join(r, Seq("chunk", "chunkVal")).filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+    cand.withColumn("hamming", bit_count(col("shA").bitwiseXOR(col("shB"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
+  /** Embedding cosine near-dup: random-hyperplane LSH buckets then exact
+    * cosine within buckets (see Similarity for the dot-product expression). */
+  def embeddingNearDup(embs: DataFrame, threshold: Double = 0.95,
+                       nPlanes: Int = 12, seed: Long = 42L,
+                       maxBucket: Int = 200): DataFrame = {
+    val sigCol = Similarity.hyperplaneSignature(col("embedding"), nPlanes, seed)
+    val sig = embs.select(col("vec_id"), col("embedding"), sigCol.as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket").orderBy("vec_id")
+    val capped = sig.withColumn("rn", row_number().over(w)).filter(col("rn") <= maxBucket)
+    val l = capped.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val r = capped.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
+    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+      .withColumn("cosine", Similarity.cosine(col("ea"), col("eb")))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+}

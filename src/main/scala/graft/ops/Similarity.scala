@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (exact; O(Q·N) — fine when the query
+  * set is small or N fits a broadcast). Scale path: IVF — coarse centroids,
+  * inverted lists, probe the nearest `nProbe` lists; the candidate join is
+  * on the centroid key, so the shuffle is bounded by list size, not N².
+  * Dot products are pure column expressions (`zip_with` + `aggregate` →
+  * codegen), no UDFs.
+  */
+object Similarity {
+
+  /** Ordered-sum dot product as a column expression. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Random-hyperplane signature (sign bits packed into a long) — the
+    * classic cosine-LSH construction; hyperplanes are deterministic in
+    * (seed, plane, dim). */
+  def hyperplaneSignature(emb: Column, nPlanes: Int, seed: Long): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      // pseudo-random ±1 hyperplane: sign chosen per (plane, dim)
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1), (v, i) =>
+          v.cast("double") * when(
+            pmod(hash(lit(seed), lit(p), i), lit(2)) === 0, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** Exact brute-force cosine top-k neighbors for every query vector.
+    * `queries` and `corpus` both shaped (id, embedding). The corpus side
+    * should be broadcast when small; for corpus ≫ memory use [[ivfTopK]]. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     broadcastCorpus: Boolean = true): DataFrame = {
+    val c0 = corpus.select(col("id").as("nn_id"), col("embedding").as("nn_emb"))
+    val c = if (broadcastCorpus) broadcast(c0) else c0
+    val q = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("nn_emb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "cosine")
+  }
+
+  /** K-means-lite centroids: deterministic init (every (N/c)-th vector by id
+    * rank), `iters` Lloyd rounds. All relational: assignment is a broadcast
+    * argmin, update is a groupBy-average. */
+  def kmeansCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val n = corpus.count()
+    val step = math.max(n / nCentroids, 1L)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+    var centroids = corpus
+      .withColumn("rnk", row_number().over(w))
+      .filter((col("rnk") - 1) % step === 0).limit(nCentroids)
+      .select((row_number().over(org.apache.spark.sql.expressions.Window.orderBy("id")) - 1)
+        .as("centroid_id"), col("embedding").as("c_emb"))
+      .persist()
+    centroids.count()
+    (0 until iters).foreach { _ =>
+      val assigned = assign(corpus, centroids)
+      val next = assigned
+        .select(col("centroid_id"), col("embedding"))
+        .withColumn("pos", explode(sequence(lit(0), size(col("embedding")) - 1)))
+        .select(col("centroid_id"), col("pos"),
+          element_at(col("embedding"), col("pos") + 1).cast("double").as("v"))
+        .groupBy("centroid_id", "pos").agg(avg("v").as("m"))
+        .groupBy("centroid_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("c_emb"))
+        .persist()
+      next.count()
+      centroids.unpersist(false)
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Assign every vector to its nearest centroid (broadcast argmin). */
+  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .withColumn("d", negate(cosine(col("embedding"), col("c_emb"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("d"), col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("embedding"), col("centroid_id"))
+  }
+
+  /** IVF approximate top-k: probe the `nProbe` nearest inverted lists.
+    * The candidate join is an equi-join on centroid_id — shuffle bounded by
+    * list sizes; this is the 100-TB path (brute force only seeds/benches). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = kmeansCentroids(corpus, nCentroids)
+    val lists = assign(corpus, centroids)
+      .select(col("centroid_id"), col("id").as("nn_id"), col("embedding").as("nn_emb"))
+    val qScored = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", negate(cosine(col("q_emb"), col("c_emb"))))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d"), col("centroid_id"))
+    val probes = qScored.withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("centroid_id"))
+    val cands = probes.join(lists, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("nn_emb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id"))
+    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "cosine")
+  }
+}

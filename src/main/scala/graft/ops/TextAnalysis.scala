@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, over a
+  * `documents(doc_id, text, lang, source, n_chars)` table. All pure column
+  * expressions (whole-stage codegen; no UDFs in the hot path).
+  */
+object TextAnalysis {
+
+  /** Whitespace token counts (the cheap path; see [[bpeTokenEstimate]]). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_ws_tokens"),
+      col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Simple quality signals: length, token count, character-class ratios. */
+  def quality(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      length(col("text")).as("len"),
+      size(split(col("text"), " ")).as("n_tokens"),
+      round((length(col("text")) -
+        length(regexp_replace(regexp_replace(col("text"), lit(" "), lit("")), lit("e"), lit("")))
+        ).cast("double") / length(col("text")), 4).as("space_e_ratio"))
+      .orderBy("doc_id")
+
+  /** BPE-ish token estimate: words + digits + punctuation runs, via a single
+    * regexp count (≈ GPT-style tokenizer pre-split). */
+  def bpeTokenEstimate(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(filter(split(col("text"), "[^A-Za-z0-9]+"), x => x =!= "")).as("n_word_tokens"),
+      size(filter(split(col("text"), "[A-Za-z0-9\\s]+"), x => x =!= "")).as("n_punct_runs"))
+
+  /** Language ID by stopword-hit ratio over small per-language lexicons —
+    * an n-gram-free heuristic that is a pure column expression. */
+  private val StopWords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "para", "en"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = split(lower(col("text")), "\\s+")
+    val scores = StopWords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+      struct((hits.cast("double") / greatest(size(toks), lit(1))).as("score"),
+        lit(lang).as("lang"))
+    }
+    docs.select(col("doc_id"),
+      sort_array(array(scores: _*), asc = false).getItem(0).getField("lang").as("pred_lang"),
+      round(sort_array(array(scores: _*), asc = false).getItem(0).getField("score"), 4).as("score"))
+  }
+
+  /** Rolling-hash document fingerprint: min-k of 8-gram Rabin-Karp hashes
+    * (winnowing-style). Computed as a column expression over token shingles. */
+  def fingerprint(docs: DataFrame, shingleLen: Int = 8, keep: Int = 4): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    val n = size(toks)
+    val idx = sequence(lit(0), greatest(n - lit(shingleLen), lit(0)))
+    val shingleHashes = transform(idx,
+      i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(shingleLen)))))
+    docs.select(col("doc_id"),
+      slice(array_sort(shingleHashes), 1, keep).as("fingerprint"))
+  }
+}
