@@ -80,7 +80,8 @@ object TripleExtractor {
         } catch {
           case e: Throwable =>
             metrics.pagesErrored.add(1)
-            PageExtract(Ids.pageId(p.url), p.url, hostOf(p.url), 0, Nil, Nil,
+            val safeUrl = if (p.url == null) "" else p.url
+            PageExtract(Ids.pageId(safeUrl), safeUrl, hostOf(safeUrl), 0, Nil, Nil,
               s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
       }

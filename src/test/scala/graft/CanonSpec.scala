@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.canon.ConnectedComponents
+import graft.model.Det
+
+class CanonSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.run(spark, edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def ufOracle(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val uf = new Oracle.UnionFind
+    edges.foreach { case (a, b) => uf.union(a, b) }
+    uf.components
+  }
+
+  test("chain") {
+    cc(Seq((1L, 2L), (2L, 3L), (3L, 4L))) shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L)
+  }
+
+  test("star with hub (skew shape)") {
+    val edges = (1L to 200L).map(i => (0L, i))
+    val got = cc(edges)
+    got.values.toSet shouldBe Set(0L)
+    got.size shouldBe 201
+  }
+
+  test("two separate components + self-loop dropped") {
+    cc(Seq((1L, 2L), (5L, 6L), (6L, 7L), (9L, 9L))) shouldBe
+      Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 5L)
+  }
+
+  test("two near-merged clusters bridge correctly") {
+    val c1 = (1L to 20L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val c2 = (101L to 120L).sliding(2).map(s => (s(0), s(1))).toSeq
+    cc(c1 ++ c2 ++ Seq((20L, 101L))).values.toSet shouldBe Set(1L)
+  }
+
+  test("property: CC equals union-find on random graphs; invariant under edge order") {
+    (0 until 5).foreach { trial =>
+      val e = (0 until 60).map { i =>
+        (Det.nextInt(Det.rand(trial.toLong, i.toLong, 1), 41).toLong,
+          Det.nextInt(Det.rand(trial.toLong, i.toLong, 2), 41).toLong)
+      }.filter { case (a, b) => a != b }
+      val got = cc(e)
+      got shouldBe ufOracle(e)
+      cc(e.reverse) shouldBe got
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.model._
+
+/** End-to-end gate (mirrors the reference's gremtest layer, SURVEY.md §5):
+  * the distributed pipeline must reproduce the single-threaded oracle at
+  * P/R ≥ 0.95 (BASELINE.json) — we assert exact equality, the stronger
+  * property, since both paths share the pure per-page functions and the
+  * gate is really testing the distributed plumbing. */
+class PipelineSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  val cfg = PageGen.Config(nPages = 400)
+
+  lazy val oracle = Oracle.run(cfg)
+  lazy val tables = Pipeline.run(spark, PageGen.pages(spark, cfg), cfg.nPersons)
+
+  test("triples: P/R >= 0.95 vs single-threaded oracle (exact match expected)") {
+    val got = tables.triples.collect().map { r =>
+      (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.getString(3)).orNull, r.getString(4))
+    }.toSet
+    val (p, r) = Oracle.pr(got, oracle.triples)
+    withClue(s"precision=$p recall=$r got=${got.size} want=${oracle.triples.size}") {
+      p should be >= 0.95
+      r should be >= 0.95
+      got shouldBe oracle.triples // the stronger invariant holds today
+    }
+  }
+
+  test("canonicalization equals union-find oracle") {
+    val got = tables.components.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe oracle.components
+  }
+
+  test("extracted text is byte-identical per url (distributed vs oracle)") {
+    val got = tables.extracted.collect().map(e => e.url -> e).toMap
+    // oracle.texts covers every page incl. non-en; extracted only en pages
+    got.keys.foreach { url => oracle.texts.contains(url) shouldBe true }
+    // spot-check: triples referenced urls have identical sentence counts
+    got.values.take(50).foreach { ex =>
+      ex.nSentences shouldBe Tokenizer2.lineCount(oracle.texts(ex.url))
+    }
+  }
+
+  test("pipeline output is invariant under partition count") {
+    val repart = PageGen.pages(spark, cfg).repartition(13)
+    val t2 = Pipeline.run(spark, repart, cfg.nPersons)
+    val a = tables.triples.collect().map(_.toString).sorted
+    val b = t2.triples.collect().map(_.toString).sorted
+    a shouldBe b
+  }
+
+  test("error isolation: a poisoned page is counted, not fatal") {
+    import spark.implicits._
+    val bad = Page("https://h/p/x", new java.sql.Timestamp(0), null, null, "en")
+    val ds = PageGen.pages(spark, PageGen.Config(nPages = 20)).union(Seq(bad).toDS())
+    val t = Pipeline.run(spark, ds, 100)
+    t.triples.count() should be > 0L
+    // null text goes through pageText fallback to "" — no exception path;
+    // now force a real exception via a page whose url is null
+    val worse = Seq(Page(null, new java.sql.Timestamp(0), null, "x", "en")).toDS()
+    val t3 = Pipeline.run(spark, PageGen.pages(spark, PageGen.Config(nPages = 20)).union(worse), 100)
+    t3.extracted.count() should be >= 20L
+    t3.metrics.pagesErrored.value.longValue() should be >= 1L
+  }
+
+  test("skew exists by construction: mega-host and head entity") {
+    val hosts = tables.extracted.collect().groupBy(_.host).view.mapValues(_.size)
+    val mega = hosts.collect { case (h, n) if h.startsWith("host0.") => n }.sum
+    mega.toDouble / hosts.values.sum should be > 0.15
+    val subj0 = oracle.triples.count(_._1 == 0L)
+    subj0 should be > oracle.triples.size / 20
+  }
+}
+
+private object Tokenizer2 {
+  def lineCount(text: String): Int =
+    if (text.isEmpty) 0 else text.count(_ == '\n') + 1
+}
