@@ -53,22 +53,7 @@ object Oracle {
     (p, r)
   }
 
-  final class UnionFind {
-    private val parent = mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x
-      else { val r = find(p); parent(x) = r; r }
-    }
-    def union(a: Long, b: Long): Unit = {
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
-    }
-    /** id -> min id of its component, for every id ever seen. */
-    def components: Map[Long, Long] = {
-      parent.keys.foreach(find(_)) // full path compression
-      val all = parent.keySet ++ parent.values
-      all.map(x => x -> find(x)).toMap
-    }
-  }
+  /** Shared with the pipeline's small-graph path — one implementation,
+    * one semantics (id -> min id of component). */
+  type UnionFind = graft.canon.ConnectedComponents.LocalUnionFind
 }

@@ -16,24 +16,32 @@ import graft.store.TableIO
   * Stage/shuffle budget (what survives 100 TB):
   *   1. scan + lang filter            — narrow, filter on a scan column
   *   2. extract + page-local linking  — ONE mapPartitions, broadcast rules,
-  *                                      zero shuffle (joern's local-until-emit)
-  *   3. same-as edge set              — flatMap + distinct (1 shuffle, tiny)
-  *   4. connected components          — iterative, on the tiny entity graph
+  *                                      zero shuffle (joern's local-until-emit);
+  *                                      output is a FLAT columnar frame cached
+  *                                      once — all later stages are column ops
+  *   3. same-as edge set              — columnar filter (no re-extraction)
+  *   4. connected components          — adaptive: driver union-find for small
+  *                                      entity graphs, salted distributed
+  *                                      label propagation at scale
   *   5. canonical mapping applied     — BROADCAST join (mapping ≪ triples);
   *                                      at 10^12-doc scale where the entity
   *                                      table outgrows broadcast, the salted
   *                                      shuffle-join path takes over
-  *   6. materialize                   — host-hash bucketed writes, manifest
-  *                                      commit, per-bucket lineage counters
+  *   6. materialize                   — bucket-repartitioned writes (one task
+  *                                      per bucket), manifest commit,
+  *                                      per-bucket lineage counters
   */
 object Pipeline {
   final case class Tables(
-      extracted: Dataset[PageExtract],
+      flat: Dataset[FlatRow],         // the cached columnar extraction output
       components: DataFrame,          // (id, component)
       triples: DataFrame,             // (subj, pred, obj, objValue, url, conf)
       nodes: DataFrame,               // GraphNode rows
       edges: DataFrame,               // GraphEdge rows
-      metrics: ExtractMetrics)
+      metrics: ExtractMetrics) {
+    /** Nested per-page view (tests / oracle comparisons). */
+    def extracted: Dataset[FlatRow] = flat
+  }
 
   def defaultGazetteer(nPersons: Int): Gazetteer =
     Gazetteer.build(KB.aliasEntries(nPersons).map(e => (e.alias, e.entityId, e.prior)))
@@ -48,25 +56,26 @@ object Pipeline {
 
     // 1-2: language predicate BEFORE the expensive mapPartitions (the
     // necessary-condition prefilter shape, joern `queryTemplate.groovy:36-50`)
-    val extracted = TripleExtractor
-      .extract(pages.filter($"lang" === targetLang), gaz, auto, metrics)
+    val flat = TripleExtractor
+      .extractFlat(pages.filter($"lang" === targetLang), gaz, auto, metrics)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // 3: same-as edges (entity-id pairs) — the canonicalization input
-    val sameAs = extracted.flatMap(_.triples.collect {
-      case t if t.pred == "same_as" && t.obj >= 0 => (t.subj, t.obj)
-    }).toDF("a", "b")
+    // 3: same-as edges (entity-id pairs) — the canonicalization input.
+    // distinct() first: shrinks the edge multiset to the entity-pair set
+    // distributed-side (partial-agg), so the adaptive-CC probe collects
+    // thousands of pairs, not millions of occurrences
+    val sameAs = flat.filter($"rowKind" === "t" && $"pred" === "same_as" && $"obj" >= 0)
+      .select($"subj".as("a"), $"obj".as("b")).distinct()
 
-    // 4: global fixpoint
-    val components = ConnectedComponents.run(spark, sameAs)
+    // 4: global fixpoint (adaptive: driver union-find under the cutover,
+    // salted distributed label propagation above it — identical results)
+    val components = ConnectedComponents.auto(spark, sameAs)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // 5: canonicalize triples. The mapping is bounded by the entity universe
     // (≪ triple count) → broadcast map-side join, no shuffle of the fact table.
-    val rawTriples = extracted.flatMap { ex =>
-      ex.triples.filter(_.pred != "same_as").map(t =>
-        (t.subj, t.pred, t.obj, t.objValue, ex.url, t.conf))
-    }.toDF("subj", "pred", "obj", "objValue", "url", "conf")
+    val rawTriples = flat.filter($"rowKind" === "t" && $"pred" =!= "same_as")
+      .select($"subj", $"pred", $"obj", $"objValue", $"url", $"conf")
 
     val canonMap = broadcast(components)
     val triples = rawTriples
@@ -81,52 +90,50 @@ object Pipeline {
         $"objValue", $"url", $"conf")
       .dropDuplicates("subj", "pred", "obj", "objValue", "url")
 
-    // 6: property-graph tables (SURVEY.md §1.4). Host/domain hierarchy from
-    // pure column exprs (≙ DirectoryTreeImporter), everything else local.
-    val (nodes, edges) = graphTables(spark, extracted, components)
+    // 6: property-graph tables (SURVEY.md §1.4) — all pure column ops over
+    // the flat cache (≙ nodes.csv / edges.csv emission)
+    val (nodes, edges) = graphTables(spark, flat, components)
 
-    Tables(extracted, components, triples, nodes, edges, metrics)
+    Tables(flat, components, triples, nodes, edges, metrics)
   }
 
-  /** Build the nodes/edges tables (≙ nodes.csv / edges.csv emission). */
-  def graphTables(spark: SparkSession, extracted: Dataset[PageExtract],
+  /** Build the nodes/edges tables from the flat frame — column exprs only. */
+  def graphTables(spark: SparkSession, flat: Dataset[FlatRow],
                   components: DataFrame): (DataFrame, DataFrame) = {
     import spark.implicits._
     import Schema.{EdgeKinds => EK, NodeKinds => NK}
 
-    val pageNodes = extracted.map(ex =>
-      GraphNode(ex.pageId, NK.Page, ex.url, ex.pageId, 0,
-        Map("host" -> ex.host, "nSentences" -> ex.nSentences.toString)))
-      .toDF()
+    val p = flat.filter($"rowKind" === "p")
+    val m = flat.filter($"rowKind" === "m")
 
-    val hostNodes = extracted.map(_.host).distinct()
-      .map(h => GraphNode(Ids.hash64(h), NK.Host, h, 0L, 0, Map("host" -> h)))
-      .toDF()
+    def asNodes(id: org.apache.spark.sql.Column, kind: String,
+                code: org.apache.spark.sql.Column, pageId: org.apache.spark.sql.Column,
+                childNum: org.apache.spark.sql.Column,
+                props: org.apache.spark.sql.Column)(df: DataFrame): DataFrame =
+      df.select(id.as("id"), lit(kind).as("kind"), code.as("code"),
+        pageId.as("pageId"), childNum.as("childNum"), props.as("props"))
 
-    val mentionNodes = extracted.flatMap { ex =>
-      ex.mentions.zipWithIndex.map { case (m, i) =>
-        GraphNode(m.mentionId, NK.Mention, m.surface, ex.pageId, i,
-          Map("norm" -> m.norm, "entityId" -> m.entityId.toString))
-      }
-    }.toDF()
+    val pageNodes = asNodes($"pageId", NK.Page, $"url", $"pageId", lit(0),
+      map(lit("host"), $"host", lit("nSentences"), $"nSentences".cast("string")))(p.toDF())
 
-    val entityNodes = extracted.flatMap(_.mentions.filter(_.entityId >= 0).map(_.entityId))
-      .distinct()
-      .map(e => GraphNode(Ids.entityNodeId(e), NK.Entity, e.toString, 0L, 0,
-        Map("entityId" -> e.toString)))
-      .toDF()
+    val hostNodes = asNodes($"hostId", NK.Host, $"host", lit(0L), lit(0),
+      map(lit("host"), $"host"))(p.select("hostId", "host").distinct())
 
-    val isPageOf = extracted.map(ex =>
-      GraphEdge(Ids.hash64(ex.host), ex.pageId, EK.IsPageOf, null)).toDF()
+    val mentionNodes = asNodes($"mentionId", NK.Mention, $"surface", $"pageId", $"mentionIdx",
+      map(lit("norm"), $"norm", lit("entityId"), $"entityId".cast("string")))(m.toDF())
 
-    val mentionsE = extracted.flatMap { ex =>
-      ex.mentions.map(m => GraphEdge(ex.pageId, m.mentionId, EK.Mentions, null))
-    }.toDF()
+    val entityNodes = asNodes($"entityNodeId", NK.Entity, $"entityId".cast("string"),
+      lit(0L), lit(0), map(lit("entityId"), $"entityId".cast("string")))(
+      m.filter($"entityId" >= 0).select("entityNodeId", "entityId").distinct())
 
-    val linksTo = extracted.flatMap { ex =>
-      ex.mentions.filter(_.entityId >= 0).map(m =>
-        GraphEdge(m.mentionId, Ids.entityNodeId(m.entityId), EK.LinksTo, m.norm))
-    }.toDF()
+    def asEdges(src: org.apache.spark.sql.Column, dst: org.apache.spark.sql.Column,
+                kind: String, variable: org.apache.spark.sql.Column)(df: DataFrame): DataFrame =
+      df.select(src.as("src"), dst.as("dst"), lit(kind).as("kind"), variable.as("variable"))
+
+    val isPageOf = asEdges($"hostId", $"pageId", EK.IsPageOf, lit(null).cast("string"))(p.toDF())
+    val mentionsE = asEdges($"pageId", $"mentionId", EK.Mentions, lit(null).cast("string"))(m.toDF())
+    val linksTo = asEdges($"mentionId", $"entityNodeId", EK.LinksTo, $"norm")(
+      m.filter($"entityId" >= 0).toDF())
 
     val sameAsE = components.as[(Long, Long)]
       .map { case (id, comp) =>
@@ -138,17 +145,26 @@ object Pipeline {
     (nodes, edges)
   }
 
-  /** Materialize all three tables with manifest commit + counters. */
+  /** Materialize all three tables with manifest commit + counters.
+    * The three writes run as CONCURRENT Spark jobs (separate dirs, separate
+    * manifests): the scheduler interleaves their tasks, so no core idles at a
+    * single job's tail/barrier — on a cluster this is three output stages
+    * sharing the same executor pool. */
   def materialize(spark: SparkSession, t: Tables, outDir: String): Map[String, Long] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val counters = Map(
       "pagesIn" -> t.metrics.pagesIn.value.longValue(),
       "pagesErrored" -> t.metrics.pagesErrored.value.longValue(),
       "sentences" -> t.metrics.sentences.value.longValue(),
       "mentions" -> t.metrics.mentions.value.longValue(),
       "triples" -> t.metrics.triples.value.longValue())
-    TableIO.writeBucketed(t.triples, s"$outDir/triples", col("url"), counters)
-    TableIO.writeBucketed(t.nodes, s"$outDir/nodes", col("id"), counters)
-    TableIO.writeBucketed(t.edges, s"$outDir/edges", col("src"), counters)
+    val writes = Seq(
+      Future(TableIO.writeBucketed(t.triples, s"$outDir/triples", col("url"), counters)),
+      Future(TableIO.writeBucketed(t.nodes, s"$outDir/nodes", col("id"), counters)),
+      Future(TableIO.writeBucketed(t.edges, s"$outDir/edges", col("src"), counters)))
+    writes.foreach(Await.result(_, Duration.Inf))
     counters
   }
 }

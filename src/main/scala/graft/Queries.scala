@@ -36,10 +36,12 @@ object Queries {
     "kg_components" -> ((s, d) => kg(s, d).components),
     "kg_nodes" -> ((s, d) => kg(s, d).nodes.drop("props")),
     "kg_edges" -> ((s, d) => kg(s, d).edges),
-    "kg_mentions" -> ((s, d) => {
-      import s.implicits._
-      kg(s, d).extracted.flatMap(_.mentions).toDF()
-    }),
+    "kg_mentions" -> ((s, d) => kg(s, d).flat
+      .filter(col("rowKind") === "m")
+      .select("pageId", "url", "mentionId", "surface", "norm", "entityId")),
+    "kg_pages" -> ((s, d) => kg(s, d).flat
+      .filter(col("rowKind") === "p")
+      .select("pageId", "url", "host", "nSentences", "error")),
 
     // ---------------- relational operator coverage (oracled) ----------------
     "q1_agg" -> ((s, d) => t(s, d, "lineitem")
@@ -120,11 +122,154 @@ object Queries {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(20)),
 
+    "q14_rollup" -> ((s, d) => t(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "q15_intersect" -> ((s, d) => {
+      val e = t(s, d, "events")
+      e.filter(col("event_type") === "purchase").select("user_id").distinct()
+        .intersect(e.filter(col("event_type") === "click").select("user_id").distinct())
+        .orderBy("user_id")
+    }),
+
+    "q16_union_all" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+        .unionAll(o.filter(col("o_totalprice") > 100000.0).select("o_orderkey"))
+        .groupBy().agg(count(lit(1)).as("n"), countDistinct("o_orderkey").as("n_distinct"))
+    }),
+
+    "q17_case_agg" -> ((s, d) => t(s, d, "events")
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("errors"),
+        round(avg("value"), 4).as("avg_value"))
+      .orderBy("user_id")),
+
+    "q18_having" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 3).orderBy("l_partkey")),
+
+    "q19_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("running", round(sum("value").over(w), 2))
+        .select("user_id", "event_id", "running")
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q20_sessionize" -> ((s, d) => {
+      // session = gap > 30 min per user (lag window + cumulative sum)
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("timestamp").cast("long") -
+              col("prev_ts").cast("timestamp").cast("long") > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    "q21_math_funcs" -> ((s, d) => t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_extendedprice")), 4).as("sq"),
+        round(log(col("l_extendedprice") + 1.0), 4).as("ln"),
+        round(pow(col("l_discount"), 2.0), 6).as("disc2"),
+        abs(col("l_quantity") - 25.0).as("dev"))
+      .orderBy("l_orderkey", "l_linenumber").limit(500)),
+
+    "q22_first_last" -> ((s, d) => t(s, d, "events")
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("m"),
+        max(struct(col("ts"), col("event_id"), col("event_type"))).as("x"))
+      .select(col("user_id"), col("m.event_type").as("first_type"),
+        col("x.event_type").as("last_type"))
+      .orderBy("user_id")),
+
     // ---------------- training-data ops: documents ----------------
     "d1_dedup_exact" -> ((s, d) => graft.ops.Dedup.exact(t(s, d, "documents"))),
+    "d2_ngram_jaccard" -> ((s, d) =>
+      graft.ops.Dedup.ngramJaccard(dupedDocs(s, d), n = 3, threshold = 0.8)
+        .orderBy("a", "b").withColumn("jaccard", round(col("jaccard"), 4))),
+    "d3_minhash_lsh" -> ((s, d) =>
+      graft.ops.Dedup.minhashLSH(dupedDocs(s, d), threshold = 0.7).orderBy("a", "b")),
+    "d4_simhash" -> ((s, d) =>
+      graft.ops.Dedup.simhashNearDup(dupedDocs(s, d), maxHamming = 3).orderBy("a", "b")),
     "d5_token_count" -> ((s, d) => graft.ops.TextAnalysis.tokenCounts(t(s, d, "documents"))),
-    "d6_quality" -> ((s, d) => graft.ops.TextAnalysis.quality(t(s, d, "documents")))
+    "d6_quality" -> ((s, d) => graft.ops.TextAnalysis.quality(t(s, d, "documents"))),
+    "d7_langid" -> ((s, d) => graft.ops.TextAnalysis.langId(t(s, d, "documents"))
+      .groupBy("pred_lang").agg(count(lit(1)).as("n")).orderBy("pred_lang")),
+    "d8_fingerprint" -> ((s, d) => graft.ops.TextAnalysis.fingerprint(t(s, d, "documents"))
+      .select(col("doc_id"), element_at(col("fingerprint"), 1).as("fp0"))
+      .orderBy("doc_id")),
+
+    // ---------------- similarity search: embeddings ----------------
+    "e1_ann_bruteforce" -> ((s, d) => graft.ops.Similarity.bruteForceTopK(
+      t(s, d, "embeddings").withColumnRenamed("vec_id", "id").filter(col("id") < 50),
+      t(s, d, "embeddings").withColumnRenamed("vec_id", "id"), k = 3)
+      .select("query_id", "rank", "nn_id").orderBy("query_id", "rank")),
+    "e2_ann_ivf" -> ((s, d) => graft.ops.Similarity.ivfTopK(
+      t(s, d, "embeddings").withColumnRenamed("vec_id", "id").filter(col("id") < 50),
+      t(s, d, "embeddings").withColumnRenamed("vec_id", "id"),
+      k = 3, nCentroids = 16, nProbe = 4)
+      .select("query_id", "rank", "nn_id").orderBy("query_id", "rank")),
+    "e3_emb_neardup" -> ((s, d) => {
+      val base = t(s, d, "embeddings")
+      val shifted = base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
+      graft.ops.Dedup.embeddingNearDup(base.unionByName(shifted), threshold = 0.999)
+        .orderBy("a", "b")
+    }),
+
+    // ---------------- multimodal plumbing (stub decode; real Spark shape) ----------------
+    "mm1_media_features" -> ((s, _) =>
+      graft.ops.Multimodal.extractFeatures(graft.ops.Multimodal.synthMedia(s, 2000))
+        .toDF().select(col("media_id"), col("kind"), col("ok"),
+          element_at(col("feature"), 1).as("f0")).orderBy("media_id")),
+    "mm2_resize_plan" -> ((s, _) =>
+      graft.ops.Multimodal.resizePlan(graft.ops.Multimodal.synthMedia(s, 2000).toDF(), 256)
+        .orderBy("media_id")),
+    "mm3_frame_sample" -> ((s, _) =>
+      graft.ops.Multimodal.frameSamplePlan(graft.ops.Multimodal.synthMedia(s, 2000).toDF(), 1000)
+        .select("media_id", "durationMs", "n_frames").orderBy("media_id")),
+
+    // ---------------- query-step surface over the KG tables ----------------
+    "kg_step_megahost_pages" -> ((s, d) => {
+      val kt = kg(s, d)
+      graft.query.Steps.nodesWithKindAndCodeRegex(kt.nodes, "Host", "^host0\\.")
+        .drop("props")
+    }),
+    "kg_step_entity_degree" -> ((s, d) => {
+      val kt = kg(s, d)
+      kt.edges.filter(col("kind") === "LINKS_TO")
+        .groupBy(col("dst").as("entity_node")).agg(count(lit(1)).as("n_mentions"))
+        .orderBy(col("n_mentions").desc, col("entity_node")).limit(50)
+    }),
+    "kg_step_slice" -> ((s, d) => {
+      val kt = kg(s, d)
+      val seeds = kt.nodes.filter(col("kind") === "Mention").limit(100)
+      graft.query.Steps.forwardSlice(seeds, kt.edges, kt.nodes,
+        symbols = Nil, depth = 2, kinds = Seq("LINKS_TO", "SAME_AS")).drop("props")
+    }),
+    "kg_step_nhash" -> ((s, d) => {
+      val kt = kg(s, d)
+      graft.query.Steps.neighborhoodHashFeatures(kt.nodes, kt.edges, "MENTIONS")
+    })
   )
+
+  /** documents ∪ (documents shifted by 1e6): plants exact duplicate pairs so
+    * near-dup operators have deterministic positives at any scale. */
+  private def dupedDocs(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents").select("doc_id", "text")
+    base.unionByName(base.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
 
   def oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -179,9 +324,97 @@ object Queries {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "q14_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q15_intersect" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |ORDER BY user_id""".stripMargin,
+    "q16_union_all" ->
+      """SELECT count(*) AS n, count(DISTINCT o_orderkey) AS n_distinct FROM (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 100000.0)""".stripMargin,
+    "q17_case_agg" ->
+      """SELECT user_id,
+        | sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+        | sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+        | round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q18_having" ->
+      """SELECT l_partkey, count(*) AS n FROM lineitem
+        |GROUP BY 1 HAVING count(*) >= 3 ORDER BY 1""".stripMargin,
+    "q19_running_sum" ->
+      """SELECT user_id, event_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q20_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q21_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(sqrt(l_extendedprice), 4) AS sq,
+        | round(ln(l_extendedprice + 1.0), 4) AS ln,
+        | round(pow(l_discount, 2.0), 6) AS disc2,
+        | abs(l_quantity - 25.0) AS dev
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin,
+    "q22_first_last" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT user_id,
+        | max(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
+        | max(CASE WHEN rn_d = 1 THEN event_type END) AS last_type
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "d2_ngram_jaccard" ->
+      """WITH both_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(len(string_split_regex(text, '\s+')) - 2),
+        |    i -> array_to_string(string_split_regex(text, '\s+')[i+1:i+3], ' '))) AS s
+        |  FROM both_docs),
+        |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+        |rare AS (SELECT * FROM ex QUALIFY count(*) OVER (PARTITION BY g) <= 100),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS asz, y.sz AS bsz, count(*) AS inter
+        |  FROM rare x JOIN rare y ON x.g = y.g AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT a, b, round(CAST(inter AS DOUBLE) / (asz + bsz - inter), 4) AS jaccard
+        |FROM pairs WHERE CAST(inter AS DOUBLE) / (asz + bsz - inter) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+    "e1_ann_bruteforce" ->
+      """WITH sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) AS cs
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 50 AND c.vec_id != q.vec_id)
+        |SELECT query_id, rank, nn_id FROM (
+        |  SELECT query_id, nn_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, nn_id) AS rank
+        |  FROM sims) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "d5_token_count" ->
       """SELECT doc_id, length(string_split(text, ' ')) AS n_ws_tokens, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -33,6 +33,49 @@ object ConnectedComponents {
   val MaxIterations = 50
   val SaltBuckets = 16
 
+  /** Below this edge count the distributed fixpoint is pure fixed-latency
+    * overhead (each iteration is several sub-second jobs regardless of core
+    * count) — collect and union-find on the driver instead. The cutover is
+    * the same adaptivity argument as AQE's broadcast-join demotion: pick the
+    * physical strategy by observed size, keep the logical result identical.
+    * At 10^12-document scale the entity graph blows past this and the salted
+    * distributed path takes over. */
+  val LocalCutover = 2000000L
+
+  /** Strategy-adaptive CC: identical output on either path (tested). */
+  def auto(spark: SparkSession, edges: DataFrame,
+           cutover: Long = LocalCutover): DataFrame = {
+    import spark.implicits._
+    val e = edges.toDF("a", "b").filter($"a" =!= $"b")
+    // single probe job: pull at most cutover+1 rows; if we got them all,
+    // solve on the driver, else fall through to the distributed fixpoint
+    val probe = e.as[(Long, Long)].limit((cutover + 1).toInt).collect()
+    if (probe.length <= cutover) {
+      val uf = new LocalUnionFind
+      probe.foreach { case (a, b) => uf.union(a, b) }
+      uf.components.toSeq.toDF("id", "component")
+    } else run(spark, edges)
+  }
+
+  /** Driver-side union-find with path compression (the small-graph path and
+    * the test oracle — same algorithm as the reference's in-memory fixpoints). */
+  final class LocalUnionFind {
+    private val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+    }
+    def components: Map[Long, Long] = {
+      parent.keys.toSeq.foreach(find(_))
+      val all = parent.keySet ++ parent.values
+      all.map(x => x -> find(x)).toMap
+    }
+  }
+
   /** edges: DataFrame with two long columns (a, b), undirected pairs.
     * Returns (id, component) where component = min id reachable. */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = MaxIterations): DataFrame = {

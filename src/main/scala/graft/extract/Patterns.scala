@@ -23,8 +23,10 @@ object Tokenizer {
     * space-separated (guaranteed by extraction normalization for our corpus;
     * robust tokenizer also splits a trailing '.'/','/';' from words > 2 chars,
     * so "Turing." → ["Turing", "."] but "A." stays one token). */
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+
   def tokens(sentence: String): Array[String] = {
-    val raw = sentence.split("\\s+").filter(_.nonEmpty)
+    val raw = Ws.split(sentence).filter(_.nonEmpty)
     raw.flatMap { t =>
       val last = if (t.isEmpty) ' ' else t.charAt(t.length - 1)
       if (t.length > 2 && (last == '.' || last == ',' || last == ';' || last == '!' || last == '?'))
@@ -43,17 +45,19 @@ final class Gazetteer private (
     val root: Gazetteer.TrieNode,
     val candidates: Map[String, List[(Long, Double)]]) extends Serializable {
 
-  /** Longest-match scan. Returns (tokStart, tokEndExclusive, normAlias). */
-  def findMentions(toks: Array[String]): List[(Int, Int, String)] = {
+  /** Longest-match scan over pre-normalized tokens (normalize ONCE per
+    * sentence — per-step lowercase copies were the extraction hot spot).
+    * Returns (tokStart, tokEndExclusive, normAlias). */
+  def findMentions(norms: Array[String]): List[(Int, Int, String)] = {
     val out = mutable.ListBuffer.empty[(Int, Int, String)]
     var i = 0
-    while (i < toks.length) {
+    while (i < norms.length) {
       var node = root
       var j = i
       var lastEnd = -1
       var continue = true
-      while (continue && j < toks.length) {
-        node.children.get(KB2.norm(toks(j))) match {
+      while (continue && j < norms.length) {
+        node.children.get(norms(j)) match {
           case Some(next) =>
             node = next
             j += 1
@@ -62,7 +66,7 @@ final class Gazetteer private (
         }
       }
       if (lastEnd > i) {
-        out += ((i, lastEnd, (i until lastEnd).map(k => KB2.norm(toks(k))).mkString(" ")))
+        out += ((i, lastEnd, norms.slice(i, lastEnd).mkString(" ")))
         i = lastEnd // non-overlapping longest match, then continue after it
       } else i += 1
     }
@@ -125,7 +129,12 @@ final class PatternAutomaton private (private val root: PatternAutomaton.PNode) 
     * mentions: seq(i) is Some(mentionIdx) or None (plain word).
     * Emits (rule, slotBindings) where bindings(s) = either mention idx or
     * numeric literal position. */
-  def matchAll(toks: Array[String], mentionAt: Array[Int]): List[(PatternRule, Vector[Int])] = {
+  def matchAll(toks: Array[String], mentionAt: Array[Int]): List[(PatternRule, Vector[Int])] =
+    matchAllNorm(toks, toks.map(KB2.norm), mentionAt)
+
+  /** Variant taking pre-normalized tokens (shared with the gazetteer pass). */
+  def matchAllNorm(toks: Array[String], norms: Array[String],
+                   mentionAt: Array[Int]): List[(PatternRule, Vector[Int])] = {
     val out = mutable.ListBuffer.empty[(PatternRule, Vector[Int])]
     var start = 0
     val n = toks.length
@@ -151,7 +160,7 @@ final class PatternAutomaton private (private val root: PatternAutomaton.PNode) 
             next = node.num
             bindings ::= i
           } else if (m < 0) {
-            next = node.words.getOrElse(KB2.norm(toks(i)), null)
+            next = node.words.getOrElse(norms(i), null)
           }
           if (next == null) continue = false
           else { node = next; i += adv }

@@ -28,6 +28,37 @@ case class PageTriple(
     sentIdx: Int,
     conf: Double)
 
+/** One flat emitted row — page / mention / triple, discriminated by `rowKind`
+  * ("p" | "m" | "t"). The distributed pipeline caches THIS flat columnar
+  * shape, not the nested [[PageExtract]]: downstream derivations are then
+  * pure column ops over a columnar cache instead of re-deserializing nested
+  * Seq[case class] objects on every pass (allocation/GC-bound and
+  * core-count-insensitive — measured 2× pipeline cost before the change).
+  * ≙ joern emitting every local graph as rows immediately
+  * (`CSVWriterImpl.java:36-78`). */
+case class FlatRow(
+    rowKind: String,
+    pageId: Long,
+    url: String,
+    host: String,
+    hostId: Long,
+    nSentences: Int,
+    // mention fields (rowKind = "m")
+    mentionId: Long,
+    mentionIdx: Int,
+    surface: String,
+    norm: String,
+    entityId: Long,
+    entityNodeId: Long,
+    // triple fields (rowKind = "t")
+    subj: Long,
+    pred: String,
+    obj: Long,
+    objValue: String,
+    sentIdx: Int,
+    conf: Double,
+    error: String)
+
 /** Counters surfaced to the manifest/metrics (≙ the reference silently
   * dropping dangling edges at `CSVImporter.java:209-222` — we count instead). */
 final class ExtractMetrics(spark: SparkSession) extends Serializable {
@@ -88,6 +119,55 @@ object TripleExtractor {
     }
   }
 
+  /** Flat-row extraction: same per-page pure function, rows out immediately. */
+  def extractFlat(
+      pages: Dataset[Page],
+      gaz: Broadcast[Gazetteer],
+      rules: Broadcast[PatternAutomaton],
+      metrics: ExtractMetrics): Dataset[FlatRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.mapPartitions { it =>
+      val g = gaz.value
+      val auto = rules.value
+      it.flatMap { p =>
+        metrics.pagesIn.add(1)
+        val ex =
+          try {
+            val e = extractPage(p, g, auto)
+            metrics.sentences.add(e.nSentences)
+            metrics.mentions.add(e.mentions.size)
+            metrics.triples.add(e.triples.size)
+            e
+          } catch {
+            case e: Throwable =>
+              metrics.pagesErrored.add(1)
+              val safeUrl = if (p.url == null) "" else p.url
+              PageExtract(Ids.pageId(safeUrl), safeUrl, hostOf(safeUrl), 0, Nil, Nil,
+                s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          }
+        toFlatRows(ex)
+      }
+    }
+  }
+
+  def toFlatRows(ex: PageExtract): Iterator[FlatRow] = {
+    val hostId = Ids.hash64(ex.host)
+    val base = FlatRow("p", ex.pageId, ex.url, ex.host, hostId, ex.nSentences,
+      0L, -1, null, null, -1L, 0L, -1L, null, -1L, null, -1, 0.0, ex.error)
+    val ms = ex.mentions.iterator.zipWithIndex.map { case (m, i) =>
+      base.copy(rowKind = "m", mentionId = m.mentionId, mentionIdx = i,
+        surface = m.surface, norm = m.norm, entityId = m.entityId,
+        entityNodeId = if (m.entityId >= 0) Ids.entityNodeId(m.entityId) else 0L,
+        error = null)
+    }
+    val ts = ex.triples.iterator.map { t =>
+      base.copy(rowKind = "t", subj = t.subj, pred = t.pred, obj = t.obj,
+        objValue = t.objValue, sentIdx = t.sentIdx, conf = t.conf, error = null)
+    }
+    Iterator(base) ++ ms ++ ts
+  }
+
   def hostOf(url: String): String = {
     val noScheme = {
       val i = url.indexOf("://")
@@ -103,9 +183,10 @@ object TripleExtractor {
     val text = TextExtractor.pageText(p.html, p.text)
     val sents = Tokenizer.sentences(text).take(MaxSentencesPerPage)
 
-    // pass 0: tokenize + find mentions per sentence
+    // pass 0: tokenize + normalize ONCE + find mentions per sentence
     val sentToks = sents.map(Tokenizer.tokens)
-    val sentMentions: Array[List[(Int, Int, String)]] = sentToks.map(gaz.findMentions)
+    val sentNorms = sentToks.map(_.map(KB2.norm))
+    val sentMentions: Array[List[(Int, Int, String)]] = sentNorms.map(gaz.findMentions)
 
     // pass 1: page context = entities of unambiguous mentions
     val context: Set[Long] = sentMentions.iterator.flatten.flatMap { case (_, _, norm) =>
@@ -149,7 +230,7 @@ object TripleExtractor {
           toks.slice(s, e).mkString(" "), norm, linked(idx),
           if (linked(idx) >= 0) 1.0 else 0.0)
       }
-      auto.matchAll(toks, mentionAt).foreach { case (rule, bindings) =>
+      auto.matchAllNorm(toks, sentNorms(si), mentionAt).foreach { case (rule, bindings) =>
         // bindings are token positions for each slot in pattern order
         def slotEntity(slot: Int): Long = {
           val pos = bindings(slot)

@@ -25,7 +25,12 @@ object PageGen {
       seed: Long = 42L,
       megaHostFrac: Double = 0.30,
       nullHtmlFrac: Double = 0.10,
-      nonEnFrac: Double = 0.10)
+      nonEnFrac: Double = 0.10,
+      // page weight: sentences per page, uniform in [sentMin, sentMax] —
+      // bench uses 40..80 (Common-Crawl-like page text volume); tests keep
+      // the light default (identical corpus bytes to the original config)
+      sentMin: Int = 3,
+      sentMax: Int = 8)
 
   val BaseTs: Long = 1767225600000L // 2026-01-01T00:00:00Z, fixed
 
@@ -48,7 +53,7 @@ object PageGen {
 
   /** The sentences of page i — the ground truth `text` is their "\n"-join. */
   def sentences(cfg: Config, i: Long): Vector[String] = {
-    val n = 3 + Det.nextInt(Det.rand(cfg.seed, i, 5), 6)
+    val n = cfg.sentMin + Det.nextInt(Det.rand(cfg.seed, i, 5), cfg.sentMax - cfg.sentMin + 1)
     (0 until n).map(j => sentence(cfg, i, j)).toVector
   }
 

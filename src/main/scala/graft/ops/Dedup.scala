@@ -49,14 +49,12 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
-  /** MinHash signature: k independent permutations approximated by
-    * (a_i * h + b_i) over the 64-bit shingle hashes (standard public
-    * construction; one pass, no shuffle). */
+  /** MinHash signature: k independent hash functions realized as
+    * xxhash64 with a distinct seed prefix per function (overflow-free under
+    * ANSI mode, unlike the (a·h+b) construction; one pass, no shuffle). */
   def minhashSignature(sh: Column, numHashes: Int, seed: Long = 42L): Column = {
     val sigs = (0 until numHashes).map { i =>
-      val a = graft.model.Det.rand(seed, i.toLong, 1) | 1L // odd multiplier
-      val b = graft.model.Det.rand(seed, i.toLong, 2)
-      array_min(transform(sh, h => hash(h * lit(a) + lit(b)).cast("long")))
+      array_min(transform(sh, h => xxhash64(lit(graft.model.Det.rand(seed, i.toLong, 1)), h)))
     }
     array(sigs: _*)
   }
@@ -122,7 +120,7 @@ object Dedup {
     val r = capped.select(col("chunk"), col("chunkVal"), col("doc_id").as("b"), col("sh").as("shB"))
     val cand = l.join(r, Seq("chunk", "chunkVal")).filter(col("a") < col("b"))
       .dropDuplicates("a", "b")
-    cand.withColumn("hamming", bit_count(col("shA").bitwiseXOR(col("shB"))))
+    cand.withColumn("hamming", bit_count(col("shA").bitwiseXOR(col("shB"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("a", "b", "hamming")
   }

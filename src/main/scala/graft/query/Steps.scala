@@ -1,0 +1,211 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's Gremlin/Groovy query-step surface (SURVEY.md §2.6)
+  * re-expressed as composable `DataFrame => DataFrame` functions over the
+  * materialized `nodes` / `edges` tables.
+  *
+  * Design rules carried over from the reference:
+  *   - start-node selection is always an indexed lookup (`lookup.groovy:28-33`)
+  *     → here: a pushdown-friendly filter on (kind, code);
+  *   - traversals are batched joins, never per-row subqueries
+  *     (`composition.groovy:58-64` documents exactly why) — nothing in this
+  *     file collects to the driver;
+  *   - reachability is visited-set BFS with an anti-join frontier, the
+  *     "massive optimization" of `cfg.groovy:13-26` — not path enumeration;
+  *   - slices are bounded transitive closures, default depth 5
+  *     (`slice.groovy:2-3`); caps are semantics, not tuning.
+  *
+  * nodes: (id, kind, code, pageId, childNum, props)
+  * edges: (src, dst, kind, variable)
+  */
+object Steps {
+
+  // ---------- lookup steps (start-node selection) ----------
+
+  /** ≙ getNodesWithTypeAndCode (`lookup.groovy:28-33`). */
+  def nodesWithKindAndCode(nodes: DataFrame, kind: String, code: String): DataFrame =
+    nodes.filter(col("kind") === kind && col("code") === code)
+
+  /** ≙ getNodesWithTypeAndCode + textRegex (`misc.groovy:2-6`). */
+  def nodesWithKindAndCodeRegex(nodes: DataFrame, kind: String, rx: String): DataFrame =
+    nodes.filter(col("kind") === kind && col("code").rlike(rx))
+
+  /** ≙ getFunctionsByFilename: pages of a host via IS_PAGE_OF. */
+  def pagesOfHost(nodes: DataFrame, edges: DataFrame, host: String): DataFrame = {
+    val hosts = nodesWithKindAndCode(nodes, graft.model.Schema.NodeKinds.Host, host)
+    out(hosts, edges, nodes, graft.model.Schema.EdgeKinds.IsPageOf)
+  }
+
+  // ---------- hop steps (1-hop joins; ≙ getChildrenConnectedBy) ----------
+
+  /** Follow out-edges of `kind` from `from` nodes: from ⋈ edges ⋈ nodes. */
+  def out(from: DataFrame, edges: DataFrame, nodes: DataFrame, kind: String): DataFrame =
+    from.select(col("id").as("src"))
+      .join(edges.filter(col("kind") === kind), "src")
+      .select(col("dst").as("id"))
+      .join(nodes, "id")
+
+  /** Follow in-edges of `kind` (reverse hop). */
+  def in(from: DataFrame, edges: DataFrame, nodes: DataFrame, kind: String): DataFrame =
+    from.select(col("id").as("dst"))
+      .join(edges.filter(col("kind") === kind), "dst")
+      .select(col("src").as("id"))
+      .join(nodes, "id")
+
+  /** Edge-property-filtered hop (≙ In/Out with prop filter, `misc.groovy:8-41`). */
+  def outVar(from: DataFrame, edges: DataFrame, nodes: DataFrame, kind: String,
+             vars: Seq[String]): DataFrame =
+    from.select(col("id").as("src"))
+      .join(edges.filter(col("kind") === kind && col("variable").isin(vars: _*)), "src")
+      .select(col("dst").as("id"))
+      .join(nodes, "id")
+
+  /** i-th child by childNum (≙ ithChildren, `ast.groovy:44-49`). */
+  def ithChildren(from: DataFrame, edges: DataFrame, nodes: DataFrame, kind: String,
+                  i: Int): DataFrame =
+    out(from, edges, nodes, kind).filter(col("childNum") === i)
+
+  /** Number of out-neighbors (≙ numChildren, `ast.groovy:84-90`). */
+  def outDegree(from: DataFrame, edges: DataFrame, kind: String): DataFrame =
+    from.select(col("id").as("src"))
+      .join(edges.filter(col("kind") === kind), "src")
+      .groupBy("src").count()
+
+  // ---------- per-page selection (≙ functionToASTNodes via functionId) ----------
+
+  /** All nodes of one page — an indexed filter, not a traversal
+    * (≙ functionToStatementsLookup vs Traverse, `function.groovy:48-55`). */
+  def nodesOfPage(nodes: DataFrame, pageId: Long): DataFrame =
+    nodes.filter(col("pageId") === pageId)
+
+  // ---------- composition (≙ composition.groovy) ----------
+
+  /** ≙ OR — duplicates preserved, as documented at `composition.groovy:8-14`. */
+  def or(a: DataFrame, b: DataFrame): DataFrame = a.unionByName(b)
+
+  /** ≙ not(cl): keep rows of `from` whose page does NOT appear in `excl` —
+    * left anti join on pageId (`composition.groovy:32-48`). */
+  def notInPages(from: DataFrame, excl: DataFrame): DataFrame =
+    from.join(excl.select("pageId").distinct(), Seq("pageId"), "left_anti")
+
+  /** ≙ _emitForFunctions: semi-join batching instead of per-row subqueries. */
+  def forPages(from: DataFrame, pages: DataFrame): DataFrame =
+    from.join(pages.select("pageId").distinct(), Seq("pageId"), "left_semi")
+
+  // ---------- reachability / slicing (iterative frontier joins) ----------
+
+  /** Visited-set BFS over edges of `kinds`, up to `maxDepth` hops
+    * (≙ reachableCfgNodes `cfg.groovy:18-26`; forwardSlice `slice.groovy`).
+    * Returns distinct node ids (id) reachable from `seeds` (including seeds).
+    *
+    * Each iteration: frontier ⋈ edges → next, minus visited (anti-join).
+    * `restrictFirstHopVars`: the slice semantics where only the first hop is
+    * filtered by symbol set (`slice.groovy:30-38`). */
+  def reachable(seeds: DataFrame, edges: DataFrame, kinds: Seq[String],
+                maxDepth: Int = 5, forward: Boolean = true,
+                restrictFirstHopVars: Option[Seq[String]] = None): DataFrame = {
+    val e0 = edges.filter(col("kind").isin(kinds: _*))
+    val (srcCol, dstCol) = if (forward) ("src", "dst") else ("dst", "src")
+    // localCheckpoint per iteration truncates lineage — without it the plan
+    // doubles every hop and the driver OOMs on plan strings alone
+    var visited = seeds.select(col("id")).distinct().localCheckpoint(true)
+    var frontier = visited
+    var depth = 0
+    var done = false
+    while (!done && depth < maxDepth) {
+      val e = if (depth == 0 && restrictFirstHopVars.isDefined)
+        e0.filter(col("variable").isin(restrictFirstHopVars.get: _*))
+      else e0
+      val next = frontier.select(col("id").as(srcCol))
+        .join(e, srcCol)
+        .select(col(dstCol).as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti") // frontier - visited (cfg.groovy:21)
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next
+      }
+      depth += 1
+    }
+    visited
+  }
+
+  /** ≙ forwardSlice (`slice.groovy:1-45`): bounded closure over given edge
+    * kinds, first hop restricted to `symbols`, returning full node rows. */
+  def forwardSlice(seeds: DataFrame, edges: DataFrame, nodes: DataFrame,
+                   symbols: Seq[String], depth: Int = 5,
+                   kinds: Seq[String] = Seq("REACHES", "CONTROLS")): DataFrame =
+    reachable(seeds, edges, kinds, depth, forward = true,
+      restrictFirstHopVars = if (symbols.isEmpty) None else Some(symbols))
+      .join(nodes, "id")
+
+  def backwardSlice(seeds: DataFrame, edges: DataFrame, nodes: DataFrame,
+                    symbols: Seq[String], depth: Int = 5,
+                    kinds: Seq[String] = Seq("REACHES", "CONTROLS")): DataFrame =
+    reachable(seeds, edges, kinds, depth, forward = false,
+      restrictFirstHopVars = if (symbols.isEmpty) None else Some(symbols))
+      .join(nodes, "id")
+
+  /** ≙ edgesInX (`slice.groovy:102-109`): induced subgraph = double semi-join. */
+  def inducedEdges(nodeSet: DataFrame, edges: DataFrame): DataFrame = {
+    val ids = nodeSet.select(col("id")).distinct()
+    edges
+      .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+  }
+
+  /** Loop membership (≙ isInLoop `cfg.groovy:28-34`): a node is in a cycle iff
+    * it reaches itself in ≥1 hop. Computed per seed set via reachability. */
+  def selfReaching(seeds: DataFrame, edges: DataFrame, kinds: Seq[String],
+                   maxDepth: Int = 30): DataFrame = {
+    val e0 = edges.filter(col("kind").isin(kinds: _*))
+    // one-hop successors of each seed, then closure, then membership test —
+    // batched for the whole seed set: (origin, id) pair frontier
+    var frontier = seeds.select(col("id").as("origin"))
+      .join(e0.withColumnRenamed("src", "origin"), "origin")
+      .select(col("origin"), col("dst").as("id")).distinct().localCheckpoint(true)
+    var visited = frontier
+    var depth = 1
+    var done = frontier.isEmpty
+    while (!done && depth < maxDepth) {
+      val next = frontier.select(col("origin"), col("id").as("src"))
+        .join(e0, "src")
+        .select(col("origin"), col("dst").as("id")).distinct()
+        .join(visited, Seq("origin", "id"), "left_anti").localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else { visited = visited.union(next).localCheckpoint(true); frontier = next }
+      depth += 1
+    }
+    visited.filter(col("origin") === col("id")).select(col("origin").as("id")).distinct()
+  }
+
+  // ---------- neighborhood-hash graph kernel (≙ learning/neighborhoodHash.groovy) ----------
+
+  /** Feature vectors: 2 iterations of label hashing over a node's out-edge
+    * neighborhood, then bag-of-labels counts per page
+    * (`neighborhoodHash.groovy:23-35`: newLabel = rot1(label) XOR xor(childLabels);
+    * initial 16-bit label from kind/code, numbers collapsed — `:97-109`). */
+  def neighborhoodHashFeatures(nodes: DataFrame, edges: DataFrame,
+                               edgeKind: String, iterations: Int = 2): DataFrame = {
+    val initial = nodes.select(col("id"), col("pageId"),
+      (abs(when(col("code").rlike("^[0-9]+$"), xxhash64(lit("A_NUMBER")))
+        .otherwise(xxhash64(col("kind"), col("code")))) % 65536).as("label"))
+    val e = edges.filter(col("kind") === edgeKind).select("src", "dst")
+    var labeled = initial
+    (0 until iterations).foreach { _ =>
+      val childXor = e.join(labeled.withColumnRenamed("id", "dst").select("dst", "label"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(expr("aggregate(collect_list(label), 0L, (a, b) -> a ^ b)").as("childXor"))
+      val rot1 = (shiftleft(col("label"), 1).bitwiseAND(lit(0xffffL)))
+        .bitwiseOR(shiftright(col("label"), 15))
+      labeled = labeled.join(childXor, Seq("id"), "left")
+        .select(col("id"), col("pageId"),
+          (rot1.bitwiseXOR(coalesce(col("childXor"), lit(0L))) % 65536).as("label"))
+    }
+    labeled.groupBy("pageId", "label").count()
+  }
+}

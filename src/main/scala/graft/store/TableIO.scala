@@ -117,14 +117,19 @@ object TableIO {
     // left task files that never made it into a manifest)
     wanted.foreach(b => deleteRecursively(s"$dir/data/bucket=$b"))
 
+    // repartition on the bucket key so each bucket is written by one task:
+    // without this, every input partition writes a file into every bucket
+    // directory (P × B small files — the write anti-scales with cores)
     val pending = withBucket.filter(col("bucket").isin(wanted.toSeq: _*))
-    // one job writes all pending buckets; per-bucket row counts come from a
-    // grouped count on the same cached frame (cheap vs the write itself)
-    pending.persist()
-    val countsByBucket = pending.groupBy("bucket").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .repartition(numBuckets, col("bucket"))
     pending.write.mode("append").partitionBy("bucket").parquet(s"$dir/data")
-    pending.unpersist(false)
+    // lineage counters from parquet footers — metadata-only, no recompute
+    // (persist + pre-count here used to double the whole write's work)
+    val spark = df.sparkSession
+    val countsByBucket = spark.read.parquet(s"$dir/data")
+      .filter(col("bucket").isin(wanted.toSeq: _*))
+      .groupBy("bucket").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
     val newBuckets = committed ++ wanted.map(b => b -> countsByBucket.getOrElse(b, 0L))
     val m = Manifest(System.currentTimeMillis(), newBuckets, counters)

@@ -44,6 +44,17 @@ class CanonSpec extends AnyFunSuite with Matchers {
     cc(c1 ++ c2 ++ Seq((20L, 101L))).values.toSet shouldBe Set(1L)
   }
 
+  test("auto cutover: local and distributed paths produce identical output") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (0L, 1L), (0L, 10L))
+    val local = ConnectedComponents.auto(spark, edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = ConnectedComponents.auto(spark, edges.toDF("a", "b"), cutover = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    local shouldBe dist
+    local shouldBe ufOracle(edges)
+  }
+
   test("property: CC equals union-find on random graphs; invariant under edge order") {
     (0 until 5).foreach { trial =>
       val e = (0 until 60).map { i =>

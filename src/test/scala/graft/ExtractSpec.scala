@@ -64,7 +64,7 @@ class GazetteerSpec extends AnyFunSuite with Matchers {
     ("Mary Lovelace", 3L, 0.2), ("Lovelace", 3L, 0.2)))
 
   test("longest match wins") {
-    val toks = "Ada Lovelace met Alan Turing .".split(' ')
+    val toks = "Ada Lovelace met Alan Turing .".split(' ').map(_.toLowerCase)
     gaz.findMentions(toks).map(m => (m._1, m._2, m._3)) shouldBe
       List((0, 2, "ada lovelace"), (3, 5, "alan turing"))
   }
@@ -82,7 +82,7 @@ class PatternSpec extends AnyFunSuite with Matchers {
 
   private def matches(sentence: String): List[(String, Vector[Int])] = {
     val toks = Tokenizer.tokens(sentence)
-    val ms = gaz.findMentions(toks)
+    val ms = gaz.findMentions(toks.map(_.toLowerCase))
     val mentionAt = Array.fill(toks.length)(-1)
     ms.zipWithIndex.foreach { case ((s, e, _), k) => (s until e).foreach(mentionAt(_) = k) }
     auto.matchAll(toks, mentionAt).map { case (r, b) => (r.pred, b) }

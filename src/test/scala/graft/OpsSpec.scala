@@ -1,0 +1,204 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+class DedupSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  val corpus = docs(
+    1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+    2L -> "the quick brown fox jumps over the lazy dog near the river bend", // near-dup of 1
+    3L -> "completely different content about spark query engines and shuffles",
+    4L -> "the quick brown fox jumps over the lazy dog near the river bank", // exact dup of 1
+    5L -> "spark query engines shuffle data between executors during joins")
+
+  test("exact dedup groups identical texts") {
+    val r = Dedup.exact(corpus).collect()
+    r.length shouldBe 4
+    r.find(_.getLong(1) == 1L).get.getLong(2) shouldBe 2L // docs 1 and 4
+  }
+
+  test("ngram jaccard finds the near-dup pair and not unrelated docs") {
+    val pairs = Dedup.ngramJaccard(corpus, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+    pairs should contain((1L, 4L)) // exact dup has jaccard 1.0
+    pairs should not contain ((1L, 3L))
+    pairs should not contain ((3L, 5L))
+  }
+
+  test("minhash LSH recovers exact and near dups") {
+    val pairs = Dedup.minhashLSH(corpus, shingleN = 3, numHashes = 32, bands = 16,
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 4L))
+    pairs should contain((1L, 2L))
+    pairs should not contain ((1L, 3L))
+  }
+
+  test("simhash near-dup: identical docs at hamming 0") {
+    val pairs = Dedup.simhashNearDup(corpus, maxHamming = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // (hamming column is long — op contract)
+    pairs((1L, 4L)) shouldBe 0L
+    pairs.get((1L, 3L)) shouldBe None
+  }
+
+  test("minhash estJaccard approximates true jaccard for exact dup") {
+    val est = Dedup.minhashLSH(corpus, threshold = 0.9)
+      .filter(col("a") === 1 && col("b") === 4)
+      .collect()(0).getDouble(2)
+    est shouldBe 1.0
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+
+  lazy val embs = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .withColumnRenamed("vec_id", "id")
+
+  test("brute-force top-k equals an in-memory exact-cosine oracle") {
+    val vecs = embs.select("id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val queries = vecs.keys.toSeq.sorted.take(10)
+    val expected = queries.flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3)
+        .zipWithIndex.map { case ((id, _), rank) => (q, rank + 1, id) }
+    }.toSet
+    val got = Similarity.bruteForceTopK(embs.filter(col("id").isin(queries: _*)), embs, k = 3)
+      .select("query_id", "rank", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    got shouldBe expected
+  }
+
+  test("cosine of a vector with itself is 1") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "embedding")
+    df.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect()(0).getDouble(0) shouldBe 1.0 +- 1e-9
+  }
+
+  test("IVF top-k overlaps brute force on most queries (recall@3 > 0.6)") {
+    val q = embs.limit(20)
+    val bf = Similarity.bruteForceTopK(q, embs, k = 3)
+      .select(col("query_id"), col("nn_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, embs, k = 3, nCentroids = 8, nProbe = 3)
+      .select(col("query_id"), col("nn_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    recall should be > 0.6
+  }
+
+  test("embedding near-dup finds planted near-duplicates under LSH buckets") {
+    import spark.implicits._
+    import graft.model.Det
+    // planted: 20 base vectors; ids 1000+i are tiny perturbations of i
+    val base = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(16)(d =>
+        (Det.nextDouble(Det.rand(7L, i.toLong, d.toLong)) - 0.5).toFloat))
+    }
+    val dups = base.map { case (id, v) =>
+      (1000L + id, v.zipWithIndex.map { case (x, d) =>
+        x + 0.001f * (Det.nextDouble(Det.rand(9L, id, d.toLong)) - 0.5).toFloat })
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val nd = Dedup.embeddingNearDup(df, threshold = 0.99, nPlanes = 6)
+    val pairs = nd.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH with 6 planes: each planted pair agrees on all sign bits with high
+    // probability; require most planted pairs recovered and no false accepts
+    val recovered = base.map(_._1).count(id => pairs.contains((id, 1000L + id)))
+    recovered should be >= 15
+    nd.select(min("cosine")).collect()(0).getDouble(0) should be >= 0.99
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token counts match whitespace splits") {
+    val docs = Seq((1L, "a b  c", 6L), (2L, "hello", 5L)).toDF("doc_id", "text", "n_chars")
+    val r = TextAnalysis.tokenCounts(docs).collect()
+    r(0).getInt(1) shouldBe 4 // "a","b","","c" — split-on-single-space keeps empty
+    r(1).getInt(1) shouldBe 1
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val docs = Seq(
+      (1L, "the cat and the dog went to the house of the king"),
+      (2L, "der hund und die katze ist nicht ein tier"),
+      (3L, "le chat et la maison est une belle chose pour les gens")).toDF("doc_id", "text")
+    val r = TextAnalysis.langId(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    r(1L) shouldBe "en"
+    r(2L) shouldBe "de"
+    r(3L) shouldBe "fr"
+  }
+
+  test("fingerprint is deterministic and fixed-length") {
+    val docs = Seq((1L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.fingerprint(docs).collect()(0).getSeq[Long](1)
+    val b = TextAnalysis.fingerprint(docs).collect()(0).getSeq[Long](1)
+    a shouldBe b
+    a.length shouldBe 4
+  }
+
+  test("bpe-ish token estimate counts word and punct runs") {
+    val docs = Seq((1L, "hello, world! it's 42")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeTokenEstimate(docs).collect()(0)
+    r.getInt(1) shouldBe 5 // hello world it s 42
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+
+  test("synthetic media is deterministic and batched extraction works") {
+    val m1 = Multimodal.synthMedia(spark, 200)
+    val f = Multimodal.extractFeatures(m1)
+    val rows = f.collect()
+    rows.length shouldBe 200
+    rows.forall(_.ok) shouldBe true
+    rows.head.feature.length shouldBe Multimodal.FakeCodec.Dim
+    // determinism across runs
+    val f2 = Multimodal.extractFeatures(Multimodal.synthMedia(spark, 200)).collect()
+    f2.map(_.feature.toSeq).toSeq shouldBe rows.map(_.feature.toSeq).toSeq
+  }
+
+  test("decode failure is isolated per row") {
+    import spark.implicits._
+    val bad = Seq(Multimodal.MediaRow(999L, "image", Array.empty, 0, 0, 0, 0)).toDS()
+    val f = Multimodal.extractFeatures(bad).collect()
+    f(0).ok shouldBe false
+    f(0).error should include("empty")
+  }
+
+  test("resize plan never upscales and preserves aspect ratio cap") {
+    val m = Multimodal.synthMedia(spark, 100).toDF()
+    val plan = Multimodal.resizePlan(m, maxSide = 256)
+    plan.filter(col("target_w") > 256 || col("target_h") > 256).count() shouldBe 0L
+    plan.filter(col("scale") > 1.0).count() shouldBe 0L
+  }
+
+  test("frame sampling yields ceil(duration/every) frames") {
+    val m = Multimodal.synthMedia(spark, 100).toDF()
+    val plan = Multimodal.frameSamplePlan(m, everyMs = 1000)
+    plan.filter(col("n_frames") =!= ceil(col("durationMs") / 1000.0)).count() shouldBe 0L
+  }
+}

@@ -36,12 +36,13 @@ class PipelineSpec extends AnyFunSuite with Matchers {
   }
 
   test("extracted text is byte-identical per url (distributed vs oracle)") {
-    val got = tables.extracted.collect().map(e => e.url -> e).toMap
-    // oracle.texts covers every page incl. non-en; extracted only en pages
+    import org.apache.spark.sql.functions.col
+    val got = tables.flat.filter(col("rowKind") === "p").collect()
+      .map(r => r.url -> r.nSentences).toMap
     got.keys.foreach { url => oracle.texts.contains(url) shouldBe true }
-    // spot-check: triples referenced urls have identical sentence counts
-    got.values.take(50).foreach { ex =>
-      ex.nSentences shouldBe Tokenizer2.lineCount(oracle.texts(ex.url))
+    // spot-check: sentence counts match the oracle's extracted text
+    got.take(50).foreach { case (url, n) =>
+      n shouldBe Tokenizer2.lineCount(oracle.texts(url))
     }
   }
 
@@ -63,12 +64,14 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     // now force a real exception via a page whose url is null
     val worse = Seq(Page(null, new java.sql.Timestamp(0), null, "x", "en")).toDS()
     val t3 = Pipeline.run(spark, PageGen.pages(spark, PageGen.Config(nPages = 20)).union(worse), 100)
-    t3.extracted.count() should be >= 20L
+    t3.flat.filter(org.apache.spark.sql.functions.col("rowKind") === "p")
+      .count() should be >= 20L
     t3.metrics.pagesErrored.value.longValue() should be >= 1L
   }
 
   test("skew exists by construction: mega-host and head entity") {
-    val hosts = tables.extracted.collect().groupBy(_.host).view.mapValues(_.size)
+    val hosts = tables.flat.filter(org.apache.spark.sql.functions.col("rowKind") === "p")
+      .collect().groupBy(_.host).view.mapValues(_.size)
     val mega = hosts.collect { case (h, n) if h.startsWith("host0.") => n }.sum
     mega.toDouble / hosts.values.sum should be > 0.15
     val subj0 = oracle.triples.count(_._1 == 0L)
