@@ -44,12 +44,16 @@ object Similarity {
     * should be broadcast when small; for corpus ≫ memory use [[ivfTopK]]. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      broadcastCorpus: Boolean = true): DataFrame = {
-    val c0 = corpus.select(col("id").as("nn_id"), col("embedding").as("nn_emb"))
+    // precompute norms per side ONCE — cosine-per-pair then needs a single
+    // array traversal (dot), not three (higher-order exprs are interpreted)
+    val c0 = corpus.select(col("id").as("nn_id"), col("embedding").as("nn_emb"),
+      norm(col("embedding")).as("nn_norm"))
     val c = if (broadcastCorpus) broadcast(c0) else c0
-    val q = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"))
+    val q = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_norm"))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("nn_id"))
-      .withColumn("cosine", cosine(col("q_emb"), col("nn_emb")))
+      .withColumn("cosine", dot(col("q_emb"), col("nn_emb")) / (col("q_norm") * col("nn_norm")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -107,17 +111,19 @@ object Similarity {
               nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val centroids = kmeansCentroids(corpus, nCentroids)
     val lists = assign(corpus, centroids)
-      .select(col("centroid_id"), col("id").as("nn_id"), col("embedding").as("nn_emb"))
-    val qScored = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("centroid_id"), col("id").as("nn_id"), col("embedding").as("nn_emb"),
+        norm(col("embedding")).as("nn_norm"))
+    val qScored = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_norm"))
       .crossJoin(broadcast(centroids))
       .withColumn("d", negate(cosine(col("q_emb"), col("c_emb"))))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("d"), col("centroid_id"))
     val probes = qScored.withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("centroid_id"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"), col("centroid_id"))
     val cands = probes.join(lists, Seq("centroid_id"))
       .filter(col("query_id") =!= col("nn_id"))
-      .withColumn("cosine", cosine(col("q_emb"), col("nn_emb")))
+      .withColumn("cosine", dot(col("q_emb"), col("nn_emb")) / (col("q_norm") * col("nn_norm")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id"))
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
