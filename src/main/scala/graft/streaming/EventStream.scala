@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is batch-only (SURVEY.md §2.8: streaming absent — its
+  * incrementality is ArgumentTainter graph patching, which our store layer
+  * mirrors as per-bucket recompute). This module adds the streaming surface
+  * a training-data pipeline needs anyway: watermarked windowed aggregation,
+  * late-data handling, and custom sessionization state — all standard
+  * Structured Streaming (`readStream` → transform → `writeStream`), tested
+  * through `MemoryStream` in StreamingSpec.
+  *
+  * Scale notes: stateful operators shuffle by their grouping key; the
+  * watermark bounds state size (late rows beyond it are dropped); session
+  * state is per-user and O(1) per update — the state store grows with
+  * |active keys|, not |events|.
+  */
+object EventStream {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Tumbling-window counts/sums per event type with a watermark: late events
+    * older than `watermark` are dropped (deterministic under replay). */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+                              n_events: Int, duration_sec: Long)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session closes
+    * after `gapSec` of event-time inactivity. The streaming twin of the
+    * batch q20_sessionize window query.
+    *
+    * Uses EVENT-time timeouts (driven by the watermark), not processing
+    * time: identical input always yields identical sessions — the same
+    * determinism-under-replay invariant the batch extractor has — and the
+    * state store holds only sessions newer than the watermark. */
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800,
+                 watermark: String = "30 minutes"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new Timestamp(s.start), s.n, (s.last - s.start) / 1000))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val out = Vector.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapSec * 1000 =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) => // gap exceeded: close previous, open new
+                  out += SessionOut(userId, new Timestamp(s.start), s.n, (s.last - s.start) / 1000)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the watermark passes last-event-time + gap
+              state.setTimeoutTimestamp(s.last + gapSec * 1000)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming triple extraction: the SAME page-local extraction applied to
+    * a stream of pages — `mapPartitions` logic is stateless per row, so the
+    * batch operator lifts to streaming unchanged (append mode, no state). */
+  def streamingTriples(spark: SparkSession, pages: DataFrame,
+                       nPersons: Int = 500): DataFrame = {
+    import spark.implicits._
+    val gaz = spark.sparkContext.broadcast(graft.Pipeline.defaultGazetteer(nPersons))
+    val auto = spark.sparkContext.broadcast(
+      graft.extract.PatternAutomaton.compile(graft.extract.PatternAutomaton.DefaultRules))
+    pages.as[graft.model.Page]
+      .mapPartitions { it =>
+        val g = gaz.value; val a = auto.value
+        it.flatMap { p =>
+          try {
+            val ex = graft.extract.TripleExtractor.extractPage(p, g, a)
+            ex.triples.filter(_.pred != "same_as").map(t =>
+              (t.subj, t.pred, t.obj, t.objValue, ex.url, t.conf))
+          } catch { case _: Exception => Nil }
+        }
+      }
+      .toDF("subj", "pred", "obj", "objValue", "url", "conf")
+  }
+}
