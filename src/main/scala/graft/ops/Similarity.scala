@@ -9,19 +9,24 @@ import org.apache.spark.sql.functions._
   * set is small or N fits a broadcast). Scale path: IVF — coarse centroids,
   * inverted lists, probe the nearest `nProbe` lists; the candidate join is
   * on the centroid key, so the shuffle is bounded by list size, not N².
-  * Dot products are pure column expressions (`zip_with` + `aggregate` →
-  * codegen), no UDFs.
+  * Dot products are native codegen'd Catalyst expressions
+  * ([[graft.functions.VectorExpressions]]) — one fused Java loop per pair,
+  * no per-element lambda interpretation, no UDFs.
   */
 object Similarity {
 
-  /** Ordered-sum dot product as a column expression. */
-  def dot(a: Column, b: Column): Column =
+  /** Ordered-sum dot product — native codegen'd expression. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.vec_dot(a, b)
+
+  def norm(a: Column): Column = graft.functions.VectorExpressions.vec_norm(a)
+
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorExpressions.vec_cosine(a, b)
+
+  /** The composable (interpreted higher-order-function) dot product — kept as
+    * the differential-testing twin of the native expression. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
-
-  def norm(a: Column): Column = sqrt(dot(a, a))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Random-hyperplane signature (sign bits packed into a long) — the
     * classic cosine-LSH construction; hyperplanes are deterministic in
