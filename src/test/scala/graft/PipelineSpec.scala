@@ -69,6 +69,46 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     t3.metrics.pagesErrored.value.longValue() should be >= 1L
   }
 
+  test("pipeline-level resume: crash mid-materialize, resume, tables identical") {
+    import org.apache.spark.sql.functions.col
+    val clean = java.nio.file.Files.createTempDirectory("kg_clean").toString
+    val crashed = java.nio.file.Files.createTempDirectory("kg_crash").toString
+    try {
+      // reference run: one-shot materialize
+      Pipeline.materialize(spark, tables, clean)
+      // crashed run: triples commits only 7 buckets, nodes/edges never start
+      graft.store.TableIO.writeBucketed(
+        tables.triples, s"$crashed/triples", col("url"),
+        onlyBuckets = Some(Set(0, 3, 5, 11, 17, 23, 31)))
+      graft.store.TableIO.missingBuckets(s"$crashed/triples").size shouldBe 25
+      // resume = just run materialize again over the same tables
+      Pipeline.materialize(spark, tables, crashed)
+      graft.store.TableIO.missingBuckets(s"$crashed/triples") shouldBe empty
+      for (tbl <- Seq("triples", "nodes", "edges")) {
+        // set ops reject MapType — canonicalize props to a sorted entry array
+        def cmp(df: org.apache.spark.sql.DataFrame) =
+          if (df.columns.contains("props"))
+            df.withColumn("props",
+              org.apache.spark.sql.functions.array_sort(
+                org.apache.spark.sql.functions.map_entries(col("props"))))
+          else df
+        val a = cmp(graft.store.TableIO.read(spark, s"$clean/$tbl"))
+        val b = cmp(graft.store.TableIO.read(spark, s"$crashed/$tbl"))
+        withClue(s"table $tbl: ") {
+          b.count() shouldBe a.count()
+          a.exceptAll(b).count() shouldBe 0L
+          b.exceptAll(a).count() shouldBe 0L
+        }
+      }
+      // lineage counters surface in the resumed manifest
+      val m = graft.store.TableIO.readManifest(s"$crashed/triples").get
+      m.counters.keySet should contain allOf ("pagesIn", "mentions", "triples")
+    } finally {
+      graft.store.TableIO.deleteRecursively(clean)
+      graft.store.TableIO.deleteRecursively(crashed)
+    }
+  }
+
   test("skew exists by construction: mega-host and head entity") {
     val hosts = tables.flat.filter(org.apache.spark.sql.functions.col("rowKind") === "p")
       .collect().groupBy(_.host).view.mapValues(_.size)
