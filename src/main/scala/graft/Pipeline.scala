@@ -140,8 +140,21 @@ object Pipeline {
         GraphEdge(Ids.entityNodeId(id), Ids.entityNodeId(comp), EK.SameAs, null)
       }.toDF()
 
+    // discourse-order chain: mention i -> mention i+1 within a page (the
+    // FLOWS_TO analog, `cfg/CFG.java:119-139`) — window over the page-local
+    // order; partitioned by pageId so the shuffle is the same page-key
+    // shuffle every mention op shares
+    val wNext = org.apache.spark.sql.expressions.Window
+      .partitionBy("pageId").orderBy("mentionIdx")
+    val nextMention = m.select($"pageId", $"mentionId", $"mentionIdx")
+      .withColumn("nxt", lead($"mentionId", 1).over(wNext))
+      .filter($"nxt".isNotNull)
+      .select($"mentionId".as("src"), $"nxt".as("dst"),
+        lit(EK.NextMention).as("kind"), lit(null).cast("string").as("variable"))
+
     val nodes = pageNodes.unionByName(hostNodes).unionByName(mentionNodes).unionByName(entityNodes)
     val edges = isPageOf.unionByName(mentionsE).unionByName(linksTo).unionByName(sameAsE)
+      .unionByName(nextMention)
     (nodes, edges)
   }
 

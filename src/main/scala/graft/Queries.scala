@@ -261,6 +261,25 @@ object Queries {
     "kg_step_nhash" -> ((s, d) => {
       val kt = kg(s, d)
       graft.query.Steps.neighborhoodHashFeatures(kt.nodes, kt.edges, "MENTIONS")
+    }),
+    // ≙ joern's flagship unsanitized-path taint query (dataflow.groovy:68-98):
+    // source = each page's first linked mention, sink = its last; the path
+    // must traverse the page's discourse chain without passing a "sanitizer"
+    // mention (deterministically: mentions linked to entityId % 7 == 3)
+    "kg_step_unsanitized" -> ((s, d) => {
+      val kt = kg(s, d)
+      val m = kt.flat.filter(col("rowKind") === "m" && col("entityId") >= 0)
+        .select(col("pageId"), col("mentionId"), col("mentionIdx"), col("entityId"))
+      val pairs = m.groupBy("pageId")
+        .agg(min(struct(col("mentionIdx"), col("mentionId"))).as("s"),
+          max(struct(col("mentionIdx"), col("mentionId"))).as("t"))
+        .filter(col("s.mentionId") =!= col("t.mentionId"))
+        .select(col("pageId"), col("s.mentionId").as("src"), col("t.mentionId").as("dst"))
+      val kill = m.filter(pmod(col("entityId"), lit(7)) === 3)
+        .select(col("mentionId").as("id"))
+      graft.query.Steps.unsanitizedPairs(kt.nodes, kt.edges, pairs, kill,
+        kinds = Seq(graft.model.Schema.EdgeKinds.NextMention))
+        .orderBy("pageId")
     })
   )
 

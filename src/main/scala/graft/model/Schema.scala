@@ -19,6 +19,7 @@ object Schema {
     val Mentions     = "MENTIONS"        // page -> mention     (≙ IS_FUNCTION_OF_AST)
     val LinksTo      = "LINKS_TO"        // mention -> entity   (≙ CALLS resolution)
     val SameAs       = "SAME_AS"         // entity -> entity    (input to canonicalization)
+    val NextMention  = "NEXT_MENTION"    // mention -> next mention in page order (≙ FLOWS_TO)
     val Subject      = "SUBJ"            // triple -> mention
     val Object       = "OBJ"             // triple -> mention
   }

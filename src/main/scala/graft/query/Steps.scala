@@ -183,6 +183,77 @@ object Steps {
     visited.filter(col("origin") === col("id")).select(col("origin").as("id")).distinct()
   }
 
+  // ---------- taint-style path queries (≙ taintTracking/dataflow.groovy) ----------
+
+  /** Tagged page-local row for the cogroup: edge ("e", src, dst),
+    * kill-node ("k", id, _), or candidate pair ("p", src, dst). */
+  final case class PageLocalRow(pageId: Long, tag: String, a: Long, b: Long)
+  final case class PathHit(pageId: Long, src: Long, dst: Long, pathLen: Int)
+
+  /** ≙ `unsanitizedPaths` / `_cfgPaths` (`dataflow.groovy:68-98,111-182`):
+    * for each candidate (src, dst) pair, is there a path src→…→dst over the
+    * page's `kinds` edges on which no INTERMEDIATE node is in `killIds`
+    * (sanitizer / redefinition analog)? Returns the surviving pairs.
+    *
+    * Reference semantics constants, carried over verbatim (they are query
+    * semantics, not tuning): depth cap 30 (`dataflow.groovy:157-158`),
+    * per-node revisit cap 2 (`isTerminationNode:175-182`), first-path
+    * early exit (`:153-155`).
+    *
+    * Scale shape: candidate pairs come from cheap relational joins
+    * (caller-supplied); the expensive path search is PAGE-LOCAL — edges and
+    * kill ids are cogrouped by pageId and searched in-memory per page, so
+    * the only shuffle is the pageId hash partition and no path ever crosses
+    * pages (joern's path search never leaves one function either). */
+  def unsanitizedPairs(nodes: DataFrame, edges: DataFrame, pairs: DataFrame,
+                       killIds: DataFrame, kinds: Seq[String],
+                       maxDepth: Int = 30, maxVisits: Int = 2): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val nodePage = nodes.select(col("id"), col("pageId"))
+    val localEdges = edges.filter(col("kind").isin(kinds: _*))
+      .join(nodePage.withColumnRenamed("id", "src"), "src")
+      .select(col("pageId"), lit("e").as("tag"), col("src").as("a"), col("dst").as("b"))
+    val kills = killIds.select(col("id")).distinct().join(nodePage, "id")
+      .select(col("pageId"), lit("k").as("tag"), col("id").as("a"), lit(0L).as("b"))
+    val ctx = localEdges.unionByName(kills).as[PageLocalRow].groupByKey(_.pageId)
+    val prs = pairs.select(col("pageId"), lit("p").as("tag"),
+      col("src").as("a"), col("dst").as("b")).as[PageLocalRow].groupByKey(_.pageId)
+
+    ctx.cogroup(prs) { (pid, ctxIt, pairIt) =>
+      val adj = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      val kill = scala.collection.mutable.HashSet.empty[Long]
+      ctxIt.foreach { r =>
+        if (r.tag == "e") adj.getOrElseUpdate(r.a, scala.collection.mutable.ArrayBuffer.empty) += r.b
+        else kill += r.a
+      }
+      pairIt.flatMap { p =>
+        val visits = scala.collection.mutable.HashMap.empty[Long, Int]
+        // first-path DFS; returns path length or -1
+        def dfs(cur: Long, depth: Int): Int = {
+          if (cur == p.b) depth
+          else if (depth >= maxDepth) -1
+          else {
+            val seen = visits.getOrElse(cur, 0)
+            if (seen >= maxVisits) -1
+            else if (cur != p.a && kill.contains(cur)) -1 // sanitizer kills the path
+            else {
+              visits(cur) = seen + 1
+              val succ = adj.getOrElse(cur, Nil)
+              var i = 0; var found = -1
+              while (i < succ.length && found < 0) {
+                found = dfs(succ(i), depth + 1); i += 1 // early exit on first path
+              }
+              found
+            }
+          }
+        }
+        val len = if (p.a == p.b) 0 else dfs(p.a, 0)
+        if (len >= 0) Iterator(PathHit(pid, p.a, p.b, len)) else Iterator.empty
+      }
+    }.toDF()
+  }
+
   // ---------- neighborhood-hash graph kernel (≙ learning/neighborhoodHash.groovy) ----------
 
   /** Feature vectors: 2 iterations of label hashing over a node's out-edge

@@ -89,6 +89,48 @@ class StepsSpec extends AnyFunSuite with Matchers {
     f1.agg(min("label")).collect()(0).getLong(0) should be >= 0L
   }
 
+  test("unsanitizedPairs: kill nodes, depth cap, endpoints exempt") {
+    import spark.implicits._
+    // handcrafted page 1: chain 1->2->3->4->5, branch 2->6->4 (bypass)
+    def nd(id: Long) = GraphNode(id, NK.Mention, s"m$id", 1L, id.toInt, Map.empty)
+    val nodes = (1L to 6L).map(nd).toDF()
+    val edges = Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L),(2L,6L),(6L,4L))
+      .map { case (a, b) => GraphEdge(a, b, "E", null) }.toDF()
+    def run(pairs: Seq[(Long, Long)], kill: Seq[Long], depth: Int = 30) =
+      Steps.unsanitizedPairs(nodes, edges,
+        pairs.map { case (a, b) => (1L, a, b) }.toDF("pageId", "src", "dst"),
+        kill.toDF("id"), Seq("E"), maxDepth = depth)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+
+    // clean path exists
+    run(Seq((1L, 5L)), Nil) shouldBe Set((1L, 5L, 4))
+    // killing 3 still passes via the 2->6->4 bypass (longer path found)
+    run(Seq((1L, 5L)), Seq(3L)).map(t => (t._1, t._2)) shouldBe Set((1L, 5L))
+    // killing the only junction (2) blocks everything
+    run(Seq((1L, 5L)), Seq(2L)) shouldBe Set.empty
+    // endpoints are exempt from the kill set (sink may match the sanitizer)
+    run(Seq((1L, 5L)), Seq(1L, 5L)).map(t => (t._1, t._2)) shouldBe Set((1L, 5L))
+    // depth cap kills long paths (semantic cap, dataflow.groovy:157-158)
+    run(Seq((1L, 5L)), Nil, depth = 3) shouldBe Set.empty
+    // src == dst is a trivial path
+    run(Seq((4L, 4L)), Nil) shouldBe Set((4L, 4L, 0))
+  }
+
+  test("kg NEXT_MENTION chain: one linear chain per page") {
+    import spark.implicits._
+    val chain = t.edges.filter(col("kind") === EK.NextMention)
+    // every mention has at most one successor and one predecessor
+    chain.groupBy("src").count().filter(col("count") > 1).count() shouldBe 0L
+    chain.groupBy("dst").count().filter(col("count") > 1).count() shouldBe 0L
+    // chain length per page = mentions - 1
+    val mCnt = t.flat.filter(col("rowKind") === "m")
+      .groupBy("pageId").count().withColumnRenamed("count", "nm")
+    val cCnt = chain.join(t.nodes.filter(col("kind") === NK.Mention)
+        .select(col("id").as("src"), col("pageId")), "src")
+      .groupBy("pageId").count().withColumnRenamed("count", "nc")
+    mCnt.join(cCnt, "pageId").filter(col("nc") =!= col("nm") - 1).count() shouldBe 0L
+  }
+
   test("forwardSlice over LINKS_TO from mentions reaches entities") {
     val mentions = t.nodes.filter(col("kind") === NK.Mention).limit(10)
     val sliced = Steps.forwardSlice(mentions, t.edges, t.nodes,
