@@ -183,6 +183,29 @@ object Steps {
     visited.filter(col("origin") === col("id")).select(col("origin").as("id")).distinct()
   }
 
+  /** ≙ usesFiltered (`symbolGraph.groovy:13-30`): within each page, drop
+    * nodes whose code is a strict substring of a LONGER node's code in the
+    * same page (longest-match dedup; reference sorts by code length desc and
+    * keeps non-contained). Exact duplicates are kept. Page-local group work
+    * — shuffles once on pageId. */
+  def longestMatchPerPage(nodes: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val kept = nodes.select(col("pageId"), col("id"), col("code"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(r => (-r._3.length, r._2))
+        val keptCodes = scala.collection.mutable.ArrayBuffer.empty[String]
+        rows.iterator.filter { r =>
+          val contained = keptCodes.exists(k => k.length > r._3.length && k.contains(r._3))
+          if (!contained) keptCodes += r._3
+          !contained
+        }.map(_._2)
+      }.toDF("id")
+    nodes.join(kept, "id")
+  }
+
   // ---------- taint-style path queries (≙ taintTracking/dataflow.groovy) ----------
 
   /** Tagged page-local row for the cogroup: edge ("e", src, dst),

@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reader for the reference's nodes.csv / edges.csv TSV interchange format
+  * (jpanlib `outputModules/csv/CSVWriterImpl.java:19-23,87-99`), mapped onto
+  * graft's `nodes` / `edges` schema — the S5/S8 analog (SURVEY.md §2.1):
+  * pre-parsed graph tables are a first-class source, so a joern export can
+  * be loaded and queried with [[graft.query.Steps]] directly.
+  *
+  * Column mapping:
+  *   key→id, type→kind, code→code, functionId→pageId, childNum→childNum;
+  *   sparse attrs (location, isCFGNode, operator, baseType, completeType,
+  *   identifier) fold into the `props` map, empties dropped.
+  *   start→src, end→dst, type→kind, var→variable.
+  *
+  * Unlike the reference importer, dangling edges are COUNTED, not silently
+  * dropped (`CSVImporter.java:209-222` logs at debug and skips) — the count
+  * is the caller's data-quality metric.
+  */
+object RefCsvGraphSource {
+
+  private def tsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("sep", "\t")
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** Read a reference nodes.csv into the graft nodes shape
+    * (id, kind, code, pageId, childNum, props). */
+  def readNodes(spark: SparkSession, path: String): DataFrame = {
+    val raw = tsv(spark, path)
+    val sparse = Seq("location", "isCFGNode", "operator", "baseType",
+      "completeType", "identifier")
+    val present = sparse.filter(raw.columns.contains)
+    val entries = present.flatMap(c => Seq(lit(c), col(c)))
+    val propsCol =
+      if (entries.isEmpty) map().cast("map<string,string>")
+      else map_filter(map(entries: _*), (_, v) => v.isNotNull && v =!= "")
+    raw.select(
+      col("key").cast("long").as("id"),
+      col("type").as("kind"),
+      coalesce(col("code"), lit("")).as("code"),
+      coalesce(col("functionId").cast("long"), lit(0L)).as("pageId"),
+      coalesce(col("childNum").cast("int"), lit(0)).as("childNum"),
+      propsCol.as("props"))
+  }
+
+  /** Read a reference edges.csv into the graft edges shape
+    * (src, dst, kind, variable). */
+  def readEdges(spark: SparkSession, path: String): DataFrame = {
+    val raw = tsv(spark, path)
+    val varCol = if (raw.columns.contains("var")) col("var") else lit(null)
+    raw.select(
+      col("start").cast("long").as("src"),
+      col("end").cast("long").as("dst"),
+      col("type").as("kind"),
+      varCol.cast("string").as("variable"))
+  }
+
+  /** FK validation (the S8 import check as a join, not per-row lookups):
+    * returns (valid edges, dangling-edge count). */
+  def validated(nodes: DataFrame, edges: DataFrame): (DataFrame, Long) = {
+    val ids = nodes.select(col("id")).distinct()
+    val valid = edges
+      .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+    val dangling = edges.count() - valid.count()
+    (valid, dangling)
+  }
+}

@@ -12,4 +12,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply an extensions object's function injections to a live session's
+    * registry (test hook: `spark.sql.extensions` is only honored at session
+    * construction, which a shared test session has already passed). */
+  def applyFunctionInjections(ext: org.apache.spark.sql.SparkSessionExtensions,
+                              spark: org.apache.spark.sql.SparkSession): Unit =
+    ext.registerFunctions(spark.sessionState.functionRegistry)
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+
+import graft.model.PageGen
+import graft.tools.KgCli
+
+class CliSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+
+  lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("kgcli").toString
+    val cfg = PageGen.Config(nPages = 120)
+    val t = Pipeline.run(spark, PageGen.pages(spark, cfg), cfg.nPersons)
+    Pipeline.materialize(spark, t, d)
+    d
+  }
+
+  test("lookup / list verbs answer over materialized tables") {
+    KgCli.run(spark, dir, "list-pages", Nil).count() should be > 100L
+    val entities = KgCli.run(spark, dir, "list-entities", Nil)
+    entities.count() should be > 0L
+    val hosts = KgCli.run(spark, dir, "lookup", Seq("Host", "^host0\\."))
+    hosts.count() should be > 0L
+    hosts.columns should contain("code")
+  }
+
+  test("code / edges / slice verbs") {
+    val someId = KgCli.run(spark, dir, "list-entities", Nil).head().getLong(0)
+    val code = KgCli.run(spark, dir, "code", Seq(someId.toString))
+    code.count() shouldBe 1L
+    KgCli.run(spark, dir, "edges", Seq("LINKS_TO")).count() should be > 0L
+    // slice from a mention reaches at least its entity node
+    val m = KgCli.run(spark, dir, "lookup", Seq("Mention", ".*")).head().getLong(0)
+    val sliced = KgCli.run(spark, dir, "slice", Seq("forward", "2", m.toString))
+    sliced.count() should be >= 1L
+    an[IllegalArgumentException] should be thrownBy
+      KgCli.run(spark, dir, "frobnicate", Nil)
+  }
+
+  test("TSV rendering escapes tabs/newlines and folds maps") {
+    import spark.implicits._
+    val df = Seq((1L, "a\tb\nc", Map("k" -> "v", "a" -> "b"))).toDF("id", "code", "props")
+    val tsv = KgCli.toTsv(df)
+    tsv.split("\n")(0) shouldBe "id\tcode\tprops"
+    tsv.split("\n")(1) shouldBe "1\ta\\tb\\nc\ta=b,k=v"
+  }
+}

@@ -131,6 +131,19 @@ class StepsSpec extends AnyFunSuite with Matchers {
     mCnt.join(cCnt, "pageId").filter(col("nc") =!= col("nm") - 1).count() shouldBe 0L
   }
 
+  test("longestMatchPerPage: substring-contained codes dropped, page-scoped") {
+    import spark.implicits._
+    val nodes = Seq(
+      GraphNode(1L, NK.Mention, "John Smith", 1L, 0, Map.empty),
+      GraphNode(2L, NK.Mention, "Smith", 1L, 1, Map.empty),     // contained in 1
+      GraphNode(3L, NK.Mention, "Johnson", 1L, 2, Map.empty),   // NOT contained
+      GraphNode(4L, NK.Mention, "John Smith", 1L, 3, Map.empty),// exact dup: kept
+      GraphNode(5L, NK.Mention, "Smith", 2L, 0, Map.empty)      // other page: kept
+    ).toDF()
+    Steps.longestMatchPerPage(nodes).select("id")
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L, 4L, 5L)
+  }
+
   test("forwardSlice over LINKS_TO from mentions reaches entities") {
     val mentions = t.nodes.filter(col("kind") === NK.Mention).limit(10)
     val sliced = Steps.forwardSlice(mentions, t.edges, t.nodes,
