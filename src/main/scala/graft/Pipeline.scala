@@ -141,15 +141,11 @@ object Pipeline {
       }.toDF()
 
     // discourse-order chain: mention i -> mention i+1 within a page (the
-    // FLOWS_TO analog, `cfg/CFG.java:119-139`) — window over the page-local
-    // order; partitioned by pageId so the shuffle is the same page-key
-    // shuffle every mention op shares
-    val wNext = org.apache.spark.sql.expressions.Window
-      .partitionBy("pageId").orderBy("mentionIdx")
-    val nextMention = m.select($"pageId", $"mentionId", $"mentionIdx")
-      .withColumn("nxt", lead($"mentionId", 1).over(wNext))
-      .filter($"nxt".isNotNull)
-      .select($"mentionId".as("src"), $"nxt".as("dst"),
+    // FLOWS_TO analog, `cfg/CFG.java:119-139`). The successor id is emitted
+    // by the extractor itself (page-local knowledge) so this is a pure
+    // column filter over the cache — no window, no shuffle
+    val nextMention = m.filter($"nextMentionId" =!= 0L)
+      .select($"mentionId".as("src"), $"nextMentionId".as("dst"),
         lit(EK.NextMention).as("kind"), lit(null).cast("string").as("variable"))
 
     val nodes = pageNodes.unionByName(hostNodes).unionByName(mentionNodes).unionByName(entityNodes)

@@ -50,6 +50,7 @@ case class FlatRow(
     norm: String,
     entityId: Long,
     entityNodeId: Long,
+    nextMentionId: Long, // successor in page order, 0 if last (≙ FLOWS_TO target)
     // triple fields (rowKind = "t")
     subj: Long,
     pred: String,
@@ -154,11 +155,16 @@ object TripleExtractor {
   def toFlatRows(ex: PageExtract): Iterator[FlatRow] = {
     val hostId = Ids.hash64(ex.host)
     val base = FlatRow("p", ex.pageId, ex.url, ex.host, hostId, ex.nSentences,
-      0L, -1, null, null, -1L, 0L, -1L, null, -1L, null, -1, 0.0, ex.error)
-    val ms = ex.mentions.iterator.zipWithIndex.map { case (m, i) =>
+      0L, -1, null, null, -1L, 0L, 0L, -1L, null, -1L, null, -1, 0.0, ex.error)
+    // the discourse chain (NEXT_MENTION) is emitted HERE, page-locally —
+    // deriving it later would cost a pageId window shuffle over every
+    // mention stub for information the extractor already holds
+    val marr = ex.mentions.toIndexedSeq
+    val ms = marr.iterator.zipWithIndex.map { case (m, i) =>
       base.copy(rowKind = "m", mentionId = m.mentionId, mentionIdx = i,
         surface = m.surface, norm = m.norm, entityId = m.entityId,
         entityNodeId = if (m.entityId >= 0) Ids.entityNodeId(m.entityId) else 0L,
+        nextMentionId = if (i + 1 < marr.length) marr(i + 1).mentionId else 0L,
         error = null)
     }
     val ts = ex.triples.iterator.map { t =>
