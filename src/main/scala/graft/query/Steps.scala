@@ -289,16 +289,23 @@ object Steps {
       (abs(when(col("code").rlike("^[0-9]+$"), xxhash64(lit("A_NUMBER")))
         .otherwise(xxhash64(col("kind"), col("code")))) % 65536).as("label"))
     val e = edges.filter(col("kind") === edgeKind).select("src", "dst")
-    var labeled = initial
+      .localCheckpoint(true)
+    // each round references `labeled` twice (child xor + self rotate) and the
+    // next round references the result again — checkpoint per round or the
+    // lineage re-executes the whole chain at every reuse
+    var labeled = initial.localCheckpoint(true)
     (0 until iterations).foreach { _ =>
+      // bit_xor is a declarative aggregate (partial map-side combine, codegen)
+      // — collect_list + interpreted fold built a per-group array for nothing
       val childXor = e.join(labeled.withColumnRenamed("id", "dst").select("dst", "label"), "dst")
         .groupBy(col("src").as("id"))
-        .agg(expr("aggregate(collect_list(label), 0L, (a, b) -> a ^ b)").as("childXor"))
+        .agg(expr("bit_xor(label)").as("childXor"))
       val rot1 = (shiftleft(col("label"), 1).bitwiseAND(lit(0xffffL)))
         .bitwiseOR(shiftright(col("label"), 15))
       labeled = labeled.join(childXor, Seq("id"), "left")
         .select(col("id"), col("pageId"),
           (rot1.bitwiseXOR(coalesce(col("childXor"), lit(0L))) % 65536).as("label"))
+        .localCheckpoint(true)
     }
     labeled.groupBy("pageId", "label").count()
   }
