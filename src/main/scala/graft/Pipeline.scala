@@ -119,6 +119,15 @@ object Pipeline {
     val hostNodes = asNodes($"hostId", NK.Host, $"host", lit(0L), lit(0),
       map(lit("host"), $"host"))(p.select("hostId", "host").distinct())
 
+    // domain level of the hierarchy (≙ Directory above File, C8
+    // `DirectoryTreeImporter.java:9-45`): registrable domain = last two
+    // host labels; derived with pure column exprs from the distinct hosts
+    val hostDomain = p.select("hostId", "host").distinct()
+      .withColumn("domain", array_join(slice(split($"host", "\\."), -2, 2), "."))
+      .withColumn("domainId", xxhash64(lit("Domain"), $"domain"))
+    val domainNodes = asNodes($"domainId", NK.Domain, $"domain", lit(0L), lit(0),
+      map(lit("domain"), $"domain"))(hostDomain.select("domainId", "domain").distinct())
+
     val mentionNodes = asNodes($"mentionId", NK.Mention, $"surface", $"pageId", $"mentionIdx",
       map(lit("norm"), $"norm", lit("entityId"), $"entityId".cast("string")))(m.toDF())
 
@@ -131,6 +140,8 @@ object Pipeline {
       df.select(src.as("src"), dst.as("dst"), lit(kind).as("kind"), variable.as("variable"))
 
     val isPageOf = asEdges($"hostId", $"pageId", EK.IsPageOf, lit(null).cast("string"))(p.toDF())
+    val isParentHost = asEdges($"domainId", $"hostId", EK.IsParentHost,
+      lit(null).cast("string"))(hostDomain)
     val mentionsE = asEdges($"pageId", $"mentionId", EK.Mentions, lit(null).cast("string"))(m.toDF())
     val linksTo = asEdges($"mentionId", $"entityNodeId", EK.LinksTo, $"norm")(
       m.filter($"entityId" >= 0).toDF())
@@ -148,9 +159,10 @@ object Pipeline {
       .select($"mentionId".as("src"), $"nextMentionId".as("dst"),
         lit(EK.NextMention).as("kind"), lit(null).cast("string").as("variable"))
 
-    val nodes = pageNodes.unionByName(hostNodes).unionByName(mentionNodes).unionByName(entityNodes)
-    val edges = isPageOf.unionByName(mentionsE).unionByName(linksTo).unionByName(sameAsE)
-      .unionByName(nextMention)
+    val nodes = pageNodes.unionByName(hostNodes).unionByName(domainNodes)
+      .unionByName(mentionNodes).unionByName(entityNodes)
+    val edges = isPageOf.unionByName(isParentHost).unionByName(mentionsE)
+      .unionByName(linksTo).unionByName(sameAsE).unionByName(nextMention)
     (nodes, edges)
   }
 

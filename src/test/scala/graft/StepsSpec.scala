@@ -144,6 +144,19 @@ class StepsSpec extends AnyFunSuite with Matchers {
       .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L, 4L, 5L)
   }
 
+  test("domain hierarchy: Domain nodes parent Host nodes") {
+    val domains = t.nodes.filter(col("kind") === NK.Domain)
+    domains.count() should be > 0L
+    domains.select("code").collect().foreach(_.getString(0) should include("example"))
+    // every host has exactly one parent domain edge
+    val hosts = t.nodes.filter(col("kind") === NK.Host).count()
+    t.edges.filter(col("kind") === EK.IsParentHost).count() shouldBe hosts
+    // Steps navigation: domain -> hosts hop works
+    val d = domains.limit(1)
+    Steps.out(d, t.edges, t.nodes, EK.IsParentHost)
+      .select("kind").head().getString(0) shouldBe NK.Host
+  }
+
   test("forwardSlice over LINKS_TO from mentions reaches entities") {
     val mentions = t.nodes.filter(col("kind") === NK.Mention).limit(10)
     val sliced = Steps.forwardSlice(mentions, t.edges, t.nodes,
