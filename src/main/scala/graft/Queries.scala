@@ -193,6 +193,35 @@ object Queries {
       .select(col("user_id"), col("m.event_type").as("first_type"),
         col("x.event_type").as("last_type"))
       .orderBy("user_id")),
+    "q23_cube" -> ((s, d) => t(s, d, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")),
+    "q24_percentile" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+      .orderBy("l_returnflag")),
+    "q25_pivot" -> ((s, d) => t(s, d, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")),
+    "q26_string_agg" -> ((s, d) => t(s, d, "part")
+      .groupBy("p_brand")
+      .agg(concat_ws(",", array_sort(collect_set(col("p_type")))).as("types"))
+      .orderBy("p_brand")),
+    "q27_exists_subquery" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("q27_customer")
+      t(s, d, "orders").createOrReplaceTempView("q27_orders")
+      s.sql("""
+        SELECT c_custkey, c_name FROM q27_customer c
+        WHERE EXISTS (SELECT 1 FROM q27_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        ORDER BY c_custkey""")
+    }),
 
     // ---------------- training-data ops: documents ----------------
     "d1_dedup_exact" -> ((s, d) => graft.ops.Dedup.exact(t(s, d, "documents"))),
@@ -402,6 +431,31 @@ object Queries {
         | max(CASE WHEN rn_a = 1 THEN event_type END) AS first_type,
         | max(CASE WHEN rn_d = 1 THEN event_type END) AS last_type
         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q23_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q24_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q25_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (event_type = 'click') AS click,
+        | count(*) FILTER (event_type = 'view') AS view,
+        | count(*) FILTER (event_type = 'purchase') AS purchase
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q26_string_agg" ->
+      """SELECT p_brand,
+        | string_agg(DISTINCT p_type, ',' ORDER BY p_type) AS types
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q27_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,

@@ -183,6 +183,20 @@ object Steps {
     visited.filter(col("origin") === col("id")).select(col("origin").as("id")).distinct()
   }
 
+  /** ≙ pairs(x,y) (`composition.groovy:69-85`): zip two result sets row by
+    * row in a deterministic order. The reference zips two in-memory pipes;
+    * relationally this is a row_number join — the global window is
+    * intentionally single-partition, matching the reference's driver-side
+    * semantics (use only on small result sets, like the reference does). */
+  def zipPairs(x: DataFrame, y: DataFrame, orderCol: String = "id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(orderCol)
+    val xs = x.withColumn("_rn", row_number().over(w))
+      .select(col("_rn"), struct(x.columns.map(col): _*).as("first"))
+    val ys = y.withColumn("_rn", row_number().over(w))
+      .select(col("_rn"), struct(y.columns.map(col): _*).as("second"))
+    xs.join(ys, "_rn").drop("_rn")
+  }
+
   /** ≙ usesFiltered (`symbolGraph.groovy:13-30`): within each page, drop
     * nodes whose code is a strict substring of a LONGER node's code in the
     * same page (longest-match dedup; reference sorts by code length desc and

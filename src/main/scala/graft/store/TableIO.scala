@@ -149,6 +149,32 @@ object TableIO {
   def missingBuckets(dir: String, numBuckets: Int = NumBuckets): Set[Int] =
     (0 until numBuckets).toSet -- readManifest(dir).map(_.buckets.keySet).getOrElse(Set.empty)
 
+  /** The bucket id [[writeBucketed]] assigns for a key (xxhash64 pmod) —
+    * callers use this to map changed keys (urls, ids) to the buckets they
+    * live in before invalidating. */
+  def bucketOfSpark(spark: SparkSession, key: String, numBuckets: Int = NumBuckets): Int = {
+    import spark.implicits._
+    Seq(key).toDF("k")
+      .select(pmod(xxhash64(col("k")), lit(numBuckets)).cast("int")).head().getInt(0)
+  }
+
+  /** Incremental invalidation (≙ joern's ArgumentTainter delta patching,
+    * SURVEY.md G3): drop the given buckets from the snapshot — atomically,
+    * manifest first — so the next [[writeBucketed]] recomputes exactly them.
+    * This is the "overwrite partitions by predicate" primitive: when a
+    * rule-set or page subset changes, invalidate the buckets its keys hash
+    * to and re-run materialize; everything else is untouched. */
+  def invalidateBuckets(dir: String, buckets: Set[Int]): Unit = {
+    readManifest(dir).foreach { m =>
+      // manifest shrinks FIRST (rows in dropped buckets become invisible
+      // immediately); orphaned data dirs are cleared lazily by the next
+      // writeBucketed, which always wipes uncommitted bucket dirs
+      writeManifestAtomic(dir,
+        m.copy(snapshotId = m.snapshotId + 1, buckets = m.buckets -- buckets))
+      buckets.foreach(b => deleteRecursively(s"$dir/data/bucket=$b"))
+    }
+  }
+
   def deleteRecursively(dir: String): Unit = {
     val p = Paths.get(dir)
     if (Files.exists(p)) {

@@ -157,6 +157,16 @@ class StepsSpec extends AnyFunSuite with Matchers {
       .select("kind").head().getString(0) shouldBe NK.Host
   }
 
+  test("zipPairs zips two result sets in order") {
+    import spark.implicits._
+    val x = Seq((1L, "a"), (2L, "b")).toDF("id", "vx")
+    val y = Seq((10L, "p"), (20L, "q")).toDF("id", "vy")
+    val z = Steps.zipPairs(x, y).orderBy(col("first.id"))
+      .select(col("first.vx"), col("second.vy")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    z shouldBe Array(("a", "p"), ("b", "q"))
+  }
+
   test("forwardSlice over LINKS_TO from mentions reaches entities") {
     val mentions = t.nodes.filter(col("kind") === NK.Mention).limit(10)
     val sliced = Steps.forwardSlice(mentions, t.edges, t.nodes,

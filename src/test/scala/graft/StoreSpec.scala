@@ -56,6 +56,27 @@ class StoreSpec extends AnyFunSuite with Matchers {
     TableIO.read(spark, dir).count() shouldBe 1000L
   }
 
+  test("invalidateBuckets: G3 delta patching — re-derive only changed buckets") {
+    import spark.implicits._
+    val dir = freshDir()
+    TableIO.writeBucketed(sample(), dir, col("key"), numBuckets = 8)
+    // "the rules changed for key k7": find its bucket, invalidate it
+    val b = TableIO.bucketOfSpark(spark, "k7", 8)
+    TableIO.invalidateBuckets(dir, Set(b))
+    TableIO.missingBuckets(dir, 8) shouldBe Set(b)
+    // invisible immediately (manifest shrank first)
+    TableIO.read(spark, dir).filter(col("key") === "k7").count() shouldBe 0L
+    // re-derivation with UPDATED content for the affected rows only
+    val updated = sample().withColumn("value",
+      when(col("key") === "k7", lit(9999L)).otherwise(col("value")))
+    TableIO.writeBucketed(updated, dir, col("key"), numBuckets = 8)
+    val back = TableIO.read(spark, dir)
+    back.count() shouldBe 1000L
+    back.filter(col("key") === "k7").head().getLong(1) shouldBe 9999L
+    // untouched buckets kept their original rows (no duplicate work / rows)
+    back.dropDuplicates("key").count() shouldBe 1000L
+  }
+
   test("manifest json round-trips") {
     val m = TableIO.Manifest(123L, Map(0 -> 10L, 5 -> 2L), Map("pagesIn" -> 7L))
     val dir = freshDir()
