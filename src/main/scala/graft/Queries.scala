@@ -222,6 +222,31 @@ object Queries {
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
         ORDER BY c_custkey""")
     }),
+    // composed as-of join (union + keyed window) vs DuckDB's NATIVE ASOF JOIN
+    "q28_asof" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(round(max("value"), 2).as("purchase_value"))
+      graft.ops.Temporal.asofJoin(clicks, purch, "user_id", "ts", Seq("purchase_value"))
+        .select("event_id", "user_id", "purchase_value")
+        .orderBy("event_id")
+    }),
+    // binned range join (equi-join on bin + exact refine) vs a plain
+    // inequality join in the oracle
+    "q29_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val t0 = ev.agg(min(unix_timestamp(col("ts")))).head().getLong(0)
+      val windows = s.range(40).select(col("id").as("window_id"),
+        (lit(t0) + col("id") * 21600L).as("ws"),
+        (lit(t0) + col("id") * 21600L + 10800L).as("we"))
+      val points = ev.select(unix_timestamp(col("ts")).as("pt"))
+      graft.ops.Temporal.rangeJoinBinned(points, windows, "pt", "ws", "we", 7200L)
+        .groupBy("window_id").agg(count(lit(1)).as("n"))
+        .orderBy("window_id")
+    }),
 
     // ---------------- training-data ops: documents ----------------
     "d1_dedup_exact" -> ((s, d) => graft.ops.Dedup.exact(t(s, d, "documents"))),
@@ -456,6 +481,25 @@ object Queries {
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
         |ORDER BY c_custkey""".stripMargin,
+    "q28_asof" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, ts, round(max(value), 2) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, p.purchase_value
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q29_range_join" ->
+      """WITH m AS (SELECT CAST(epoch(min(ts)) AS BIGINT) AS t0 FROM events),
+        |w AS (SELECT r.range AS window_id,
+        |        t0 + r.range * 21600 AS ws, t0 + r.range * 21600 + 10800 AS we
+        |      FROM range(40) r, m),
+        |p AS (SELECT CAST(epoch(ts) AS BIGINT) AS pt FROM events)
+        |SELECT window_id, count(*) AS n
+        |FROM w JOIN p ON p.pt >= w.ws AND p.pt <= w.we
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins for event/dimension processing at scale.
+  *
+  * Spark has no native as-of or range join; both are composed from
+  * built-ins so Catalyst keeps optimizing them (SURVEY.md §7.3 preference
+  * order: compose first, custom plans only when composition can't express
+  * the semantics — it can here):
+  *
+  *  - as-of join = union + keyed window `last(ignoreNulls)` — ONE shuffle on
+  *    the key, no per-row subqueries, no nested-loop join. This is the
+  *    standard "state lookup at event time" of a training-data pipeline
+  *    (latest model snapshot / price / label as of each event).
+  *  - range join = bin-bucketed equi-join + exact refine — turns an
+  *    inequality join (nested-loop in Spark) into a bounded equi shuffle;
+  *    each interval lands in ceil(len/width)+1 bins, each point in one.
+  */
+object Temporal {
+
+  /** For every left row, attach `attrs` from the latest right row with
+    * `right.ts <= left.ts` within the same `key` (nulls when none).
+    *
+    * Right rows must be unique per (key, ts) — pre-dedup if not, or the
+    * "latest" attribute is ambiguous (same contract as DuckDB ASOF JOIN).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               attrs: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    // tag and union: right rows sort BEFORE left rows at equal ts so that
+    // `<=` (inclusive) semantics hold; left payload columns ride as a struct
+    val l = left.select(Seq(
+      col(key), col(ts), lit(1).as("_side"),
+      struct(leftCols.map(col): _*).as("_payload")) ++
+      attrs.map(a => lit(null).cast(right.schema(a).dataType).as(a)): _*)
+    val r = right.select(Seq(
+      col(key), col(ts), lit(0).as("_side"),
+      lit(null).cast(l.schema("_payload").dataType).as("_payload")) ++
+      attrs.map(col): _*)
+    val w = Window.partitionBy(key).orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .select(col("*") +: attrs.map(a =>
+        last(col(a), ignoreNulls = true).over(w).as(s"_asof_$a")): _*)
+    carried.filter(col("_side") === 1)
+      .select(leftCols.map(c => col("_payload").getField(c).as(c)) ++
+        attrs.map(a => col(s"_asof_$a").as(a)): _*)
+  }
+
+  /** All (point, interval) pairs with `start <= pt <= end`, via bin
+    * bucketing: equi-join on the bin key, exact refine after. `binWidth` in
+    * the unit of the columns (e.g. seconds for epoch columns). */
+  def rangeJoinBinned(points: DataFrame, intervals: DataFrame,
+                      pt: String, start: String, end: String,
+                      binWidth: Long): DataFrame = {
+    val p = points.withColumn("_bin", floor(col(pt) / binWidth))
+    val iv = intervals.withColumn("_bin",
+      explode(sequence(floor(col(start) / binWidth), floor(col(end) / binWidth))))
+    p.join(iv, "_bin")
+      .filter(col(pt) >= col(start) && col(pt) <= col(end))
+      .drop("_bin")
+  }
+}
