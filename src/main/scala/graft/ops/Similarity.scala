@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TopKAgg
+
 /** Similarity search over an embedding column (`Array[Float]`).
   *
   * Baseline: brute-force cosine top-k (exact; O(Q·N) — fine when the query
@@ -44,6 +46,25 @@ object Similarity {
     bits.reduce(_ bitwiseOR _)
   }
 
+
+  /** Grouped top-k via the bounded-heap typed Aggregator
+    * ([[graft.functions.TopKAgg]]): ships k candidates per group out of each
+    * map task instead of window-sorting every scored row. Input needs
+    * (query_id, nn_id, cosine); output is (query_id, rank, nn_id, cosine). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col("query_id"), col("cosine"), col("nn_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => TopKAgg.Scored(t._2, t._3))
+      .agg(TopKAgg.topK(k))
+      .toDF("query_id", "hits")
+      .select(col("query_id"), posexplode(col("hits")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("nn_id"), col("col.score").as("cosine"))
+  }
+
   /** Exact brute-force cosine top-k neighbors for every query vector.
     * `queries` and `corpus` both shaped (id, embedding). The corpus side
     * should be broadcast when small; for corpus ≫ memory use [[ivfTopK]]. */
@@ -59,10 +80,7 @@ object Similarity {
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("nn_id"))
       .withColumn("cosine", dot(col("q_emb"), col("nn_emb")) / (col("q_norm") * col("nn_norm")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "rank", "nn_id", "cosine")
+    rankTopK(scored, k)
   }
 
   /** K-means-lite centroids: deterministic init (every (N/c)-th vector by id
@@ -129,9 +147,6 @@ object Similarity {
     val cands = probes.join(lists, Seq("centroid_id"))
       .filter(col("query_id") =!= col("nn_id"))
       .withColumn("cosine", dot(col("q_emb"), col("nn_emb")) / (col("q_norm") * col("nn_norm")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id"))
-    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "rank", "nn_id", "cosine")
+    rankTopK(cands, k)
   }
 }

@@ -61,6 +61,35 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     all(r.map(_.getDouble(1))) should (be >= -1.0 and be <= 1.0)
   }
 
+  test("TopKAgg equals sort-based top-k on random data, any partitioning") {
+    import spark.implicits._
+    import graft.functions.TopKAgg
+    val rnd = new scala.util.Random(13)
+    // scores with deliberate ties to exercise the (score desc, id asc) break
+    val rows = (0 until 3000).map { i =>
+      (i % 7L, math.floor(rnd.nextDouble() * 20) / 20.0, i.toLong)
+    }
+    val expect = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).sortBy(t => (-t._1, t._2)).take(5)
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      val got = rows.toDF("g", "score", "id").repartition(parts)
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => TopKAgg.Scored(t._2, t._3))
+        .agg(TopKAgg.topK(5))
+        .collect()
+        .map { case (g, hits) => g -> hits.map(h => (h.score, h.id)).toSeq }
+        .toMap
+      withClue(s"parts=$parts: ") { got shouldBe expect }
+    }
+    // k larger than the group: whole group, best first
+    val tiny = Seq((1L, 0.5, 10L), (1L, 0.9, 11L)).toDF("g", "score", "id")
+      .as[(Long, Double, Long)].groupByKey(_._1)
+      .mapValues(t => TopKAgg.Scored(t._2, t._3)).agg(TopKAgg.topK(99)).collect()
+    tiny.head._2.map(_.id) shouldBe Seq(11L, 10L)
+  }
+
   test("expression participates in WholeStageCodegen (no interpreted HOF)") {
     // materialized parquet source: a LocalRelation is folded eagerly, and
     // building vectors with transform() (an interpreted HOF) would itself
