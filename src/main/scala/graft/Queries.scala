@@ -222,6 +222,17 @@ object Queries {
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
         ORDER BY c_custkey""")
     }),
+    // RANGE window frame (value-based, not row-based): 10-unit trailing
+    // average per user — frames by ts VALUE so gaps matter
+    "q30_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-600L, Window.currentRow)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          round(avg("value").over(w), 4).as("trail_avg"))
+        .orderBy("event_id")
+    }),
     // composed as-of join (union + keyed window) vs DuckDB's NATIVE ASOF JOIN
     "q28_asof" -> ((s, d) => {
       val ev = t(s, d, "events")
@@ -481,6 +492,12 @@ object Queries {
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
         |ORDER BY c_custkey""".stripMargin,
+    "q30_range_frame" ->
+      """SELECT event_id, user_id,
+        | round(avg(value) OVER (
+        |   PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+        |   RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 4) AS trail_avg
+        |FROM events ORDER BY event_id""".stripMargin,
     "q28_asof" ->
       """WITH clicks AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

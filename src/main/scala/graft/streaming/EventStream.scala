@@ -91,6 +91,14 @@ object EventStream {
       }
   }
 
+  /** Exactly-once event dedup on `event_id` with watermark-bounded state:
+    * re-deliveries inside the watermark window are dropped; state for ids
+    * older than the watermark is evicted (O(|recent ids|), not O(|stream|)).
+    * The streaming twin of the batch exact-dedup operator. */
+  def dedupEvents(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Streaming triple extraction: the SAME page-local extraction applied to
     * a stream of pages — `mapPartitions` logic is stateless per row, so the
     * batch operator lifts to streaming unchanged (append mode, no state). */

@@ -69,6 +69,24 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered event_ids within the watermark") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.dedupEvents(input.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(1), 1, "a", 1.0), Event(2, ts(2), 1, "b", 2.0))
+      q.processAllAvailable()
+      // re-delivery of id 1 (same and different payload) inside the watermark
+      input.addData(Event(1, ts(1), 1, "a", 1.0), Event(1, ts(3), 9, "z", 9.0),
+        Event(3, ts(4), 2, "c", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getLong(0)).sorted
+      ids shouldBe Array(1L, 2L, 3L)
+    } finally q.stop()
+  }
+
   test("streaming triple extraction equals the batch extractor on the same pages") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext
