@@ -132,6 +132,32 @@ class LinkingSpec extends AnyFunSuite with Matchers {
     ex.triples.map(_.subj) shouldBe Seq(3L) // prior 0.95 > 0.9
   }
 
+  test("shuffle-join linker equals the broadcast in-extractor resolver on the full corpus") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cfg = graft.model.PageGen.Config(nPages = 300)
+    val t = Pipeline.run(spark, graft.model.PageGen.pages(spark, cfg), cfg.nPersons)
+    val mentions = t.flat.filter(col("rowKind") === "m")
+      .select("pageId", "mentionId", "norm")
+    // alias table with the gazetteer's exact normalization + dedup (first
+    // (normKey, entityId) occurrence wins)
+    val seen = scala.collection.mutable.Set.empty[(String, Long)]
+    val aliases = graft.model.KB.aliasEntries(cfg.nPersons).flatMap { e =>
+      val key = Tokenizer.tokens(e.alias).map(_.toLowerCase).mkString(" ")
+      if (key.nonEmpty && seen.add((key, e.entityId))) Some((key, e.entityId, e.prior))
+      else None
+    }.toDF("norm", "entityId", "prior")
+    val relational = graft.link.ShuffleLinker.linkMentions(mentions, aliases)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val local = t.flat.filter(col("rowKind") === "m")
+      .select("mentionId", "entityId")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    relational.size shouldBe local.size
+    val diffs = local.collect { case (m, e) if relational(m) != e => (m, e, relational(m)) }
+    withClue(s"first diffs: ${diffs.take(5).mkString(", ")}") { diffs shouldBe empty }
+  }
+
   test("a bad page never kills the job: error isolated per row") {
     // malformed page (null everything) goes through pageText fallback
     val ex = TripleExtractor.extractPage(page(""), gaz, auto)
