@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Machine-checked physical-plan hygiene: the properties that keep the
+  * engine viable at 100 TB are asserted on the ACTUAL plans, not just
+  * documented — filter/column pushdown reaching the parquet scan, broadcast
+  * for the small side, partial (map-side) aggregation, and codegen'd spans.
+  * A regression that silently de-optimizes a plan fails here.
+  */
+class PlanSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("parquet scan gets filter pushdown AND column pruning") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_shipdate") < "1995-01-01")
+      .select("l_orderkey", "l_quantity")
+    val plan = physical(df)
+    plan should include("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate")
+    // pruned read schema: only the 3 referenced columns reach the scan
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).get.group(1)
+    readSchema.split(",").map(_.takeWhile(_ != ':')).sorted shouldBe
+      Array("l_orderkey", "l_quantity", "l_shipdate")
+  }
+
+  test("q1 aggregation is partial (map-side combine) before the shuffle") {
+    val plan = physical(Queries.all("q1_agg")(spark, sfDir))
+    plan should include("HashAggregate")
+    // partial_sum markers prove map-side combine; a plain hash shuffle of raw
+    // rows would show only final aggregates
+    plan should include("partial_sum")
+  }
+
+  test("dimension joins broadcast the small side") {
+    val plan = physical(Queries.all("q3_broadcast_join")(spark, sfDir))
+    plan should include("BroadcastHashJoin")
+    plan shouldNot include("SortMergeJoin")
+  }
+
+  test("semi/anti joins plan as joins, not subquery loops") {
+    physical(Queries.all("q4_anti_join")(spark, sfDir)) should include("LeftAnti")
+    physical(Queries.all("q5_semi_join")(spark, sfDir)) should include("LeftSemi")
+  }
+
+  test("pipeline canonical mapping joins broadcast, lang filter prunes the scan") {
+    val cfg = model.PageGen.Config(nPages = 60)
+    val pagesDir = java.nio.file.Files.createTempDirectory("plan_pages").toString
+    model.PageGen.pages(spark, cfg).write.mode("overwrite").parquet(pagesDir)
+    import spark.implicits._
+    val t = Pipeline.run(spark, spark.read.parquet(pagesDir).as[model.Page], cfg.nPersons)
+    val plan = physical(t.triples)
+    plan should include("BroadcastHashJoin") // canonical map is broadcast
+    // the lang predicate reaches the pages parquet scan
+    plan should include("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]")
+    t.flat.unpersist(false); t.components.unpersist(false)
+    store.TableIO.deleteRecursively(pagesDir)
+  }
+
+  test("binned range join is an equi shuffle join, not a nested loop") {
+    val plan = physical(Queries.all("q29_range_join")(spark, sfDir))
+    plan shouldNot include("BroadcastNestedLoopJoin")
+    plan shouldNot include("CartesianProduct")
+  }
+
+  test("asof join is one keyed window over a union, no join at all") {
+    val plan = physical(Queries.all("q28_asof")(spark, sfDir))
+    plan should include("Window")
+    plan shouldNot include("SortMergeJoin")
+    plan shouldNot include("BroadcastNestedLoopJoin")
+  }
+}
