@@ -83,9 +83,14 @@ object ConnectedComponents {
     val e = edges.toDF("a", "b").filter($"a" =!= $"b")
       .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = e.select($"a".as("id")).union(e.select($"b".as("id")))
+    // two copies of the edge set, each hash-partitioned by its join key ONCE:
+    // every iteration's label joins then satisfy EnsureRequirements from the
+    // cache (no per-iteration exchange of the edges — only (id,label) moves)
+    val ea = e.repartition($"a").persist(StorageLevel.MEMORY_AND_DISK)
+    val eb = e.repartition($"b").persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = ea.select($"a".as("id")).union(eb.select($"b".as("id")))
       .distinct()
       .withColumn("label", $"id")
       .repartition($"id")
@@ -95,30 +100,40 @@ object ConnectedComponents {
     var converged = false
     while (!converged && iter < maxIter) {
       // propagate: each edge endpoint offers its label to the other side
-      val la = e.join(labels.withColumnRenamed("id", "a"), "a")
+      val la = ea.join(labels.withColumnRenamed("id", "a"), "a")
         .select($"b".as("id"), $"label")
-      val lb = e.join(labels.withColumnRenamed("id", "b"), "b")
+      val lb = eb.join(labels.withColumnRenamed("id", "b"), "b")
         .select($"a".as("id"), $"label")
       // two-level salted min: (id, salt) partial → id total (explicit skew kill)
       val offered = la.union(lb)
         .withColumn("salt", pmod(hash($"label"), lit(SaltBuckets)))
         .groupBy($"id", $"salt").agg(min($"label").as("label"))
         .groupBy($"id").agg(min($"label").as("label"))
-      val newLabels = labels.join(offered.withColumnRenamed("label", "offered"), Seq("id"), "left")
-        .select($"id",
-          least($"label", coalesce($"offered", $"label")).as("label"),
-          ($"offered".isNotNull && $"offered" < $"label").as("changed"))
+      val prop = labels.join(offered.withColumnRenamed("label", "offered"), Seq("id"), "left")
+        .select($"id", $"label".as("old"),
+          least($"label", coalesce($"offered", $"label")).as("label"))
+      // pointer jumping (path halving): also adopt my label's OWN label —
+      // min-monotone, so still correct, and rounds drop from O(diameter) to
+      // O(log diameter); costs one extra keyed join per round
+      val jump = labels.select($"id".as("label"), $"label".as("label2"))
+      // ONE materialization per iteration: eager localCheckpoint (which also
+      // truncates lineage and preserves the id-hash partitioning); the
+      // changed-count then reads the checkpointed blocks
+      val newLabels = prop.join(jump, Seq("label"), "left")
+        .select($"id", $"old",
+          least($"label", coalesce($"label2", $"label")).as("label"))
+        .withColumn("changed", $"label" < $"old")
+        .drop("old")
         .repartition($"id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = newLabels.filter($"changed").count() // ≙ DDGCreator's changedNodes
       val old = labels
-      labels = newLabels.drop("changed").localCheckpoint(true)
-      newLabels.unpersist(false)
+      labels = newLabels.drop("changed")
       old.unpersist(false)
       converged = changed == 0
       iter += 1
     }
-    e.unpersist(false)
+    ea.unpersist(false); eb.unpersist(false)
     labels.toDF("id", "component")
   }
 }
