@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import org.apache.spark.sql.functions._
+
+/** ScalaCheck property layer (SURVEY.md §5): distributed operators vs
+  * in-memory oracles on randomized inputs. Small inputs, bounded trials —
+  * each trial runs real Spark jobs. (scalatestplus isn't in the offline
+  * cache, so trials are drawn with explicit seeds via Gen.pureApply —
+  * deterministic by construction.)
+  */
+class PropertySpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+
+  private val Trials = 8
+  private def forAll[T](g: Gen[T])(f: T => Unit): Unit =
+    (0 until Trials).foreach { i =>
+      f(g.pureApply(Gen.Parameters.default.withSize(40), Seed(1000L + i)))
+    }
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    (0 until Trials).foreach { i =>
+      f(g1.pureApply(Gen.Parameters.default.withSize(40), Seed(2000L + i)),
+        g2.pureApply(Gen.Parameters.default.withSize(40), Seed(3000L + i)))
+    }
+  private def whenever(c: Boolean)(f: => Unit): Unit = if (c) f
+
+  private val edgeGen: Gen[List[(Long, Long)]] =
+    Gen.listOf(for {
+      a <- Gen.choose(0L, 25L); b <- Gen.choose(0L, 25L) if a != b
+    } yield (a, b))
+
+  test("property: distributed CC == union-find, any random graph") {
+    import spark.implicits._
+    forAll(edgeGen) { edges =>
+      whenever(edges.nonEmpty) {
+        val uf = new canon.ConnectedComponents.LocalUnionFind
+        edges.foreach { case (a, b) => uf.union(a, b) }
+        val got = canon.ConnectedComponents.run(spark, edges.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got shouldBe uf.components
+      }
+    }
+  }
+
+  test("property: asofJoin == in-memory oracle on random events/states") {
+    import spark.implicits._
+    val gen = for {
+      lefts <- Gen.listOfN(30, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50L)))
+      rights <- Gen.listOfN(12, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50L)))
+    } yield (lefts.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) },
+      // unique (key, ts) on the right — the operator's documented contract
+      rights.distinct.groupBy(identity).keys.toList.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i * 10.0) })
+    forAll(gen) { lr => val (lefts, rights) = lr;
+      val out = ops.Temporal.asofJoin(
+        lefts.toDF("k", "ts", "ev"), rights.toDF("k", "ts", "v"), "k", "ts", Seq("v"))
+        .collect().map(r => r.getLong(2) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      val oracle = lefts.map { case (k, t, ev) =>
+        val cands = rights.filter(r => r._1 == k && r._2 <= t)
+        ev -> (if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
+      }.toMap
+      out shouldBe oracle
+    }
+  }
+
+  test("property: Steps.reachable == in-memory BFS, any graph/depth") {
+    import spark.implicits._
+    forAll(edgeGen, Gen.choose(1, 6)) { (edges, depth) =>
+      whenever(edges.nonEmpty) {
+        val seeds = edges.take(2).map(_._1).distinct
+        val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        var frontier = seeds.toSet; var visited = seeds.toSet
+        (0 until depth).foreach { _ =>
+          frontier = frontier.flatMap(n => adj.getOrElse(n, Nil)) -- visited
+          visited ++= frontier
+        }
+        val got = query.Steps.reachable(
+          seeds.toDF("id"),
+          edges.map { case (a, b) => (a, b, "E") }.toDF("src", "dst", "kind"),
+          Seq("E"), maxDepth = depth)
+          .collect().map(_.getLong(0)).toSet
+        got shouldBe visited
+      }
+    }
+  }
+}
