@@ -91,6 +91,27 @@ object EventStream {
       }
   }
 
+  /** Stream-stream attribution join: each purchase matched to the clicks of
+    * the SAME user in the preceding `windowSec` of event time. Watermarks on
+    * both sides bound the join state (clicks older than purchase-watermark −
+    * window are evicted); the time-bound predicate is what makes the state
+    * finite — an unbounded stream-stream equi-join never evicts. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      windowSec: Long = 1800,
+                      watermark: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    p.join(c,
+      col("user_id") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowSec seconds"))
+      .select("purchase_id", "click_id", "user_id", "value")
+  }
+
   /** Exactly-once event dedup on `event_id` with watermark-bounded state:
     * re-deliveries inside the watermark window are dropped; state for ids
     * older than the watermark is evicted (O(|recent ids|), not O(|stream|)).

@@ -87,6 +87,27 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches purchases to preceding clicks") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStream.attributionJoin(clicks.toDF(), purchases.toDF(),
+      windowSec = 600, watermark = "5 minutes")
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(10, ts(0), 1, "click", 0),   // 11 min before -> outside the 10-min window
+        Event(11, ts(8), 1, "click", 0),   // inside window
+        Event(12, ts(9), 2, "click", 0))   // other user
+      purchases.addData(Event(20, ts(11), 1, "purchase", 42.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+      rows shouldBe Array((20L, 11L, 1L, 42.0))
+    } finally q.stop()
+  }
+
   test("streaming triple extraction equals the batch extractor on the same pages") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext
