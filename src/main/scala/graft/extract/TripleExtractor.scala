@@ -133,20 +133,13 @@ object TripleExtractor {
       val auto = rules.value
       it.flatMap { p =>
         metrics.pagesIn.add(1)
-        val ex =
-          try {
-            val e = extractPage(p, g, auto)
-            metrics.sentences.add(e.nSentences)
-            metrics.mentions.add(e.mentions.size)
-            metrics.triples.add(e.triples.size)
-            e
-          } catch {
-            case e: Throwable =>
-              metrics.pagesErrored.add(1)
-              val safeUrl = if (p.url == null) "" else p.url
-              PageExtract(Ids.pageId(safeUrl), safeUrl, hostOf(safeUrl), 0, Nil, Nil,
-                s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-          }
+        val ex = extractPage(p, g, auto) // total: errors come back as rows
+        if (ex.error != null) metrics.pagesErrored.add(1)
+        else {
+          metrics.sentences.add(ex.nSentences)
+          metrics.mentions.add(ex.mentions.size)
+          metrics.triples.add(ex.triples.size)
+        }
         toFlatRows(ex)
       }
     }
@@ -183,8 +176,20 @@ object TripleExtractor {
     if (slash >= 0) noScheme.substring(0, slash) else noScheme
   }
 
-  /** Pure single-page extraction — also the single-threaded oracle path. */
-  def extractPage(p: Page, gaz: Gazetteer, auto: PatternAutomaton): PageExtract = {
+  /** Pure single-page extraction — also the single-threaded oracle path.
+    * TOTAL: never throws; malformed pages come back with `error` set and an
+    * empty mention/triple list (per-unit error isolation lives HERE, not
+    * only in the distributed wrapper — fuzzed in PropertySpec). */
+  def extractPage(p: Page, gaz: Gazetteer, auto: PatternAutomaton): PageExtract =
+    try extractPageUnsafe(p, gaz, auto)
+    catch {
+      case e: Throwable =>
+        val safeUrl = if (p == null || p.url == null) "" else p.url
+        PageExtract(Ids.pageId(safeUrl), safeUrl, hostOf(safeUrl), 0, Nil, Nil,
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+    }
+
+  private def extractPageUnsafe(p: Page, gaz: Gazetteer, auto: PatternAutomaton): PageExtract = {
     val pageId = Ids.pageId(p.url)
     val text = TextExtractor.pageText(p.html, p.text)
     val sents = Tokenizer.sentences(text).take(MaxSentencesPerPage)

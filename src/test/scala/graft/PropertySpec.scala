@@ -67,6 +67,31 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("property: extractor never throws and is deterministic on arbitrary bytes") {
+    val gaz = Pipeline.defaultGazetteer(100)
+    val auto = graft.extract.PatternAutomaton.compile(graft.extract.PatternAutomaton.DefaultRules)
+    val pageGen = for {
+      bytes <- Gen.option(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+      text <- Gen.option(Gen.listOf(Gen.oneOf(
+        Gen.alphaNumStr, Gen.const("<p>"), Gen.const("works for"), Gen.const("SURROGATE"),
+        Gen.const("."), Gen.const("NEWLINE"))).map(_.mkString(" ")
+        .replace("NEWLINE", "\n").replace("SURROGATE", "XDCHAR")))
+      url <- Gen.oneOf(Gen.const(null: String), Gen.const("https://h.x/y"),
+        Gen.alphaNumStr)
+    } yield model.Page(url, new java.sql.Timestamp(0L), bytes.orNull,
+      if (text.isEmpty) null else text.get.replace("XDCHAR", "" + '\uD800'), "en")
+    forAll(Gen.listOfN(20, pageGen)) { ps =>
+      ps.foreach { p =>
+        // never throws (error isolation), and identical bytes -> identical output
+        val a = graft.extract.TripleExtractor.extractPage(p, gaz, auto)
+        val b = graft.extract.TripleExtractor.extractPage(p, gaz, auto)
+        a.triples shouldBe b.triples
+        a.mentions shouldBe b.mentions
+        a.error shouldBe b.error
+      }
+    }
+  }
+
   test("property: Steps.reachable == in-memory BFS, any graph/depth") {
     import spark.implicits._
     forAll(edgeGen, Gen.choose(1, 6)) { (edges, depth) =>
