@@ -327,6 +327,13 @@ object Queries {
       val kt = kg(s, d)
       graft.query.Steps.neighborhoodHashFeatures(kt.nodes, kt.edges, "MENTIONS")
     }),
+    // ≙ usesFiltered longest-match dedup over each page's mentions
+    "kg_step_usesfiltered" -> ((s, d) => {
+      val kt = kg(s, d)
+      graft.query.Steps.longestMatchPerPage(
+        kt.nodes.filter(col("kind") === "Mention")).drop("props")
+        .orderBy("pageId", "id")
+    }),
     // ≙ joern's flagship unsanitized-path taint query (dataflow.groovy:68-98):
     // source = each page's first linked mention, sink = its last; the path
     // must traverse the page's discourse chain without passing a "sanitizer"

@@ -20,6 +20,8 @@ import graft.store.TableIO
   *   build <nPages>                   ≙ joern-parse + joern-import: run the
   *                                      pipeline on the synthetic corpus and
   *                                      materialize tables into <tablesDir>
+  *   import-ref <nodes.csv> <edges.csv>  ≙ joern-import for a REAL reference
+  *                                      CSV export (TSV interchange format)
   *
   * Output: header + rows, tab-separated, maps JSON-ish, deterministic order.
   */
@@ -36,6 +38,19 @@ object KgCli {
         val counters = graft.Pipeline.materialize(spark, t, tablesDir)
         import spark.implicits._
         counters.toSeq.sortBy(_._1).toDF("counter", "value")
+      case "import-ref" =>
+        // ≙ joern-import: load a reference nodes.csv/edges.csv export into
+        // graft tables (FK-validated; dangling edges counted, not dropped)
+        val nodes = graft.sources.RefCsvGraphSource.readNodes(spark, args(0))
+        val edges = graft.sources.RefCsvGraphSource.readEdges(spark, args(1))
+        val (valid, dangling) = graft.sources.RefCsvGraphSource.validated(nodes, edges)
+        val nm = TableIO.writeBucketed(nodes, s"$tablesDir/nodes", col("id"),
+          Map("danglingEdges" -> dangling))
+        val em = TableIO.writeBucketed(valid, s"$tablesDir/edges", col("src"),
+          Map("danglingEdges" -> dangling))
+        import spark.implicits._
+        Seq(("nodes", nm.buckets.values.sum), ("edges", em.buckets.values.sum),
+          ("danglingEdges", dangling)).toDF("counter", "value")
       case "lookup" =>
         Steps.nodesWithKindAndCodeRegex(nodes, args(0), args(1))
           .drop("props").orderBy("id")
@@ -61,7 +76,7 @@ object KgCli {
         nodes.filter(col("kind") === "Entity").select("id", "code").orderBy("id")
       case other =>
         throw new IllegalArgumentException(
-          s"unknown verb '$other' (build|lookup|code|edges|slice|list-pages|list-entities)")
+          s"unknown verb '$other' (build|import-ref|lookup|code|edges|slice|list-pages|list-entities)")
     }
   }
 
