@@ -269,6 +269,8 @@ object Queries {
     "d4_simhash" -> ((s, d) =>
       graft.ops.Dedup.simhashNearDup(dupedDocs(s, d), maxHamming = 3).orderBy("a", "b")),
     "d5_token_count" -> ((s, d) => graft.ops.TextAnalysis.tokenCounts(t(s, d, "documents"))),
+    "d9_bpe_tokens" -> ((s, d) =>
+      graft.ops.TextAnalysis.bpeTokenEstimate(t(s, d, "documents")).orderBy("doc_id")),
     "d6_quality" -> ((s, d) => graft.ops.TextAnalysis.quality(t(s, d, "documents"))),
     "d7_langid" -> ((s, d) => graft.ops.TextAnalysis.langId(t(s, d, "documents"))
       .groupBy("pred_lang").agg(count(lit(1)).as("n")).orderBy("pred_lang")),
@@ -556,6 +558,11 @@ object Queries {
         |  SELECT query_id, nn_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, nn_id) AS rank
         |  FROM sims) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "d9_bpe_tokens" ->
+      """SELECT doc_id,
+        | len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x <> '')) AS n_word_tokens,
+        | len(list_filter(string_split_regex(text, '[A-Za-z0-9\s]+'), x -> x <> '')) AS n_punct_runs
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "d5_token_count" ->
       """SELECT doc_id, length(string_split(text, ' ')) AS n_ws_tokens, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
