@@ -183,6 +183,21 @@ object Steps {
     visited.filter(col("origin") === col("id")).select(col("origin").as("id")).distinct()
   }
 
+  /** ≙ the interproc expansion steps (`interproc.groovy:13-80`:
+    * parameter ↔ caller-args via the call graph): navigate from mentions
+    * THROUGH their linked entity to all co-referent mentions — possibly on
+    * other pages. Two keyed hops over LINKS_TO (mention→entity forward,
+    * entity→mention reverse); the cross-page fan-out is exactly joern's
+    * caller-set expansion. */
+  def corefMentions(seeds: DataFrame, edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val links = edges.filter(col("kind") === "LINKS_TO")
+    val entities = seeds.select(col("id").as("src")).join(links, "src")
+      .select(col("dst")).distinct()
+    entities.join(links, "dst")
+      .select(col("src").as("id"), col("dst").as("entityNodeId"))
+      .join(nodes, "id")
+  }
+
   /** ≙ pairs(x,y) (`composition.groovy:69-85`): zip two result sets row by
     * row in a deterministic order. The reference zips two in-memory pipes;
     * relationally this is a row_number join — the global window is

@@ -22,6 +22,10 @@ import graft.store.TableIO
   *                                      materialize tables into <tablesDir>
   *   import-ref <nodes.csv> <edges.csv>  ≙ joern-import for a REAL reference
   *                                      CSV export (TSV interchange format)
+  *   coref <id> [id...]               interproc expansion: mentions -> all
+  *                                      co-referent mentions via the entity
+  *   tag <tag> <id> [id...]           ≙ joern-tag (tags table, merged)
+  *   list-tags                        list the tags table
   *
   * Output: header + rows, tab-separated, maps JSON-ish, deterministic order.
   */
@@ -74,9 +78,29 @@ object KgCli {
         nodes.filter(col("kind") === "Page").select("id", "code").orderBy("code")
       case "list-entities" =>
         nodes.filter(col("kind") === "Entity").select("id", "code").orderBy("id")
+      case "coref" =>
+        val seeds = nodes.filter(col("id").isin(args.map(_.toLong): _*))
+        Steps.corefMentions(seeds, edges, nodes).drop("props").orderBy("id")
+      // ≙ joern-tag / joern-unhide: tags live in their own bucketed table,
+      // appended by predicate-invalidation + rewrite (no node mutation)
+      case "tag" =>
+        import spark.implicits._
+        val (tag, ids) = (args.head, args.tail.map(_.toLong))
+        val existing =
+          if (TableIO.readManifest(s"$tablesDir/tags").isDefined)
+            TableIO.read(spark, s"$tablesDir/tags") else Seq.empty[(Long, String)].toDF("id", "tag")
+        // materialize BEFORE invalidating — the union lazily reads the very
+        // table the rewrite replaces
+        val merged = existing.unionByName(ids.map((_, tag)).toDF("id", "tag"))
+          .distinct().localCheckpoint(true)
+        TableIO.invalidateBuckets(s"$tablesDir/tags", (0 until TableIO.NumBuckets).toSet)
+        TableIO.writeBucketed(merged, s"$tablesDir/tags", col("id"))
+        merged.orderBy("id", "tag")
+      case "list-tags" =>
+        TableIO.read(spark, s"$tablesDir/tags").orderBy("id", "tag")
       case other =>
         throw new IllegalArgumentException(
-          s"unknown verb '$other' (build|import-ref|lookup|code|edges|slice|list-pages|list-entities)")
+          s"unknown verb '$other' (build|import-ref|lookup|code|edges|slice|coref|tag|list-tags|list-pages|list-entities)")
     }
   }
 

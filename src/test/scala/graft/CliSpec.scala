@@ -40,6 +40,20 @@ class CliSpec extends AnyFunSuite with Matchers {
       KgCli.run(spark, dir, "frobnicate", Nil)
   }
 
+  test("coref / tag / list-tags verbs") {
+    // coref: a mention expands to all co-referent mentions of its entity
+    val m = KgCli.run(spark, dir, "lookup", Seq("Mention", ".*"))
+      .filter(col("props").getItem("entityId") =!= "-1").head().getLong(0)
+    val co = KgCli.run(spark, dir, "coref", Seq(m.toString))
+    co.count() should be >= 1L
+    co.filter(col("id") === m).count() shouldBe 1L // includes the seed itself
+    // tag twice, second tag merges without duplicating
+    KgCli.run(spark, dir, "tag", Seq("suspect", m.toString)).count() shouldBe 1L
+    KgCli.run(spark, dir, "tag", Seq("reviewed", m.toString))
+    val tags = KgCli.run(spark, dir, "list-tags", Nil).collect()
+    tags.map(r => r.getString(1)).sorted shouldBe Array("reviewed", "suspect")
+  }
+
   test("TSV rendering escapes tabs/newlines and folds maps") {
     import spark.implicits._
     val df = Seq((1L, "a\tb\nc", Map("k" -> "v", "a" -> "b"))).toDF("id", "code", "props")
