@@ -14,7 +14,8 @@ import graft.model.PageGen
   *     Output goes to tmpfs: the host VM's disk throughput varies 5×
   *     run-to-run, which would otherwise dominate the measurement; parquet
   *     encode (the engine's work) is still fully measured.
-  *     Best-of-2 runs per level suppresses residual host noise.
+  *     Interleaved best-of-3 rounds per level suppress residual noise
+  *     (neighbor-VM bursts last minutes; cycling levels decorrelates).
   *  2. Headline query timings on SPARK_GRAFT_SF_DIR at local[N].
   *
   * The bench corpus uses Common-Crawl-like page weights (40-80 sentences
@@ -70,9 +71,6 @@ object Bench {
     } finally spark.stop()
   }
 
-  private def bestOf(n: Int)(f: => (Long, Double)): (Long, Double) =
-    (1 to n).map(_ => f).minBy(_._2)
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -87,9 +85,17 @@ object Bench {
     materializeCorpus(cpus, benchPages, pagesDir)
     runPipeline(cpus, pagesDir, s"$shm-warm")
 
-    val (triplesLow, secLow) = bestOf(2)(runPipeline(lowCpus, pagesDir, s"$shm-low"))
-    val (triplesMid, secMid) = bestOf(2)(runPipeline(midCpus, pagesDir, s"$shm-mid"))
-    val (triplesHigh, secHigh) = bestOf(2)(runPipeline(cpus, pagesDir, s"$shm-high"))
+    // INTERLEAVED best-of-3: host slowdowns come in multi-minute bursts, so
+    // consecutive same-level runs share the same fate — cycling the levels
+    // decorrelates the noise from any one level
+    val rounds = (1 to 3).map { _ =>
+      (runPipeline(lowCpus, pagesDir, s"$shm-low"),
+        runPipeline(midCpus, pagesDir, s"$shm-mid"),
+        runPipeline(cpus, pagesDir, s"$shm-high"))
+    }
+    val (triplesLow, secLow) = rounds.map(_._1).minBy(_._2)
+    val (triplesMid, secMid) = rounds.map(_._2).minBy(_._2)
+    val (triplesHigh, secHigh) = rounds.map(_._3).minBy(_._2)
     graft.store.TableIO.deleteRecursively(pagesDir)
     val thrLow = triplesLow / secLow
     val thrMid = triplesMid / secMid
@@ -114,7 +120,11 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // per-round raw seconds: the host is a shared microVM with multi-minute
+    // neighbor-noise bursts — the spread makes the best-of basis auditable
+    val roundsJson = rounds.map { case ((_, a), (_, b), (_, c)) =>
+      f"[$a%.3f,$b%.3f,$c%.3f]" }.mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"pages":$benchPages,"triples":$triplesHigh,"cores":[$lowCpus,$midCpus,$cpus],"sec":[$secLow%.3f,$secMid%.3f,$secHigh%.3f],"triples_per_sec":[$thrLow%.1f,$thrMid%.1f,$thrHigh%.1f],"scaling_efficiency_${lowCpus}to$midCpus":$effLowMid%.3f,"scaling_efficiency_${midCpus}to$cpus":$effMidHigh%.3f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"pages":$benchPages,"triples":$triplesHigh,"cores":[$lowCpus,$midCpus,$cpus],"sec":[$secLow%.3f,$secMid%.3f,$secHigh%.3f],"round_sec":$roundsJson,"triples_per_sec":[$thrLow%.1f,$thrMid%.1f,$thrHigh%.1f],"scaling_efficiency_${lowCpus}to$midCpus":$effLowMid%.3f,"scaling_efficiency_${midCpus}to$cpus":$effMidHigh%.3f}}""")
   }
 }
