@@ -66,17 +66,23 @@ object EventStream {
             state.remove()
             Iterator(SessionOut(userId, new Timestamp(s.start), s.n, (s.last - s.start) / 1000))
           } else {
+            val gapMs = gapSec * 1000
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var cur = state.getOption
             val out = Vector.newBuilder[SessionOut]
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last <= gapSec * 1000 =>
-                  cur = Some(s.copy(last = t, n = s.n + 1))
-                case Some(s) => // gap exceeded: close previous, open new
+                // within gap of EITHER session edge: merge, never moving
+                // `last` backward — a cross-batch out-of-order event inside
+                // the watermark may precede the stored session
+                case Some(s) if t >= s.start - gapMs && t <= s.last + gapMs =>
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
+                case Some(s) if t > s.last + gapMs => // gap exceeded: close, open new
                   out += SessionOut(userId, new Timestamp(s.start), s.n, (s.last - s.start) / 1000)
                   cur = Some(SessionState(t, t, 1))
+                case Some(_) => // straggler older than start-gap: its own (already closed) session
+                  out += SessionOut(userId, new Timestamp(t), 1, 0L)
                 case None =>
                   cur = Some(SessionState(t, t, 1))
               }
@@ -84,7 +90,7 @@ object EventStream {
             cur.foreach { s =>
               state.update(s)
               // close when the watermark passes last-event-time + gap
-              state.setTimeoutTimestamp(s.last + gapSec * 1000)
+              state.setTimeoutTimestamp(s.last + gapMs)
             }
             out.result().iterator
           }
@@ -120,26 +126,21 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Streaming triple extraction: the SAME page-local extraction applied to
-    * a stream of pages — `mapPartitions` logic is stateless per row, so the
-    * batch operator lifts to streaming unchanged (append mode, no state). */
+  /** Streaming triple extraction: the SAME `extractFlat` operator the batch
+    * pipeline uses, applied to a stream of pages — it is a stateless
+    * mapPartitions, so it lifts to streaming unchanged (append mode, no
+    * state), INCLUDING the error path: failed pages surface in the metrics
+    * accumulators and as error rows, exactly like the batch twin. */
   def streamingTriples(spark: SparkSession, pages: DataFrame,
                        nPersons: Int = 500): DataFrame = {
     import spark.implicits._
     val gaz = spark.sparkContext.broadcast(graft.Pipeline.defaultGazetteer(nPersons))
     val auto = spark.sparkContext.broadcast(
       graft.extract.PatternAutomaton.compile(graft.extract.PatternAutomaton.DefaultRules))
-    pages.as[graft.model.Page]
-      .mapPartitions { it =>
-        val g = gaz.value; val a = auto.value
-        it.flatMap { p =>
-          try {
-            val ex = graft.extract.TripleExtractor.extractPage(p, g, a)
-            ex.triples.filter(_.pred != "same_as").map(t =>
-              (t.subj, t.pred, t.obj, t.objValue, ex.url, t.conf))
-          } catch { case _: Exception => Nil }
-        }
-      }
-      .toDF("subj", "pred", "obj", "objValue", "url", "conf")
+    val metrics = new graft.extract.ExtractMetrics(spark)
+    graft.extract.TripleExtractor
+      .extractFlat(pages.as[graft.model.Page], gaz, auto, metrics)
+      .filter($"rowKind" === "t" && $"pred" =!= "same_as")
+      .select($"subj", $"pred", $"obj", $"objValue", $"url", $"conf")
   }
 }

@@ -69,6 +69,29 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("sessionize: cross-batch out-of-order event never moves the session backward") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapSec = 600, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("sess_ooo").outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(60), 1, "a", 0)) // session starts at minute 60
+      q.processAllAvailable()
+      // late-but-in-watermark event at minute 52 (inside gap of start)
+      input.addData(Event(2, ts(52), 1, "a", 0))
+      q.processAllAvailable()
+      // a third event 5 min later, then close via gap
+      input.addData(Event(3, ts(65), 1, "a", 0), Event(4, ts(200), 1, "a", 0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_ooo").collect()
+      closed.length shouldBe 1
+      closed(0).getTimestamp(1) shouldBe ts(52)  // start moved BACK to 52
+      closed(0).getInt(2) shouldBe 3             // all three events merged
+      closed(0).getLong(3) shouldBe 780L         // 52 -> 65 = 13 min, never negative
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered event_ids within the watermark") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext
