@@ -38,10 +38,7 @@ object Pipeline {
       triples: DataFrame,             // (subj, pred, obj, objValue, url, conf)
       nodes: DataFrame,               // GraphNode rows
       edges: DataFrame,               // GraphEdge rows
-      metrics: ExtractMetrics) {
-    /** Nested per-page view (tests / oracle comparisons). */
-    def extracted: Dataset[FlatRow] = flat
-  }
+      metrics: ExtractMetrics)
 
   def defaultGazetteer(nPersons: Int): Gazetteer =
     Gazetteer.build(KB.aliasEntries(nPersons).map(e => (e.alias, e.entityId, e.prior)))
@@ -123,7 +120,13 @@ object Pipeline {
     // `DirectoryTreeImporter.java:9-45`): registrable domain = last two
     // host labels; derived with pure column exprs from the distinct hosts
     val hostDomain = p.select("hostId", "host").distinct()
-      .withColumn("domain", array_join(slice(split($"host", "\\."), -2, 2), "."))
+      .withColumn("labels", split($"host", "\\."))
+      // dotless hosts (intranet names) are their own domain — slice(-2) on a
+      // 1-element array yields an empty string, which would collapse every
+      // such host under one bogus Domain node
+      .withColumn("domain", when(size($"labels") < 2, $"host")
+        .otherwise(array_join(slice($"labels", -2, 2), ".")))
+      .drop("labels")
       .withColumn("domainId", xxhash64(lit("Domain"), $"domain"))
     val domainNodes = asNodes($"domainId", NK.Domain, $"domain", lit(0L), lit(0),
       map(lit("domain"), $"domain"))(hostDomain.select("domainId", "domain").distinct())

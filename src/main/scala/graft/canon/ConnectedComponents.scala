@@ -61,9 +61,14 @@ object ConnectedComponents {
     * the test oracle — same algorithm as the reference's in-memory fixpoints). */
   final class LocalUnionFind {
     private val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    // iterative find + full path compression: recursion overflowed the
+    // driver stack on long chains (up to 2M edges take this path)
     def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
     }
     def union(a: Long, b: Long): Unit = {
       val (ra, rb) = (find(a), find(b))
@@ -104,9 +109,13 @@ object ConnectedComponents {
         .select($"b".as("id"), $"label")
       val lb = eb.join(labels.withColumnRenamed("id", "b"), "b")
         .select($"a".as("id"), $"label")
-      // two-level salted min: (id, salt) partial → id total (explicit skew kill)
+      // two-level salted min: (id, salt) partial → id total (explicit skew
+      // kill). The salt must be DATA-INDEPENDENT: hashing the label stops
+      // spreading once a hub's neighbors converge to one label — the source
+      // partition id spreads regardless, and the min-aggregate result is
+      // partition-invariant so determinism is unaffected
       val offered = la.union(lb)
-        .withColumn("salt", pmod(hash($"label"), lit(SaltBuckets)))
+        .withColumn("salt", pmod(spark_partition_id(), lit(SaltBuckets)))
         .groupBy($"id", $"salt").agg(min($"label").as("label"))
         .groupBy($"id").agg(min($"label").as("label"))
       val prop = labels.join(offered.withColumnRenamed("label", "offered"), Seq("id"), "left")

@@ -103,19 +103,14 @@ object TripleExtractor {
       val auto = rules.value
       it.map { p =>
         metrics.pagesIn.add(1)
-        try {
-          val ex = extractPage(p, g, auto)
+        val ex = extractPage(p, g, auto) // total: errors come back in `error`
+        if (ex.error != null) metrics.pagesErrored.add(1)
+        else {
           metrics.sentences.add(ex.nSentences)
           metrics.mentions.add(ex.mentions.size)
           metrics.triples.add(ex.triples.size)
-          ex
-        } catch {
-          case e: Throwable =>
-            metrics.pagesErrored.add(1)
-            val safeUrl = if (p.url == null) "" else p.url
-            PageExtract(Ids.pageId(safeUrl), safeUrl, hostOf(safeUrl), 0, Nil, Nil,
-              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
+        ex
       }
     }
   }

@@ -139,6 +139,7 @@ object Ids {
   def entityNodeId(entityId: Long): Long = hash64(entityId, 0x456e74L /* "Ent" */)
   def tripleId(subj: Long, pred: String, obj: Long): Long =
     hash64(hash64(subj, hash64(pred)), obj)
-  /** Stable non-negative bucket for host-hash partitioning. */
-  def bucket(key: String, n: Int): Int = ((hash64(key) % n + n) % n).toInt
+  // NOTE: bucket assignment for the store lives in TableIO (Spark xxhash64
+  // pmod) — a second FNV-based helper here once invited silently mismatched
+  // bucket math, so it was removed.
 }

@@ -30,7 +30,8 @@ object TableIO {
   final case class Manifest(
       snapshotId: Long,
       buckets: Map[Int, Long], // bucket -> row count (lineage counters)
-      counters: Map[String, Long])
+      counters: Map[String, Long],
+      numBuckets: Int = NumBuckets) // the hash modulus — resume MUST match
 
   private def manifestPath(dir: String): Path = Paths.get(dir, "_manifest.json")
 
@@ -49,7 +50,7 @@ object TableIO {
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val c = m.counters.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    s"""{"snapshotId":${m.snapshotId},"buckets":$b,"counters":$c}"""
+    s"""{"snapshotId":${m.snapshotId},"numBuckets":${m.numBuckets},"buckets":$b,"counters":$c}"""
   }
 
   private def parseManifest(s: String): Manifest = {
@@ -72,7 +73,13 @@ object TableIO {
       val rest = s.substring(i + 13).takeWhile(c => c.isDigit || c == '-')
       rest.toLong
     }
-    Manifest(sid, section("buckets").map { case (k, v) => k.toInt -> v }, section("counters"))
+    val nb = {
+      val i = s.indexOf("\"numBuckets\":")
+      if (i < 0) NumBuckets
+      else s.substring(i + 13).takeWhile(_.isDigit).toInt
+    }
+    Manifest(sid, section("buckets").map { case (k, v) => k.toInt -> v },
+      section("counters"), nb)
   }
 
   private def writeManifestAtomic(dir: String, m: Manifest): Unit = {
@@ -98,17 +105,28 @@ object TableIO {
       counters: Map[String, Long] = Map.empty,
       numBuckets: Int = NumBuckets,
       onlyBuckets: Option[Set[Int]] = None): Manifest = {
-    val committed: Map[Int, Long] = readManifest(dir).map(_.buckets).getOrElse(Map.empty)
+    val prior = readManifest(dir)
+    prior.foreach { m =>
+      require(m.numBuckets == numBuckets,
+        s"bucket-count mismatch: table at $dir was written with ${m.numBuckets} buckets, " +
+          s"resume requested $numBuckets — mixing moduli would duplicate rows")
+    }
+    val committed: Map[Int, Long] = prior.map(_.buckets).getOrElse(Map.empty)
 
     val withBucket = df.withColumn("bucket",
       pmod(xxhash64(bucketKey), lit(numBuckets)).cast("int"))
+
+    // schema stamp on first write: an empty table produces no data files at
+    // all, so the reader needs somewhere to get the schema from
+    if (prior.isEmpty)
+      withBucket.limit(0).write.mode("overwrite").parquet(s"$dir/_schema")
 
     val wanted: Set[Int] = {
       val all = (0 until numBuckets).toSet -- committed.keySet
       onlyBuckets.map(all.intersect).getOrElse(all)
     }
     if (wanted.isEmpty) {
-      val m = Manifest(System.currentTimeMillis(), committed, counters)
+      val m = Manifest(System.currentTimeMillis(), committed, counters, numBuckets)
       writeManifestAtomic(dir, m)
       return m
     }
@@ -124,24 +142,41 @@ object TableIO {
       .repartition(numBuckets, col("bucket"))
     pending.write.mode("append").partitionBy("bucket").parquet(s"$dir/data")
     // lineage counters from parquet footers — metadata-only, no recompute
-    // (persist + pre-count here used to double the whole write's work)
+    // (persist + pre-count here used to double the whole write's work).
+    // An EMPTY table writes no parquet files at all (only _SUCCESS), which
+    // spark.read cannot infer a schema from — commit zero counts instead
     val spark = df.sparkSession
-    val countsByBucket = spark.read.parquet(s"$dir/data")
-      .filter(col("bucket").isin(wanted.toSeq: _*))
-      .groupBy("bucket").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val countsByBucket: Map[Int, Long] =
+      if (!hasDataFiles(dir)) Map.empty
+      else spark.read.parquet(s"$dir/data")
+        .filter(col("bucket").isin(wanted.toSeq: _*))
+        .groupBy("bucket").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
     val newBuckets = committed ++ wanted.map(b => b -> countsByBucket.getOrElse(b, 0L))
-    val m = Manifest(System.currentTimeMillis(), newBuckets, counters)
+    val m = Manifest(System.currentTimeMillis(), newBuckets, counters, numBuckets)
     writeManifestAtomic(dir, m)
     m
   }
 
-  /** Read a committed table: only buckets listed in the manifest are visible. */
+  private def hasDataFiles(dir: String): Boolean = {
+    val d = Paths.get(dir, "data")
+    if (!Files.exists(d)) false
+    else {
+      val ls = Files.list(d)
+      try ls.iterator().asScala.exists(p =>
+        Files.isDirectory(p) && p.getFileName.toString.startsWith("bucket="))
+      finally ls.close()
+    }
+  }
+
+  /** Read a committed table: only buckets listed in the manifest are visible.
+    * An empty snapshot reads back as an empty frame with the stamped schema. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val m = readManifest(dir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $dir"))
-    val df = spark.read.parquet(s"$dir/data")
+    val df = if (hasDataFiles(dir)) spark.read.parquet(s"$dir/data")
+             else spark.read.parquet(s"$dir/_schema")
     df.filter(col("bucket").isin(m.buckets.keySet.toSeq: _*)).drop("bucket")
   }
 
@@ -149,14 +184,19 @@ object TableIO {
   def missingBuckets(dir: String, numBuckets: Int = NumBuckets): Set[Int] =
     (0 until numBuckets).toSet -- readManifest(dir).map(_.buckets.keySet).getOrElse(Set.empty)
 
-  /** The bucket id [[writeBucketed]] assigns for a key (xxhash64 pmod) —
-    * callers use this to map changed keys (urls, ids) to the buckets they
-    * live in before invalidating. */
-  def bucketOfSpark(spark: SparkSession, key: String, numBuckets: Int = NumBuckets): Int = {
+  /** The bucket ids [[writeBucketed]] assigns for a set of keys (xxhash64
+    * pmod) — ONE job for the whole changed-key set, used to map changed
+    * urls/ids to the buckets to invalidate. */
+  def bucketsOfSpark(spark: SparkSession, keys: Seq[String],
+                     numBuckets: Int = NumBuckets): Map[String, Int] = {
     import spark.implicits._
-    Seq(key).toDF("k")
-      .select(pmod(xxhash64(col("k")), lit(numBuckets)).cast("int")).head().getInt(0)
+    keys.toDF("k")
+      .select(col("k"), pmod(xxhash64(col("k")), lit(numBuckets)).cast("int").as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
   }
+
+  def bucketOfSpark(spark: SparkSession, key: String, numBuckets: Int = NumBuckets): Int =
+    bucketsOfSpark(spark, Seq(key), numBuckets)(key)
 
   /** Incremental invalidation (≙ joern's ArgumentTainter delta patching,
     * SURVEY.md G3): drop the given buckets from the snapshot — atomically,
@@ -178,7 +218,9 @@ object TableIO {
   def deleteRecursively(dir: String): Unit = {
     val p = Paths.get(dir)
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close() // the stream holds directory handles
     }
   }
 }

@@ -55,6 +55,15 @@ class CanonSpec extends AnyFunSuite with Matchers {
     local shouldBe ufOracle(edges)
   }
 
+  test("union-find survives a 100k-deep chain added worst-case (no stack overflow)") {
+    val uf = new graft.canon.ConnectedComponents.LocalUnionFind
+    // decreasing order builds the deepest parent chains without compression
+    (100000 to 1 by -1).foreach(k => uf.union(k.toLong - 1, k.toLong))
+    val comps = uf.components
+    comps(100000L) shouldBe 0L
+    comps(1L) shouldBe 0L
+  }
+
   test("property: CC equals union-find on random graphs; invariant under edge order") {
     (0 until 5).foreach { trial =>
       val e = (0 until 60).map { i =>

@@ -77,6 +77,30 @@ class StoreSpec extends AnyFunSuite with Matchers {
     back.dropDuplicates("key").count() shouldBe 1000L
   }
 
+  test("empty table: commit succeeds, read returns schema'd empty frame") {
+    import spark.implicits._
+    val dir = freshDir()
+    val empty = Seq.empty[(String, Long)].toDF("key", "value")
+    val m = TableIO.writeBucketed(empty, dir, col("key"), numBuckets = 8)
+    m.buckets.values.sum shouldBe 0L
+    val back = TableIO.read(spark, dir)
+    back.count() shouldBe 0L
+    back.columns.toSeq shouldBe Seq("key", "value")
+  }
+
+  test("bucket-count mismatch on resume is rejected, not silently mixed") {
+    val dir = freshDir()
+    TableIO.writeBucketed(sample(), dir, col("key"), numBuckets = 8,
+      onlyBuckets = Some(Set(0, 1)))
+    val e = intercept[IllegalArgumentException] {
+      TableIO.writeBucketed(sample(), dir, col("key")) // default 32 != 8
+    }
+    e.getMessage should include("bucket-count mismatch")
+    // resuming with the RIGHT count works
+    TableIO.writeBucketed(sample(), dir, col("key"), numBuckets = 8)
+    TableIO.read(spark, dir).count() shouldBe 1000L
+  }
+
   test("manifest json round-trips") {
     val m = TableIO.Manifest(123L, Map(0 -> 10L, 5 -> 2L), Map("pagesIn" -> 7L))
     val dir = freshDir()
