@@ -178,12 +178,23 @@ object Pipeline {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    import org.apache.spark.sql.functions.{count => cnt, sum => sm}
+    // manifest counters come from the MATERIALIZED rows, not accumulators:
+    // Spark only guarantees exactly-once accumulator updates inside actions,
+    // so task retries / cache-eviction recomputes would over-count the
+    // transformation-side metrics (those remain useful live telemetry)
+    val c = t.flat.groupBy("rowKind").agg(
+      cnt(lit(1)).as("n"),
+      sm(when(col("error").isNotNull, 1L).otherwise(0L)).as("nErr"),
+      sm(coalesce(col("nSentences"), lit(0))).as("nSent"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def of(k: String): (Long, Long, Long) = c.getOrElse(k, (0L, 0L, 0L))
     val counters = Map(
-      "pagesIn" -> t.metrics.pagesIn.value.longValue(),
-      "pagesErrored" -> t.metrics.pagesErrored.value.longValue(),
-      "sentences" -> t.metrics.sentences.value.longValue(),
-      "mentions" -> t.metrics.mentions.value.longValue(),
-      "triples" -> t.metrics.triples.value.longValue())
+      "pagesIn" -> of("p")._1,
+      "pagesErrored" -> of("p")._2,
+      "sentences" -> of("p")._3,
+      "mentions" -> of("m")._1,
+      "triples" -> of("t")._1)
     val writes = Seq(
       Future(TableIO.writeBucketed(t.triples, s"$outDir/triples", col("url"), counters)),
       Future(TableIO.writeBucketed(t.nodes, s"$outDir/nodes", col("id"), counters)),

@@ -538,8 +538,10 @@ object Queries {
         |    range(len(string_split_regex(text, '\s+')) - 2),
         |    i -> array_to_string(string_split_regex(text, '\s+')[i+1:i+3], ' '))) AS s
         |  FROM both_docs),
-        |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
-        |rare AS (SELECT * FROM ex QUALIFY count(*) OVER (PARTITION BY g) <= 100),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |rare0 AS (SELECT * FROM ex QUALIFY count(*) OVER (PARTITION BY g) <= 100),
+        |rare AS (SELECT doc_id, g,
+        |           count(*) OVER (PARTITION BY doc_id) AS sz FROM rare0),
         |pairs AS (
         |  SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS asz, y.sz AS bsz, count(*) AS inter
         |  FROM rare x JOIN rare y ON x.g = y.g AND x.doc_id < y.doc_id
@@ -564,12 +566,14 @@ object Queries {
         | len(list_filter(string_split_regex(text, '[A-Za-z0-9\s]+'), x -> x <> '')) AS n_punct_runs
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d5_token_count" ->
-      """SELECT doc_id, length(string_split(text, ' ')) AS n_ws_tokens, n_chars
+      """SELECT doc_id,
+        | len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_ws_tokens,
+        | n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d6_quality" ->
       """SELECT doc_id,
         | length(text) AS len,
-        | length(string_split(text, ' ')) AS n_tokens,
+        | len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
         | round(CAST(length(text) - length(replace(replace(text, ' ', ''), 'e', '')) AS DOUBLE) / length(text), 4) AS space_e_ratio
         |FROM documents ORDER BY doc_id""".stripMargin
   )

@@ -67,7 +67,6 @@ final class ExtractMetrics(spark: SparkSession) extends Serializable {
   val pagesErrored: LongAccumulator = spark.sparkContext.longAccumulator("pagesErrored")
   val sentences: LongAccumulator = spark.sparkContext.longAccumulator("sentences")
   val mentions: LongAccumulator = spark.sparkContext.longAccumulator("mentions")
-  val ambiguousMentions: LongAccumulator = spark.sparkContext.longAccumulator("ambiguousMentions")
   val triples: LongAccumulator = spark.sparkContext.longAccumulator("triples")
 }
 

@@ -34,14 +34,18 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                    maxBucket: Int = 100): DataFrame = {
     val withSh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .withColumn("shSize", size(col("sh")))
-    val exploded = withSh.select(col("doc_id"), col("shSize"), explode(col("sh")).as("s"))
+    val exploded = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
     // drop hot shingles (stopword-only n-grams): the skew kill
     val rare = exploded.withColumn("cnt", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("s")))
       .filter(col("cnt") <= maxBucket)
-    val a = rare.select(col("s"), col("doc_id").as("a"), col("shSize").as("aSize"))
-    val b = rare.select(col("s"), col("doc_id").as("b"), col("shSize").as("bSize"))
+    // set sizes over the SAME post-filter universe as the intersection —
+    // pre-filter sizes deflated the ratio and could drop exact duplicates
+    // below threshold when they shared many boilerplate shingles
+    val rareSized = rare.withColumn("shSize", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val a = rareSized.select(col("s"), col("doc_id").as("a"), col("shSize").as("aSize"))
+    val b = rareSized.select(col("s"), col("doc_id").as("b"), col("shSize").as("bSize"))
     a.join(b, Seq("s")).filter(col("a") < col("b"))
       .groupBy("a", "b", "aSize", "bSize").agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", col("inter") / (col("aSize") + col("bSize") - col("inter")))
@@ -105,7 +109,11 @@ object Dedup {
       .mapPartitions(_.map { case (id, text) =>
         (id, minhashSignatureLocal(text, shingleN, numHashes, 42L))
       }).toDF("doc_id", "sig")
-      .persist()
+      // eager localCheckpoint, not persist: the signatures must be shared by
+      // the l/r join branches of the LAZY result — an in-function unpersist
+      // ran before any action and silently recomputed them, while never
+      // unpersisting leaked the cache entry
+      .localCheckpoint(true)
     val banded = sig.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64(concat_ws(",", transform(
@@ -119,13 +127,11 @@ object Dedup {
     val r = capped.select(col("band"), col("bandHash"), col("doc_id").as("b"), col("sig").as("sigB"))
     val cand = l.join(r, Seq("band", "bandHash")).filter(col("a") < col("b"))
       .select("a", "b", "sigA", "sigB").dropDuplicates("a", "b")
-    val est = cand.withColumn("estJaccard",
+    cand.withColumn("estJaccard",
       size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => x === y), b => b))
         .cast("double") / lit(numHashes))
       .filter(col("estJaccard") >= threshold)
       .select("a", "b", "estJaccard")
-    sig.unpersist(false)
-    est
   }
 
   /** 64-bit SimHash of the token stream: per-bit weighted majority over
@@ -158,7 +164,7 @@ object Dedup {
     import spark.implicits._
     val sh = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) => (id, simhashLocal(text)) })
-      .toDF("doc_id", "sh").persist()
+      .toDF("doc_id", "sh").localCheckpoint(true)
     val chunked = sh.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sh"), c * 16).bitwiseAND(lit(0xffffL))): _*)))

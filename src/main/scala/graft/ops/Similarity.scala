@@ -79,28 +79,33 @@ object Similarity {
       norm(col("embedding")).as("q_norm"))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("nn_id"))
-      .withColumn("cosine", dot(col("q_emb"), col("nn_emb")) / (col("q_norm") * col("nn_norm")))
+      .withColumn("cosine", safeCosine("q_emb", "q_norm", "nn_emb", "nn_norm"))
     rankTopK(scored, k)
   }
 
-  /** K-means-lite centroids: deterministic init (every (N/c)-th vector by id
-    * rank), `iters` Lloyd rounds. All relational: assignment is a broadcast
-    * argmin, update is a groupBy-average. */
+  /** Precomputed-norm cosine with the zero-norm guard vec_cosine has: a
+    * zero-norm vector scores 0.0 instead of a NULL (which would crash the
+    * non-nullable decode in rankTopK). */
+  private def safeCosine(qe: String, qn: String, ne: String, nn: String): Column =
+    when(col(qn) === 0.0 || col(nn) === 0.0, 0.0)
+      .otherwise(dot(col(qe), col(ne)) / (col(qn) * col(nn)))
+
+  /** K-means-lite centroids: deterministic pseudo-random init via
+    * orderBy(xxhash64(id)).limit(c) — TakeOrdered, a distributed top-k with
+    * NO single-partition funnel (a global row_number window funneled the
+    * whole corpus through one task). `iters` Lloyd rounds; assignment is a
+    * broadcast argmin aggregation, update is a groupBy-average. */
   def kmeansCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 3): DataFrame = {
-    val spark = corpus.sparkSession
-    val n = corpus.count()
-    val step = math.max(n / nCentroids, 1L)
-    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+    // the tiny window below runs over <= nCentroids rows (post-limit)
+    val wTiny = org.apache.spark.sql.expressions.Window.orderBy("id")
     var centroids = corpus
-      .withColumn("rnk", row_number().over(w))
-      .filter((col("rnk") - 1) % step === 0).limit(nCentroids)
-      .select((row_number().over(org.apache.spark.sql.expressions.Window.orderBy("id")) - 1)
-        .as("centroid_id"), col("embedding").as("c_emb"))
-      .persist()
-    centroids.count()
+      .orderBy(xxhash64(col("id"))).limit(nCentroids)
+      .select((row_number().over(wTiny) - 1).as("centroid_id"),
+        col("embedding").as("c_emb"))
+      .localCheckpoint(true)
     (0 until iters).foreach { _ =>
       val assigned = assign(corpus, centroids)
-      val next = assigned
+      centroids = assigned
         .select(col("centroid_id"), col("embedding"))
         .withColumn("pos", explode(sequence(lit(0), size(col("embedding")) - 1)))
         .select(col("centroid_id"), col("pos"),
@@ -109,22 +114,20 @@ object Similarity {
         .groupBy("centroid_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("c_emb"))
-        .persist()
-      next.count()
-      centroids.unpersist(false)
-      centroids = next
+        .localCheckpoint(true)
     }
     centroids
   }
 
-  /** Assign every vector to its nearest centroid (broadcast argmin). */
+  /** Assign every vector to its nearest centroid — a min(struct) AGGREGATION
+    * (partial map-side combine), not a window sort of the N x C scored rows. */
   def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(centroids))
+    corpus.crossJoin(broadcast(centroids))
       .withColumn("d", negate(cosine(col("embedding"), col("c_emb"))))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("d"), col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("id"), col("embedding"), col("centroid_id"))
+      .groupBy("id")
+      .agg(min(struct(col("d"), col("centroid_id"), col("embedding"))).as("best"))
+      .select(col("id"), col("best.embedding").as("embedding"),
+        col("best.centroid_id").as("centroid_id"))
   }
 
   /** IVF approximate top-k: probe the `nProbe` nearest inverted lists.
@@ -136,17 +139,20 @@ object Similarity {
     val lists = assign(corpus, centroids)
       .select(col("centroid_id"), col("id").as("nn_id"), col("embedding").as("nn_emb"),
         norm(col("embedding")).as("nn_norm"))
-    val qScored = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"),
+    val q = queries.select(col("id").as("query_id"), col("embedding").as("q_emb"),
       norm(col("embedding")).as("q_norm"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d", negate(cosine(col("q_emb"), col("c_emb"))))
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("d"), col("centroid_id"))
-    val probes = qScored.withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("q_norm"), col("centroid_id"))
+    // nearest nProbe centroids per query via the bounded-heap aggregator
+    // (same no-window-sort argument as rankTopK), then re-attach the query
+    // payload with a tiny join
+    val probeScored = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), cosine(col("q_emb"), col("c_emb")).as("cosine"),
+        col("centroid_id").cast("long").as("nn_id"))
+    val probes = rankTopK(probeScored, nProbe)
+      .select(col("query_id"), col("nn_id").cast("int").as("centroid_id"))
+      .join(q, "query_id")
     val cands = probes.join(lists, Seq("centroid_id"))
       .filter(col("query_id") =!= col("nn_id"))
-      .withColumn("cosine", dot(col("q_emb"), col("nn_emb")) / (col("q_norm") * col("nn_norm")))
+      .withColumn("cosine", safeCosine("q_emb", "q_norm", "nn_emb", "nn_norm"))
     rankTopK(cands, k)
   }
 }

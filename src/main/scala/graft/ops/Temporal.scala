@@ -31,23 +31,27 @@ object Temporal {
                attrs: Seq[String]): DataFrame = {
     val leftCols = left.columns
     // tag and union: right rows sort BEFORE left rows at equal ts so that
-    // `<=` (inclusive) semantics hold; left payload columns ride as a struct
-    val l = left.select(Seq(
+    // `<=` (inclusive) semantics hold; left payload columns ride as a
+    // struct. The right attrs ride as ONE never-null struct — carrying them
+    // individually with last(ignoreNulls) would skip a right row whose
+    // attribute is legitimately NULL and resurrect a stale older value.
+    val l = left.select(
       col(key), col(ts), lit(1).as("_side"),
-      struct(leftCols.map(col): _*).as("_payload")) ++
-      attrs.map(a => lit(null).cast(right.schema(a).dataType).as(a)): _*)
-    val r = right.select(Seq(
+      struct(leftCols.map(col): _*).as("_payload"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        attrs.map(a => org.apache.spark.sql.types.StructField(a, right.schema(a).dataType))
+      )).as("_attrs"))
+    val r = right.select(
       col(key), col(ts), lit(0).as("_side"),
-      lit(null).cast(l.schema("_payload").dataType).as("_payload")) ++
-      attrs.map(col): _*)
+      lit(null).cast(l.schema("_payload").dataType).as("_payload"),
+      struct(attrs.map(col): _*).as("_attrs"))
     val w = Window.partitionBy(key).orderBy(col(ts), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
-      .select(col("*") +: attrs.map(a =>
-        last(col(a), ignoreNulls = true).over(w).as(s"_asof_$a")): _*)
+      .withColumn("_asof", last(col("_attrs"), ignoreNulls = true).over(w))
     carried.filter(col("_side") === 1)
       .select(leftCols.map(c => col("_payload").getField(c).as(c)) ++
-        attrs.map(a => col(s"_asof_$a").as(a)): _*)
+        attrs.map(a => col("_asof").getField(a).as(a)): _*)
   }
 
   /** All (point, interval) pairs with `start <= pt <= end`, via bin

@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token counts (the cheap path; see [[bpeTokenEstimate]]). */
+  /** Whitespace token counts (the cheap path; see [[bpeTokenEstimate]]).
+    * Splits on whitespace RUNS with empties dropped — a literal-space split
+    * counted "a  b" as three tokens and "a\nb" as one. */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      size(split(col("text"), " ")).as("n_ws_tokens"),
+      size(filter(split(col("text"), "\\s+"), t => t =!= "")).as("n_ws_tokens"),
       col("n_chars"))
       .orderBy("doc_id")
 
@@ -20,7 +22,7 @@ object TextAnalysis {
   def quality(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       length(col("text")).as("len"),
-      size(split(col("text"), " ")).as("n_tokens"),
+      size(filter(split(col("text"), "\\s+"), t => t =!= "")).as("n_tokens"),
       round((length(col("text")) -
         length(regexp_replace(regexp_replace(col("text"), lit(" "), lit("")), lit("e"), lit("")))
         ).cast("double") / length(col("text")), 4).as("space_e_ratio"))

@@ -135,7 +135,7 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
   test("token counts match whitespace splits") {
     val docs = Seq((1L, "a b  c", 6L), (2L, "hello", 5L)).toDF("doc_id", "text", "n_chars")
     val r = TextAnalysis.tokenCounts(docs).collect()
-    r(0).getInt(1) shouldBe 4 // "a","b","","c" — split-on-single-space keeps empty
+    r(0).getInt(1) shouldBe 3 // whitespace RUNS: "a","b","c" (no empty token)
     r(1).getInt(1) shouldBe 1
   }
 
