@@ -21,14 +21,27 @@ object Queries {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  // --- KG pipeline (cached per session+scale: several queries share one build)
-  private val kgCache = new java.util.concurrent.ConcurrentHashMap[String, Pipeline.Tables]()
+  /** sfDir -> synthetic corpus size (the ONE scale ladder; SparkEntry uses
+    * this too). */
+  private[graft] def kgPages(sfDir: String): Int =
+    if (sfDir.contains("sf0.1")) 20000 else if (sfDir.contains("sf0.01")) 4000 else 500
+
+  // --- KG pipeline, cached so several queries share one build. SINGLE-slot:
+  // an unbounded map keyed by session hash would pin persisted frames of
+  // stopped sessions forever in a long-lived JVM
+  private val kgSlot = new java.util.concurrent.atomic.AtomicReference[(String, Pipeline.Tables)]()
   private[graft] def kg(spark: SparkSession, sfDir: String): Pipeline.Tables =
-    kgCache.computeIfAbsent(sfDir + "@" + spark.hashCode(), _ => {
-      val n = if (sfDir.contains("sf0.1")) 20000 else if (sfDir.contains("sf0.01")) 4000 else 500
-      val cfg = PageGen.Config(nPages = n)
-      Pipeline.run(spark, PageGen.pages(spark, cfg), cfg.nPersons)
-    })
+    kgSlot.synchronized {
+      val key = sfDir + "@" + spark.hashCode()
+      val cur = kgSlot.get()
+      if (cur != null && cur._1 == key) cur._2
+      else {
+        val cfg = PageGen.Config(nPages = kgPages(sfDir))
+        val t = Pipeline.run(spark, PageGen.pages(spark, cfg), cfg.nPersons)
+        kgSlot.set((key, t))
+        t
+      }
+    }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- KG construction (the north-rule pipeline) ----------------
@@ -249,10 +262,14 @@ object Queries {
     // inequality join in the oracle
     "q29_range_join" -> ((s, d) => {
       val ev = t(s, d, "events")
-      val t0 = ev.agg(min(unix_timestamp(col("ts")))).head().getLong(0)
-      val windows = s.range(40).select(col("id").as("window_id"),
-        (lit(t0) + col("id") * 21600L).as("ws"),
-        (lit(t0) + col("id") * 21600L + 10800L).as("we"))
+      // t0 stays IN the plan (a 1-row agg cross-joined in): an eager
+      // .head() here would launch a scan at query-construction time and
+      // NPE on an empty events table
+      val t0 = ev.agg(min(unix_timestamp(col("ts"))).as("t0"))
+      val windows = s.range(40).crossJoin(t0)
+        .select(col("id").as("window_id"),
+          (col("t0") + col("id") * 21600L).as("ws"),
+          (col("t0") + col("id") * 21600L + 10800L).as("we"))
       val points = ev.select(unix_timestamp(col("ts")).as("pt"))
       graft.ops.Temporal.rangeJoinBinned(points, windows, "pt", "ws", "we", 7200L)
         .groupBy("window_id").agg(count(lit(1)).as("n"))

@@ -15,23 +15,11 @@ import graft.model.PageGen
   */
 object SparkEntry {
 
-  /** Synthetic corpus size keyed to the harness scale dir. */
-  private def kgPages(sfDir: String): Int =
-    if (sfDir.contains("sf0.1")) 20000
-    else if (sfDir.contains("sf0.01")) 4000
-    else 500
-
-  private def kgTables(spark: SparkSession, sfDir: String): Pipeline.Tables = {
-    val cfg = PageGen.Config(nPages = kgPages(sfDir))
-    Pipeline.run(spark, PageGen.pages(spark, cfg), cfg.nPersons)
-  }
-
   /** Flagship query on sf=0.001-equivalent scale; driver smoke-checks rows>0:
-    * canonical triples whose subject is the head entity, with provenance. */
-  def entry(spark: SparkSession): DataFrame = {
-    val t = kgTables(spark, "sf0.001")
-    t.triples.filter(col("subj") === 0L)
-  }
+    * canonical triples whose subject is the head entity, with provenance.
+    * Scale ladder + build cache live in [[Queries.kg]] (one source of truth). */
+  def entry(spark: SparkSession): DataFrame =
+    Queries.kg(spark, "sf0.001").triples.filter(col("subj") === 0L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
 

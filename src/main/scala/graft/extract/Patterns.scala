@@ -97,8 +97,14 @@ object Gazetteer {
         toks.foreach { t => node = node.children.getOrElseUpdate(t, new TrieNode) }
         val key = toks.mkString(" ")
         node.terminal = key
+        // dedup (norm, entityId) keeping the MAX prior — order-independent,
+        // and the exact rule ShuffleLinker's relational dedup replicates
         val cur = cands.getOrElse(key, Nil)
-        if (!cur.exists(_._1 == id)) cands(key) = (id, prior) :: cur
+        cur.find(_._1 == id) match {
+          case Some((_, p0)) if p0 >= prior => ()
+          case Some(_) => cands(key) = (id, prior) :: cur.filterNot(_._1 == id)
+          case None => cands(key) = (id, prior) :: cur
+        }
       }
     }
     // deterministic candidate order: by entity id

@@ -84,7 +84,7 @@ final class ExtractMetrics(spark: SparkSession) extends Serializable {
   * multimap (CallResolver.java:70-80; PHPCGFactory.java:41-47).
   */
 object TripleExtractor {
-  val ContextBonus = 2.0
+  val ContextBonus = 2.0 // shared with ShuffleLinker — equivalence depends on it
 
   /** Sentence cap per page — a semantic bound, like the reference's slice
     * depth 5 / path cap 30 (`slice.groovy:2-3`, `dataflow.groovy:157-158`). */

@@ -22,12 +22,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float arrays"),
-      (es: Seq[Expression]) => VecDot(es(0), es(1))))
+      (es: Seq[Expression]) => { arity("vec_dot", 2, es); VecDot(es(0), es(1)) }))
     ext.injectFunction((FunctionIdentifier("vec_norm"),
       info("vec_norm", "vec_norm(a) - L2 norm of a float array"),
-      (es: Seq[Expression]) => VecNorm(es.head)))
+      (es: Seq[Expression]) => { arity("vec_norm", 1, es); VecNorm(es.head) }))
     ext.injectFunction((FunctionIdentifier("vec_cosine"),
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float arrays"),
-      (es: Seq[Expression]) => VecCosine(es(0), es(1))))
+      (es: Seq[Expression]) => { arity("vec_cosine", 2, es); VecCosine(es(0), es(1)) }))
   }
 }

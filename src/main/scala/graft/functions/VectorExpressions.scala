@@ -37,19 +37,28 @@ object VectorExpressions {
   private def asFloats(c: Column): Expression =
     Bridge.expression(c.cast("array<float>"))
 
-  private def loopDot(a: String, b: String, wantNorms: Boolean): String = {
-    val extra = if (wantNorms) "na += xa * xa; nb += xb * xb;" else ""
+  /** One fused loop; all locals come from ctx.freshName — fixed names would
+    * collide when two vec_* expressions share a codegen scope (Janino
+    * 'redefinition of local variable' → silent interpreted fallback). */
+  private def loopDot(ctx: CodegenContext, a: String, b: String,
+                      v: VecNames, wantNorms: Boolean): String = {
+    val extra = if (wantNorms) s"${v.na} += xa * xa; ${v.nb} += xb * xb;" else ""
     s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double s = 0.0; double na = 0.0; double nb = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  if ($a.isNullAt(i) || $b.isNullAt(i)) continue;
-       |  double xa = (double) $a.getFloat(i);
-       |  double xb = (double) $b.getFloat(i);
-       |  s += xa * xb; $extra
+       |int ${v.n} = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double ${v.s} = 0.0; double ${v.na} = 0.0; double ${v.nb} = 0.0;
+       |for (int ${v.i} = 0; ${v.i} < ${v.n}; ${v.i}++) {
+       |  if ($a.isNullAt(${v.i}) || $b.isNullAt(${v.i})) continue;
+       |  double xa = (double) $a.getFloat(${v.i});
+       |  double xb = (double) $b.getFloat(${v.i});
+       |  ${v.s} += xa * xb; $extra
        |}
        |""".stripMargin
   }
+
+  private case class VecNames(n: String, s: String, na: String, nb: String, i: String)
+  private def freshNames(ctx: CodegenContext): VecNames =
+    VecNames(ctx.freshName("vn"), ctx.freshName("vs"), ctx.freshName("vna"),
+      ctx.freshName("vnb"), ctx.freshName("vi"))
 
   /** dot(a, b) over two float arrays → double. Null elements are skipped. */
   case class VecDot(left: Expression, right: Expression)
@@ -71,8 +80,10 @@ object VectorExpressions {
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) => loopDot(a, b, wantNorms = false) +
-        s"${ev.value} = s;")
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val v = freshNames(ctx)
+        loopDot(ctx, a, b, v, wantNorms = false) + s"${ev.value} = ${v.s};"
+      })
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): VecDot =
@@ -97,16 +108,18 @@ object VectorExpressions {
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, a =>
+      nullSafeCodeGen(ctx, ev, a => {
+        val v = freshNames(ctx)
         s"""
-           |double s = 0.0;
-           |for (int i = 0; i < $a.numElements(); i++) {
-           |  if ($a.isNullAt(i)) continue;
-           |  double v = (double) $a.getFloat(i);
-           |  s += v * v;
+           |double ${v.s} = 0.0;
+           |for (int ${v.i} = 0; ${v.i} < $a.numElements(); ${v.i}++) {
+           |  if ($a.isNullAt(${v.i})) continue;
+           |  double xv = (double) $a.getFloat(${v.i});
+           |  ${v.s} += xv * xv;
            |}
-           |${ev.value} = java.lang.Math.sqrt(s);
-           |""".stripMargin)
+           |${ev.value} = java.lang.Math.sqrt(${v.s});
+           |""".stripMargin
+      })
 
     override protected def withNewChildInternal(newChild: Expression): VecNorm =
       copy(child = newChild)
@@ -135,8 +148,12 @@ object VectorExpressions {
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) => loopDot(a, b, wantNorms = true) +
-        s"${ev.value} = (na == 0.0 || nb == 0.0) ? 0.0 : s / java.lang.Math.sqrt(na * nb);")
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val v = freshNames(ctx)
+        loopDot(ctx, a, b, v, wantNorms = true) +
+          s"${ev.value} = (${v.na} == 0.0 || ${v.nb} == 0.0) ? 0.0 : " +
+          s"${v.s} / java.lang.Math.sqrt(${v.na} * ${v.nb});"
+      })
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): VecCosine =
@@ -156,10 +173,19 @@ object VectorExpressions {
 
   /** Register `vec_dot` / `vec_norm` / `vec_cosine` for SQL use
     * (`SELECT vec_cosine(a.embedding, b.embedding) ...`). */
+  private[functions] def arity(name: String, n: Int, es: Seq[Expression]): Unit =
+    if (es.length != n) throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map("functionName" -> name, "expectedNum" -> n.toString,
+        "actualNum" -> es.length.toString, "docroot" -> ""))
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("vec_norm", es => VecNorm(es.head), "built-in")
-    reg.createOrReplaceTempFunction("vec_cosine", es => VecCosine(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_dot",
+      es => { arity("vec_dot", 2, es); VecDot(es(0), es(1)) }, "built-in")
+    reg.createOrReplaceTempFunction("vec_norm",
+      es => { arity("vec_norm", 1, es); VecNorm(es.head) }, "built-in")
+    reg.createOrReplaceTempFunction("vec_cosine",
+      es => { arity("vec_cosine", 2, es); VecCosine(es(0), es(1)) }, "built-in")
   }
 }

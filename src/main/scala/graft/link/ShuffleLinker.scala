@@ -25,13 +25,20 @@ import org.apache.spark.sql.functions._
   */
 object ShuffleLinker {
 
-  val ContextBonus = 2.0
+  /** The SAME constant the in-extractor resolver uses — the byte-identical
+    * equivalence of the two paths hinges on it. */
+  val ContextBonus: Double = graft.extract.TripleExtractor.ContextBonus
 
   /** mentions: (pageId, mentionId, norm); aliases: (norm, entityId, prior).
     * Returns (pageId, mentionId, entityId) with -1 for unmatched mentions. */
   def linkMentions(mentions: DataFrame, aliases: DataFrame): DataFrame = {
+    // dedup (norm, entityId) exactly like Gazetteer.build (max prior) —
+    // duplicate alias rows would inflate nCands and flip an unambiguous
+    // mention to ambiguous, silently diverging from the broadcast path
+    val dedup = aliases.groupBy("norm", "entityId")
+      .agg(max("prior").as("prior"))
     // candidate cardinality per norm (drives the unambiguous fast path)
-    val counted = aliases
+    val counted = dedup
       .withColumn("nCands", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("norm")))
 

@@ -19,10 +19,13 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
 
-  /** Word n-gram shingle set as a column expression. */
+  /** Word n-gram shingle set as a column expression. A document with fewer
+    * than n tokens has NO shingles (the old greatest(..,0) emitted one
+    * truncated shingle, diverging from the natural n-gram definition). */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, "\\s+")
-    val idx = sequence(lit(0), greatest(size(toks) - lit(n), lit(0)))
+    val idx = when(size(toks) < n, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), size(toks) - lit(n)))
     array_distinct(transform(idx, i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
   }
 

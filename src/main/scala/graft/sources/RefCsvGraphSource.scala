@@ -64,10 +64,15 @@ object RefCsvGraphSource {
     * returns (valid edges, dangling-edge count). */
   def validated(nodes: DataFrame, edges: DataFrame): (DataFrame, Long) = {
     val ids = nodes.select(col("id")).distinct()
-    val valid = edges
+    // checkpoint the parsed edges once: the CSV would otherwise be
+    // re-parsed for the total count, the valid count, AND every downstream
+    // consumption of the returned frame
+    val e = edges.localCheckpoint(true)
+    val valid = e
       .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-    val dangling = edges.count() - valid.count()
+      .localCheckpoint(true)
+    val dangling = e.count() - valid.count()
     (valid, dangling)
   }
 }

@@ -64,10 +64,15 @@ class PlanSpec extends AnyFunSuite with Matchers {
     store.TableIO.deleteRecursively(pagesDir)
   }
 
-  test("binned range join is an equi shuffle join, not a nested loop") {
+  test("binned range join: candidate join is equi on the bin key, no cartesian") {
     val plan = physical(Queries.all("q29_range_join")(spark, sfDir))
-    plan shouldNot include("BroadcastNestedLoopJoin")
     plan shouldNot include("CartesianProduct")
+    // the points-to-intervals join must be an equi join on _bin; the only
+    // nested-loop allowed is the 1-row t0 broadcast that seeds the windows
+    "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[_bin".r
+      .findFirstIn(plan) should be (defined)
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    nlj should be <= 1
   }
 
   test("asof join is one keyed window over a union, no join at all") {
