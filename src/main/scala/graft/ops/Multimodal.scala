@@ -58,7 +58,7 @@ object Multimodal {
         var h = Ids.mix(d.toLong + 0x6d656469L)
         var i = d
         while (i < bytes.length) { h = Ids.mix(h ^ (bytes(i) & 0xffL)); i += Dim }
-        out(d) = ((h >>> 11).toDouble / (1L << 53).toDouble).toFloat
+        out(d) = Det.nextDouble(h).toFloat
         d += 1
       }
       out
@@ -96,13 +96,19 @@ object Multimodal {
       when(greatest(col("width"), col("height")) <= maxSide, lit(1.0))
         .otherwise(lit(maxSide).cast("double") / greatest(col("width"), col("height")))
         .as("scale"))
-      .withColumn("target_w", ceil(col("width") * col("scale")).cast("int"))
-      .withColumn("target_h", ceil(col("height") * col("scale")).cast("int"))
+      // least(maxSide): ceil of the double product can round to maxSide+1
+      // (e.g. 151 * (100/151) = 100.0000...01) — the cap must win. A
+      // scale of 1.0 keeps dims <= maxSide by construction, so capping at
+      // maxSide is exact for both sides.
+      .withColumn("target_w",
+        least(ceil(col("width") * col("scale")), lit(maxSide)).cast("int"))
+      .withColumn("target_h",
+        least(ceil(col("height") * col("scale")), lit(maxSide)).cast("int"))
 
   /** Frame-sampling plan (video path): deterministic frame indices from
     * duration — `sequence` + `transform`, no UDF. */
   def frameSamplePlan(media: DataFrame, everyMs: Int): DataFrame =
-    media.filter(col("kind") === "video")
+    media.filter(col("kind") === "video" && col("durationMs") > 0)
       .select(col("media_id"), col("durationMs"),
         sequence(lit(0), col("durationMs") - 1, lit(everyMs)).as("frame_ts_ms"))
       .withColumn("n_frames", size(col("frame_ts_ms")))

@@ -30,6 +30,13 @@ object Temporal {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                attrs: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    val reserved = Seq("_side", "_payload", "_attrs", "_asof")
+    require(!(leftCols ++ right.columns).exists(reserved.contains),
+      s"asofJoin reserves columns ${reserved.mkString(", ")}")
+    // SQL join semantics: a NULL key matches nothing — drop NULL-key right
+    // rows so NULL-key left rows get NULL attrs instead of matching each
+    // other inside the shared window partition
+    val rightNonNull = right.filter(col(key).isNotNull)
     // tag and union: right rows sort BEFORE left rows at equal ts so that
     // `<=` (inclusive) semantics hold; left payload columns ride as a
     // struct. The right attrs ride as ONE never-null struct — carrying them
@@ -41,7 +48,7 @@ object Temporal {
       lit(null).cast(org.apache.spark.sql.types.StructType(
         attrs.map(a => org.apache.spark.sql.types.StructField(a, right.schema(a).dataType))
       )).as("_attrs"))
-    val r = right.select(
+    val r = rightNonNull.select(
       col(key), col(ts), lit(0).as("_side"),
       lit(null).cast(l.schema("_payload").dataType).as("_payload"),
       struct(attrs.map(col): _*).as("_attrs"))
@@ -60,6 +67,8 @@ object Temporal {
   def rangeJoinBinned(points: DataFrame, intervals: DataFrame,
                       pt: String, start: String, end: String,
                       binWidth: Long): DataFrame = {
+    require(!(points.columns ++ intervals.columns).contains("_bin"),
+      "rangeJoinBinned reserves the column name _bin")
     val p = points.withColumn("_bin", floor(col(pt) / binWidth))
     val iv = intervals.withColumn("_bin",
       explode(sequence(floor(col(start) / binWidth), floor(col(end) / binWidth))))

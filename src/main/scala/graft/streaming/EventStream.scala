@@ -66,33 +66,34 @@ object EventStream {
             state.remove()
             Iterator(SessionOut(userId, new Timestamp(s.start), s.n, (s.last - s.start) / 1000))
           } else {
+            // uniform interval merge: the stored session plus each event (a
+            // point interval), sorted by start, merged when within the gap.
+            // This handles cross-batch out-of-order events — stragglers that
+            // chain with each other, interior events, and backward session
+            // extension — with one rule instead of case analysis.
             val gapMs = gapSec * 1000
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var cur = state.getOption
-            val out = Vector.newBuilder[SessionOut]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                // within gap of EITHER session edge: merge, never moving
-                // `last` backward — a cross-batch out-of-order event inside
-                // the watermark may precede the stored session
-                case Some(s) if t >= s.start - gapMs && t <= s.last + gapMs =>
-                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
-                case Some(s) if t > s.last + gapMs => // gap exceeded: close, open new
-                  out += SessionOut(userId, new Timestamp(s.start), s.n, (s.last - s.start) / 1000)
-                  cur = Some(SessionState(t, t, 1))
-                case Some(_) => // straggler older than start-gap: its own (already closed) session
-                  out += SessionOut(userId, new Timestamp(t), 1, 0L)
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
+            val intervals = (state.getOption.map(s => (s.start, s.last, s.n)).toSeq ++
+              rows.map(e => (e.ts.getTime, e.ts.getTime, 1))).sortBy(iv => (iv._1, iv._2))
+            val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+            intervals.foreach { iv =>
+              merged.lastOption match {
+                case Some(m) if iv._1 <= m._2 + gapMs =>
+                  merged(merged.length - 1) = (m._1, math.max(m._2, iv._2), m._3 + iv._3)
+                case _ => merged += iv
               }
             }
-            cur.foreach { s =>
-              state.update(s)
-              // close when the watermark passes last-event-time + gap
-              state.setTimeoutTimestamp(s.last + gapMs)
+            if (merged.isEmpty) Iterator.empty
+            else {
+            // everything but the latest session is followed by a gap: close it
+            val out = merged.init.map { case (st, en, n) =>
+              SessionOut(userId, new Timestamp(st), n, (en - st) / 1000)
             }
-            out.result().iterator
+            val (st, en, n) = merged.last
+            state.update(SessionState(st, en, n))
+            // close when the watermark passes last-event-time + gap
+            state.setTimeoutTimestamp(en + gapMs)
+            out.iterator
+            }
           }
       }
   }
@@ -118,10 +119,11 @@ object EventStream {
       .select("purchase_id", "click_id", "user_id", "value")
   }
 
-  /** Exactly-once event dedup on `event_id` with watermark-bounded state:
-    * re-deliveries inside the watermark window are dropped; state for ids
-    * older than the watermark is evicted (O(|recent ids|), not O(|stream|)).
-    * The streaming twin of the batch exact-dedup operator. */
+  /** Within-watermark event dedup on `event_id`: re-deliveries inside the
+    * watermark window are dropped; state for ids older than the watermark
+    * is evicted (O(|recent ids|), not O(|stream|)) — which also means a
+    * re-delivery AFTER eviction passes through (at-least-once beyond the
+    * watermark horizon; only the batch exact-dedup operator is exact). */
   def dedupEvents(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
@@ -129,8 +131,10 @@ object EventStream {
   /** Streaming triple extraction: the SAME `extractFlat` operator the batch
     * pipeline uses, applied to a stream of pages — it is a stateless
     * mapPartitions, so it lifts to streaming unchanged (append mode, no
-    * state), INCLUDING the error path: failed pages surface in the metrics
-    * accumulators and as error rows, exactly like the batch twin. */
+    * state). NOTE this view selects the TRIPLE rows only: failed pages are
+    * visible in the metrics accumulators, and a consumer that needs the
+    * per-page error rows should run `extractFlat` itself and keep the
+    * rowKind = "p" rows alongside. */
   def streamingTriples(spark: SparkSession, pages: DataFrame,
                        nPersons: Int = 500): DataFrame = {
     import spark.implicits._

@@ -189,6 +189,18 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     f(0).error should include("empty")
   }
 
+  test("resize cap holds on rounding boundary; zero-duration video filtered") {
+    import spark.implicits._
+    // 151 * (100/151) = 100.0000...01 -> ceil would give 101 without the cap
+    val m = Seq((1L, "image", Array.emptyByteArray, 151, 50, 0, 0))
+      .toDF("media_id", "kind", "bytes", "width", "height", "sampleRate", "durationMs")
+    val r = Multimodal.resizePlan(m, 100).head()
+    r.getAs[Int]("target_w") shouldBe 100
+    val v = Seq((2L, "video", Array.emptyByteArray, 0, 0, 0, 0))
+      .toDF("media_id", "kind", "bytes", "width", "height", "sampleRate", "durationMs")
+    Multimodal.frameSamplePlan(v, 1000).count() shouldBe 0L // no crash, no row
+  }
+
   test("resize plan never upscales and preserves aspect ratio cap") {
     val m = Multimodal.synthMedia(spark, 100).toDF()
     val plan = Multimodal.resizePlan(m, maxSide = 256)

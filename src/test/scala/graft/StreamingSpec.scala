@@ -92,6 +92,28 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("sessionize: consecutive stragglers merge into one early session") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapSec = 600, watermark = "1 hour")
+      .writeStream.format("memory").queryName("sess_str").outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(60), 1, "a", 0))
+      q.processAllAvailable()
+      // two stragglers 1 min apart, both > gap before the stored session:
+      // they must merge with EACH OTHER (one early session), not emit two
+      // zero-duration singletons
+      input.addData(Event(2, ts(30), 1, "a", 0), Event(3, ts(31), 1, "a", 0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_str").collect()
+      closed.length shouldBe 1
+      closed(0).getTimestamp(1) shouldBe ts(30)
+      closed(0).getInt(2) shouldBe 2
+      closed(0).getLong(3) shouldBe 60L
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered event_ids within the watermark") {
     import spark.implicits._
     implicit val sctx = spark.sqlContext

@@ -38,6 +38,23 @@ class TemporalSpec extends AnyFunSuite with Matchers {
     out.columns.toSeq shouldBe Seq("k", "ts", "payload", "v")
   }
 
+  test("asofJoin: NULL keys match nothing; NULL attr values carry through") {
+    import spark.implicits._
+    val left = Seq((Some(1L), 10L, 100L), (None: Option[Long], 10L, 101L))
+      .toDF("k", "ts", "ev")
+    val right = Seq((Some(1L), 5L, Some(7.0)), (Some(1L), 8L, None: Option[Double]),
+      (None: Option[Long], 5L, Some(99.0))).toDF("k", "ts", "v")
+    val out = Temporal.asofJoin(left, right, "k", "ts", Seq("v"))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // ev 100: latest right at ts<=10 is (1, 8, NULL) — the NULL must carry,
+    // not resurrect the older 7.0
+    out(100L) shouldBe None
+    // ev 101: NULL key matches nothing (SQL semantics), even though a
+    // NULL-key right row exists
+    out(101L) shouldBe None
+  }
+
   test("rangeJoinBinned equals a naive inequality join") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
