@@ -235,6 +235,16 @@ object Queries {
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
         ORDER BY c_custkey""")
     }),
+    // array-function battery: split -> sort/slice/contains/distinct counts
+    "q31_array_funcs" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        concat_ws(" ", slice(sort_array(col("toks")), 1, 3)).as("first3_sorted"),
+        array_contains(col("toks"), "the").cast("int").as("has_the"))
+      .orderBy("doc_id")),
     // RANGE window frame (value-based, not row-based): 10-unit trailing
     // average per user — frames by ts VALUE so gaps matter
     "q30_range_frame" -> ((s, d) => {
@@ -518,6 +528,13 @@ object Queries {
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
         |ORDER BY c_custkey""".stripMargin,
+    "q31_array_funcs" ->
+      """SELECT doc_id,
+        | len(string_split_regex(text, '\s+')) AS n,
+        | len(list_distinct(string_split_regex(text, '\s+'))) AS n_distinct,
+        | array_to_string(list_sort(string_split_regex(text, '\s+'))[1:3], ' ') AS first3_sorted,
+        | CAST(list_contains(string_split_regex(text, '\s+'), 'the') AS INT) AS has_the
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q30_range_frame" ->
       """SELECT event_id, user_id,
         | round(avg(value) OVER (
