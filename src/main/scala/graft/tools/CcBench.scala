@@ -34,8 +34,7 @@ object CcBench {
     // chains: node ids offset to 1e9; edge (n, n+1) within each chain
     val base = 1000000000L
     val chains = spark.range(nChains * chainLen)
-      .select((col("id") / chainLen).cast("long").as("c"),
-        (col("id") % chainLen).cast("long").as("pos"), col("id"))
+      .select((col("id") % chainLen).cast("long").as("pos"), col("id"))
       .filter(col("pos") < chainLen - 1)
       .select((col("id") + base).as("a"), (col("id") + base + 1).as("b"))
     val edges = star.unionByName(chains)

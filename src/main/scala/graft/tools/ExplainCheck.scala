@@ -8,7 +8,7 @@ object ExplainCheck {
       .config("spark.ui.enabled", "false").config("spark.driver.host", "localhost")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.01"
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     println("===== q1_agg plan =====")
     graft.Queries.all("q1_agg")(spark, d).explain("formatted")
     println("===== filter pushdown check =====")

@@ -44,7 +44,13 @@ object KgCli {
         counters.toSeq.sortBy(_._1).toDF("counter", "value")
       case "import-ref" =>
         // ≙ joern-import: load a reference nodes.csv/edges.csv export into
-        // graft tables (FK-validated; dangling edges counted, not dropped)
+        // graft tables (FK-validated; dangling edges counted, not dropped).
+        // OVERWRITE semantics: stale tables are invalidated first — without
+        // this, writeBucketed would see every bucket committed and silently
+        // keep the old data while reporting success
+        for (tbl <- Seq("nodes", "edges"))
+          if (TableIO.readManifest(s"$tablesDir/$tbl").isDefined)
+            TableIO.invalidateBuckets(s"$tablesDir/$tbl", (0 until TableIO.NumBuckets).toSet)
         val nodes = graft.sources.RefCsvGraphSource.readNodes(spark, args(0))
         val edges = graft.sources.RefCsvGraphSource.readEdges(spark, args(1))
         val (valid, dangling) = graft.sources.RefCsvGraphSource.validated(nodes, edges)
@@ -64,6 +70,8 @@ object KgCli {
       case "edges" =>
         edges.filter(col("kind") === args(0)).orderBy("src", "dst")
       case "slice" =>
+        require(args(0) == "forward" || args(0) == "backward",
+          s"slice direction must be forward|backward, got '${args(0)}'")
         val ids = args.drop(2).map(_.toLong)
         val seeds = nodes.filter(col("id").isin(ids: _*))
         val sliced =
@@ -89,12 +97,17 @@ object KgCli {
         val existing =
           if (TableIO.readManifest(s"$tablesDir/tags").isDefined)
             TableIO.read(spark, s"$tablesDir/tags") else Seq.empty[(Long, String)].toDF("id", "tag")
-        // materialize BEFORE invalidating — the union lazily reads the very
-        // table the rewrite replaces
+        // write the NEW snapshot to a sibling dir first, then swap — a
+        // crash mid-rewrite must never lose the only durable copy of the
+        // tags (a checkpoint is executor-local, not durable)
         val merged = existing.unionByName(ids.map((_, tag)).toDF("id", "tag"))
           .distinct().localCheckpoint(true)
-        TableIO.invalidateBuckets(s"$tablesDir/tags", (0 until TableIO.NumBuckets).toSet)
-        TableIO.writeBucketed(merged, s"$tablesDir/tags", col("id"))
+        val tmp = s"$tablesDir/tags.new"
+        TableIO.deleteRecursively(tmp)
+        TableIO.writeBucketed(merged, tmp, col("id"))
+        TableIO.deleteRecursively(s"$tablesDir/tags")
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+          java.nio.file.Paths.get(s"$tablesDir/tags"))
         merged.orderBy("id", "tag")
       case "list-tags" =>
         TableIO.read(spark, s"$tablesDir/tags").orderBy("id", "tag")
