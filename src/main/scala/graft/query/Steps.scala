@@ -198,6 +198,18 @@ object Steps {
       .join(nodes, "id")
   }
 
+  /** ≙ functionToLocationStr / locations (`function.groovy:2-11`,
+    * `info.groovy`): human-readable "pageUrl:childNum" label per node via a
+    * denormalizing join against the Page nodes. */
+  def withLocationLabel(nodes: DataFrame): DataFrame = {
+    val pages = nodes.filter(col("kind") === "Page")
+      .select(col("pageId").as("_pid"), col("code").as("_pageUrl"))
+    nodes.join(pages, nodes("pageId") === pages("_pid"), "left")
+      .withColumn("location",
+        concat_ws(":", coalesce(col("_pageUrl"), lit("?")), col("childNum")))
+      .drop("_pid", "_pageUrl")
+  }
+
   /** ≙ pairs(x,y) (`composition.groovy:69-85`): zip two result sets row by
     * row in a deterministic order. The reference zips two in-memory pipes;
     * relationally this is a row_number join — the global window is

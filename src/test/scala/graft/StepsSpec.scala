@@ -157,6 +157,15 @@ class StepsSpec extends AnyFunSuite with Matchers {
       .select("kind").head().getString(0) shouldBe NK.Host
   }
 
+  test("withLocationLabel denormalizes page url into a location string") {
+    val labeled = Steps.withLocationLabel(t.nodes)
+    val m = labeled.filter(col("kind") === NK.Mention).limit(1).head()
+    m.getAs[String]("location") should fullyMatch regex "https://.*:\\d+"
+    // page-less nodes (Host/Entity) get the "?" placeholder
+    Steps.withLocationLabel(t.nodes).filter(col("kind") === NK.Host)
+      .head().getAs[String]("location") should startWith ("?:")
+  }
+
   test("zipPairs zips two result sets in order") {
     import spark.implicits._
     val x = Seq((1L, "a"), (2L, "b")).toDF("id", "vx")
