@@ -1,0 +1,213 @@
+package graft
+
+/** DuckDB oracle SQL for every query over the KG pipeline, the multimodal
+  * plumbing and the signature-based dedup operators.
+  *
+  * Philosophy (mirrors the reference's output-vs-recompute tests, see
+  * [[VerifyOracle]]): the LEAF facts (per-page extraction output, union-find
+  * components, per-doc signatures, media metadata) come from the
+  * single-threaded dump; everything DOWNSTREAM of the leaves — graph-table
+  * assembly, canonical mapping, traversals, banding, hamming, argmax — is
+  * re-derived HERE in closed-form SQL, so a second engine independently
+  * recomputes every relational derivation the Spark plan performs.
+  *
+  * `{{ORA}}` is substituted by graft.Verify with the absolute dump dir.
+  */
+object KgOracleSql {
+
+  private val P = "read_parquet('{{ORA}}/pages/*.parquet')"
+  private val M = "read_parquet('{{ORA}}/mentions/*.parquet')"
+  private val RT = "read_parquet('{{ORA}}/rawtriples/*.parquet')"
+  private val C = "read_parquet('{{ORA}}/components/*.parquet')"
+  private val H = "read_parquet('{{ORA}}/hosts/*.parquet')"
+  private val L = "read_parquet('{{ORA}}/labelmap/*.parquet')"
+  private val MEDIA = "read_parquet('{{ORA}}/media/*.parquet')"
+  private val SIG = "read_parquet('{{ORA}}/docsigs/*.parquet')"
+
+  /** Leaf CTEs shared by the graph-shaped oracles. */
+  private val leaves =
+    s"""p AS (SELECT * FROM $P),
+       |h AS (SELECT * FROM $H),
+       |m AS (SELECT * FROM $M),
+       |rt AS (SELECT * FROM $RT),
+       |c AS (SELECT * FROM $C)""".stripMargin
+
+  /** SQL twin of Pipeline.graphTables' node union (props dropped). */
+  private val nodesUnion =
+    """SELECT pageId AS id, 'Page' AS kind, url AS code, pageId AS "pageId", 0 AS "childNum" FROM p
+      |UNION ALL SELECT hostId, 'Host', host, 0, 0 FROM h
+      |UNION ALL SELECT DISTINCT domainId, 'Domain', domain, 0, 0 FROM h
+      |UNION ALL SELECT mentionId, 'Mention', surface, pageId, mentionIdx FROM m
+      |UNION ALL SELECT DISTINCT entityNodeId, 'Entity', CAST(entityId AS VARCHAR), 0, 0
+      |  FROM m WHERE entityId >= 0
+      |UNION ALL SELECT DISTINCT tripleNodeId, 'Triple', pred, pageId, sentIdx FROM rt""".stripMargin
+
+  /** SQL twin of Pipeline.graphTables' edge union. (The extractor's
+    * 16-mentions-per-sentence SAME_SENTENCE cap is not replicated: rule
+    * sentences carry at most 3 mentions, so the cap is unreachable on this
+    * corpus by construction.) */
+  private val edgesUnion =
+    """SELECT hostId AS src, pageId AS dst, 'IS_PAGE_OF' AS kind, CAST(NULL AS VARCHAR) AS variable FROM p
+      |UNION ALL SELECT domainId, hostId, 'IS_PARENT_HOST_OF', NULL FROM h
+      |UNION ALL SELECT pageId, mentionId, 'MENTIONS', NULL FROM m
+      |UNION ALL SELECT mentionId, entityNodeId, 'LINKS_TO', norm FROM m WHERE entityId >= 0
+      |UNION ALL SELECT idNode, compNode, 'SAME_AS', NULL FROM c
+      |UNION ALL SELECT mentionId, nextMentionId, 'NEXT_MENTION', NULL FROM m WHERE nextMentionId != 0
+      |UNION ALL SELECT a.mentionId, b.mentionId, 'SAME_SENTENCE', NULL
+      |  FROM m a JOIN m b ON a.pageId = b.pageId AND a.sentIdx = b.sentIdx
+      |    AND a.mentionIdx < b.mentionIdx
+      |UNION ALL SELECT DISTINCT tripleNodeId, subjMentionId, 'SUBJ', pred FROM rt
+      |UNION ALL SELECT DISTINCT tripleNodeId, objMentionId, 'OBJ', pred FROM rt
+      |  WHERE objMentionId != 0""".stripMargin
+
+  /** One nhash iteration: rot1(label) XOR xor(child labels), 16-bit. */
+  private def nhashRound(prev: String, xo: String, next: String): String =
+    s"""$xo AS (SELECT e.src AS id, bit_xor(l.label) AS cx
+       |  FROM e JOIN $prev l ON l.id = e.dst GROUP BY 1),
+       |$next AS (SELECT $prev.id, $prev.pageId,
+       |    xor((($prev.label << 1) & 65535) | ($prev.label >> 15), coalesce($xo.cx, 0)) % 65536 AS label
+       |  FROM $prev LEFT JOIN $xo ON $prev.id = $xo.id)""".stripMargin
+
+  def map: Map[String, String] = Map(
+    "kg_pages" ->
+      s"""SELECT pageId AS "pageId", url, host, nSentences AS "nSentences", error
+         |FROM $P""".stripMargin,
+    "kg_mentions" ->
+      s"""SELECT pageId AS "pageId", url, mentionId AS "mentionId", surface, norm,
+         |  entityId AS "entityId"
+         |FROM $M""".stripMargin,
+    "kg_components" -> s"SELECT id, component FROM $C",
+    // canonical mapping re-derived relationally: left-join the component map
+    // on both slots, coalesce, dedup — the same logical op as Pipeline's
+    // (broadcast or shuffle) canonical join
+    "kg_triples" ->
+      s"""WITH rt AS (SELECT * FROM $RT), c AS (SELECT id, component FROM $C)
+         |SELECT DISTINCT coalesce(cs.component, rt.subj) AS subj, rt.pred AS pred,
+         |  coalesce(co.component, rt.obj) AS obj,
+         |  rt.objValue AS "objValue", rt.url AS url, CAST(1.0 AS DOUBLE) AS conf
+         |FROM rt LEFT JOIN c cs ON rt.subj = cs.id LEFT JOIN c co ON rt.obj = co.id""".stripMargin,
+    "kg_nodes" ->
+      s"""WITH $leaves
+         |$nodesUnion""".stripMargin,
+    "kg_edges" ->
+      s"""WITH $leaves
+         |$edgesUnion""".stripMargin,
+    "kg_step_megahost_pages" ->
+      s"""SELECT hostId AS id, 'Host' AS kind, host AS code,
+         |  CAST(0 AS BIGINT) AS "pageId", 0 AS "childNum"
+         |FROM $H WHERE regexp_matches(host, '^host0\\.')""".stripMargin,
+    "kg_step_entity_degree" ->
+      s"""SELECT entityNodeId AS entity_node, count(*) AS n_mentions
+         |FROM $M WHERE entityId >= 0
+         |GROUP BY 1 ORDER BY n_mentions DESC, entity_node LIMIT 50""".stripMargin,
+    // depth-2 BFS closure over LINKS_TO ∪ SAME_AS, unrolled to two hop CTEs
+    "kg_step_slice" ->
+      s"""WITH $leaves,
+         |nodes AS ($nodesUnion),
+         |e AS (
+         |  SELECT mentionId AS src, entityNodeId AS dst FROM m WHERE entityId >= 0
+         |  UNION ALL SELECT idNode, compNode FROM c),
+         |seeds AS (SELECT mentionId AS id FROM m ORDER BY mentionId LIMIT 100),
+         |h1 AS (SELECT DISTINCT e.dst AS id FROM seeds JOIN e ON e.src = seeds.id),
+         |h2 AS (SELECT DISTINCT e.dst AS id FROM h1 JOIN e ON e.src = h1.id),
+         |vis AS (SELECT id FROM seeds UNION SELECT id FROM h1 UNION SELECT id FROM h2)
+         |SELECT n.id, n.kind, n.code, n."pageId", n."childNum"
+         |FROM vis JOIN nodes n ON n.id = vis.id""".stripMargin,
+    // longest-match dedup: drop a mention iff a strictly longer code in the
+    // same page contains it (containment is transitive, so the reference's
+    // keep-order scan reduces to this closed form)
+    "kg_step_usesfiltered" ->
+      s"""WITH mn AS (SELECT mentionId AS id, surface AS code, pageId, mentionIdx FROM $M)
+         |SELECT a.id, 'Mention' AS kind, a.code, a.pageId AS "pageId", a.mentionIdx AS "childNum"
+         |FROM mn a WHERE NOT EXISTS (
+         |  SELECT 1 FROM mn b WHERE b.pageId = a.pageId
+         |    AND length(b.code) > length(a.code) AND contains(b.code, a.code))
+         |ORDER BY "pageId", id""".stripMargin,
+    // chain path search in closed form: on the NEXT_MENTION chain a
+    // first-path DFS with depth cap 30 finds (src,dst) iff dst is <= 30 hops
+    // ahead and no kill mention sits strictly between them
+    "kg_step_unsanitized" ->
+      s"""WITH lm AS (SELECT pageId, mentionId, mentionIdx, entityId FROM $M WHERE entityId >= 0),
+         |pairs AS (
+         |  SELECT pageId, arg_min(mentionId, mentionIdx) AS src, min(mentionIdx) AS si,
+         |         arg_max(mentionId, mentionIdx) AS dst, max(mentionIdx) AS di
+         |  FROM lm GROUP BY 1
+         |  HAVING arg_min(mentionId, mentionIdx) != arg_max(mentionId, mentionIdx))
+         |SELECT p.pageId AS "pageId", p.src, p.dst, (p.di - p.si) AS "pathLen"
+         |FROM pairs p
+         |WHERE p.di - p.si <= 30 AND NOT EXISTS (
+         |  SELECT 1 FROM lm k WHERE k.pageId = p.pageId
+         |    AND k.mentionIdx > p.si AND k.mentionIdx < p.di AND k.entityId % 7 = 3)
+         |ORDER BY "pageId"""".stripMargin,
+    // 2 iterations of the neighborhood-hash kernel over MENTIONS edges;
+    // initial labels from the (kind, code) -> label map dump
+    "kg_step_nhash" ->
+      s"""WITH $leaves,
+         |nodes AS ($nodesUnion),
+         |lmap AS (SELECT * FROM $L),
+         |l0 AS (SELECT n.id, n."pageId" AS pageId, lm.label
+         |  FROM nodes n JOIN lmap lm ON n.kind = lm.kind AND n.code = lm.code),
+         |e AS (SELECT pageId AS src, mentionId AS dst FROM m),
+         |${nhashRound("l0", "x1", "l1")},
+         |${nhashRound("l1", "x2", "l2")}
+         |SELECT pageId AS "pageId", label, count(*) AS "count"
+         |FROM l2 GROUP BY 1, 2""".stripMargin,
+    "kg_step_prov" ->
+      s"""SELECT DISTINCT tripleNodeId AS triple_id, pred, pageId AS "pageId",
+         |  subjMentionId AS subj_mention, nullif(objMentionId, 0) AS obj_mention
+         |FROM $RT ORDER BY triple_id""".stripMargin,
+
+    // ---- signature-based dedup: banding/hamming re-derived in SQL ----
+    "d3_minhash_lsh" ->
+      s"""WITH s0 AS (SELECT doc_id, sig FROM $SIG),
+         |s AS (SELECT doc_id, sig FROM s0 UNION ALL SELECT doc_id + 1000000, sig FROM s0),
+         |banded AS (
+         |  SELECT doc_id, sig, b.band,
+         |    array_to_string(sig[b.band*4+1 : b.band*4+4], ',') AS bkey
+         |  FROM s, (SELECT range AS band FROM range(8)) b),
+         |capped AS (SELECT * FROM banded
+         |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= 50),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS sa, y.sig AS sb
+         |  FROM capped x JOIN capped y ON x.band = y.band AND x.bkey = y.bkey
+         |    AND x.doc_id < y.doc_id),
+         |est AS (SELECT a, b,
+         |  CAST(len(list_filter(range(32), i -> sa[i+1] = sb[i+1])) AS DOUBLE) / 32
+         |    AS "estJaccard"
+         |  FROM cand)
+         |SELECT a, b, "estJaccard" FROM est WHERE "estJaccard" >= 0.7
+         |ORDER BY a, b""".stripMargin,
+    "d4_simhash" ->
+      s"""WITH s0 AS (SELECT doc_id, simhash FROM $SIG),
+         |s AS (SELECT doc_id, simhash FROM s0 UNION ALL SELECT doc_id + 1000000, simhash FROM s0),
+         |chunked AS (
+         |  SELECT doc_id, simhash, c.chunk, (simhash >> (c.chunk*16)) & 65535 AS cval
+         |  FROM s, (SELECT range AS chunk FROM range(4)) c),
+         |capped AS (SELECT * FROM chunked
+         |  QUALIFY row_number() OVER (PARTITION BY chunk, cval ORDER BY doc_id) <= 200),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |    x.simhash AS ha, y.simhash AS hb
+         |  FROM capped x JOIN capped y ON x.chunk = y.chunk AND x.cval = y.cval
+         |    AND x.doc_id < y.doc_id)
+         |SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY a, b""".stripMargin,
+    "d8_fingerprint" -> s"""SELECT doc_id, fp0 FROM $SIG ORDER BY doc_id""",
+
+    // ---- multimodal: metadata math re-derived in SQL over the media dump ----
+    "mm1_media_features" ->
+      s"SELECT media_id, kind, ok, f0 FROM $MEDIA ORDER BY media_id",
+    "mm2_resize_plan" ->
+      s"""WITH s AS (SELECT media_id, width, height,
+         |  CASE WHEN greatest(width, height) <= 256 THEN CAST(1.0 AS DOUBLE)
+         |       ELSE CAST(256 AS DOUBLE) / greatest(width, height) END AS scale
+         |  FROM $MEDIA)
+         |SELECT media_id, width, height, scale,
+         |  CAST(least(ceil(width * scale), 256) AS INT) AS target_w,
+         |  CAST(least(ceil(height * scale), 256) AS INT) AS target_h
+         |FROM s ORDER BY media_id""".stripMargin,
+    "mm3_frame_sample" ->
+      s"""SELECT media_id, durationMs AS "durationMs",
+         |  CAST((durationMs - 1) // 1000 + 1 AS INT) AS n_frames
+         |FROM $MEDIA WHERE kind = 'video' AND durationMs > 0
+         |ORDER BY media_id""".stripMargin
+  )
+}

@@ -43,8 +43,18 @@ object Pipeline {
   def defaultGazetteer(nPersons: Int): Gazetteer =
     Gazetteer.build(KB.aliasEntries(nPersons).map(e => (e.alias, e.entityId, e.prior)))
 
+  /** Above this many canonical-mapping rows the broadcast join is demoted to
+    * a plain shuffle join: at 10^12-doc scale the entity component map
+    * outgrows the driver/broadcast budget, and a forced broadcast would kill
+    * the job exactly when it matters. Mirrors ConnectedComponents.auto's
+    * probe-then-pick-strategy adaptivity (same logical result either way —
+    * tested by the forced-cutover pipeline test). ~8M rows × 16B ≈ 128 MB
+    * broadcast, a safe executor budget. */
+  val CanonBroadcastCutover: Long = 8000000L
+
   def run(spark: SparkSession, pages: Dataset[Page], nPersons: Int = 500,
-          targetLang: String = "en"): Tables = {
+          targetLang: String = "en",
+          canonBroadcastCutover: Long = CanonBroadcastCutover): Tables = {
     import spark.implicits._
 
     val gaz = spark.sparkContext.broadcast(defaultGazetteer(nPersons))
@@ -70,11 +80,17 @@ object Pipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // 5: canonicalize triples. The mapping is bounded by the entity universe
-    // (≪ triple count) → broadcast map-side join, no shuffle of the fact table.
+    // (≪ triple count) → broadcast map-side join while it fits; past the
+    // cutover the broadcast hint is DROPPED and the join shuffles on the
+    // entity key (AQE handles residual skew) — the mapping-outgrows-broadcast
+    // failure mode at 10^12 docs is handled, not hoped away. The count is one
+    // cheap job over the already-persisted (id, component) frame.
     val rawTriples = flat.filter($"rowKind" === "t" && $"pred" =!= "same_as")
       .select($"subj", $"pred", $"obj", $"objValue", $"url", $"conf")
 
-    val canonMap = broadcast(components)
+    val canonMap =
+      if (components.count() <= canonBroadcastCutover) broadcast(components)
+      else components
     val triples = rawTriples
       .join(canonMap.withColumnRenamed("id", "subj").withColumnRenamed("component", "subjCanon"),
         Seq("subj"), "left")
@@ -162,10 +178,32 @@ object Pipeline {
       .select($"mentionId".as("src"), $"nextMentionId".as("dst"),
         lit(EK.NextMention).as("kind"), lit(null).cast("string").as("variable"))
 
+    // SAME_SENTENCE pairs — extractor-emitted "e" rows, pure column select
+    // (the branching C3/CDG analog; slices and taint walks get a DAG, not
+    // just the linear chain)
+    val sameSentence = flat.filter($"rowKind" === "e")
+      .select($"subj".as("src"), $"obj".as("dst"),
+        $"pred".as("kind"), lit(null).cast("string").as("variable"))
+
+    // triple-provenance subgraph (≙ CSVDDGExporter.java:18-45 carrying `var`
+    // on every REACHES edge): one Triple node per extraction occurrence,
+    // SUBJ/OBJ edges back to the mentions that filled its slots. distinct()
+    // dedups re-derivations of the same occurrence (two rules, same slots).
+    val tprov = flat.filter($"rowKind" === "t" && $"tripleNodeId" =!= 0L)
+    val tripleNodes = asNodes($"tripleNodeId", NK.TripleN, $"pred", $"pageId", $"sentIdx",
+      map(lit("objValue"), coalesce($"objValue", lit(""))))(
+      tprov.select("tripleNodeId", "pred", "pageId", "sentIdx", "objValue").distinct())
+    val subjE = asEdges($"tripleNodeId", $"subjMentionId", EK.Subject, $"pred")(
+      tprov.select("tripleNodeId", "subjMentionId", "pred").distinct())
+    val objE = asEdges($"tripleNodeId", $"objMentionId", EK.Object, $"pred")(
+      tprov.filter($"objMentionId" =!= 0L)
+        .select("tripleNodeId", "objMentionId", "pred").distinct())
+
     val nodes = pageNodes.unionByName(hostNodes).unionByName(domainNodes)
-      .unionByName(mentionNodes).unionByName(entityNodes)
+      .unionByName(mentionNodes).unionByName(entityNodes).unionByName(tripleNodes)
     val edges = isPageOf.unionByName(isParentHost).unionByName(mentionsE)
       .unionByName(linksTo).unionByName(sameAsE).unionByName(nextMention)
+      .unionByName(sameSentence).unionByName(subjE).unionByName(objE)
     (nodes, edges)
   }
 

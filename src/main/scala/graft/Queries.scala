@@ -159,7 +159,12 @@ object Queries {
       .agg(
         sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"),
         sum(when(col("event_type") === "error", 1).otherwise(0)).as("errors"),
-        round(avg("value"), 4).as("avg_value"))
+        // avg over EXACT integer cents (values are 2-decimal): double
+        // summation order flipped round()'s last digit between engines
+        // (round-1 driver hash flake on the one user sitting on the
+        // 4-decimal boundary); integer sums are order-independent
+        round(sum(round(col("value") * 100).cast("bigint")).cast("double") / lit(100.0)
+          / count(lit(1)), 4).as("avg_value"))
       .orderBy("user_id")),
 
     "q18_having" -> ((s, d) => t(s, d, "lineitem")
@@ -176,14 +181,19 @@ object Queries {
     }),
 
     "q20_sessionize" -> ((s, d) => {
-      // session = gap > 30 min per user (lag window + cumulative sum)
+      // session = gap > 30 min per user (lag window + cumulative sum).
+      // Gap compared at MICROSECOND precision: the timestamps carry micros,
+      // and floor-to-seconds here vs exact epoch in the oracle flipped
+      // session boundaries for gaps within 1s of the threshold (round-1
+      // driver hash flake)
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
       t(s, d, "events")
         .withColumn("prev_ts", lag("ts", 1).over(byUser))
         .withColumn("new_session",
           when(col("prev_ts").isNull ||
-            col("ts").cast("timestamp").cast("long") -
-              col("prev_ts").cast("timestamp").cast("long") > 1800, 1).otherwise(0))
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L,
+            1).otherwise(0))
         .withColumn("session_id", sum("new_session").over(
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy("user_id", "session_id")
@@ -299,8 +309,10 @@ object Queries {
     "d9_bpe_tokens" -> ((s, d) =>
       graft.ops.TextAnalysis.bpeTokenEstimate(t(s, d, "documents")).orderBy("doc_id")),
     "d6_quality" -> ((s, d) => graft.ops.TextAnalysis.quality(t(s, d, "documents"))),
+    // per-doc language call (integer stopword-hit argmax — no float compare
+    // anywhere, so the DuckDB oracle is exact), not the old 2-row rollup
     "d7_langid" -> ((s, d) => graft.ops.TextAnalysis.langId(t(s, d, "documents"))
-      .groupBy("pred_lang").agg(count(lit(1)).as("n")).orderBy("pred_lang")),
+      .orderBy("doc_id")),
     "d8_fingerprint" -> ((s, d) => graft.ops.TextAnalysis.fingerprint(t(s, d, "documents"))
       .select(col("doc_id"), element_at(col("fingerprint"), 1).as("fp0"))
       .orderBy("doc_id")),
@@ -310,28 +322,40 @@ object Queries {
       t(s, d, "embeddings").withColumnRenamed("vec_id", "id").filter(col("id") < 50),
       t(s, d, "embeddings").withColumnRenamed("vec_id", "id"), k = 3)
       .select("query_id", "rank", "nn_id").orderBy("query_id", "rank")),
+    // nProbe == nCentroids: EXHAUSTIVE probing, so the IVF machinery
+    // (centroid build, inverted-list assignment, probe ranking, list
+    // equi-join, bounded-heap top-k) must reproduce brute force EXACTLY —
+    // which is what makes this oracle-able against the same DuckDB SQL as
+    // e1. The approximate regime (nProbe < nCentroids) is recall-tested in
+    // OpsSpec; the scale argument is unchanged (candidate join bounded by
+    // probed list sizes).
     "e2_ann_ivf" -> ((s, d) => graft.ops.Similarity.ivfTopK(
       t(s, d, "embeddings").withColumnRenamed("vec_id", "id").filter(col("id") < 50),
       t(s, d, "embeddings").withColumnRenamed("vec_id", "id"),
-      k = 3, nCentroids = 16, nProbe = 4)
+      k = 3, nCentroids = 16, nProbe = 16)
       .select("query_id", "rank", "nn_id").orderBy("query_id", "rank")),
+    // threshold 0.999 with planted identical pairs: identical vectors agree
+    // on EVERY hyperplane sign, so LSH recall for them is 1.0 by
+    // construction, and the sf corpus has no non-identical pair above 0.52
+    // cosine (measured) — the all-pairs DuckDB oracle is therefore exact
     "e3_emb_neardup" -> ((s, d) => {
       val base = t(s, d, "embeddings")
       val shifted = base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
       graft.ops.Dedup.embeddingNearDup(base.unionByName(shifted), threshold = 0.999)
+        .withColumn("cosine", round(col("cosine"), 4))
         .orderBy("a", "b")
     }),
 
     // ---------------- multimodal plumbing (stub decode; real Spark shape) ----------------
     "mm1_media_features" -> ((s, _) =>
-      graft.ops.Multimodal.extractFeatures(graft.ops.Multimodal.synthMedia(s, 2000))
+      graft.ops.Multimodal.extractFeatures(graft.ops.Multimodal.synthMedia(s, MmN))
         .toDF().select(col("media_id"), col("kind"), col("ok"),
           element_at(col("feature"), 1).as("f0")).orderBy("media_id")),
     "mm2_resize_plan" -> ((s, _) =>
-      graft.ops.Multimodal.resizePlan(graft.ops.Multimodal.synthMedia(s, 2000).toDF(), 256)
+      graft.ops.Multimodal.resizePlan(graft.ops.Multimodal.synthMedia(s, MmN).toDF(), 256)
         .orderBy("media_id")),
     "mm3_frame_sample" -> ((s, _) =>
-      graft.ops.Multimodal.frameSamplePlan(graft.ops.Multimodal.synthMedia(s, 2000).toDF(), 1000)
+      graft.ops.Multimodal.frameSamplePlan(graft.ops.Multimodal.synthMedia(s, MmN).toDF(), 1000)
         .select("media_id", "durationMs", "n_frames").orderBy("media_id")),
 
     // ---------------- query-step surface over the KG tables ----------------
@@ -348,9 +372,26 @@ object Queries {
     }),
     "kg_step_slice" -> ((s, d) => {
       val kt = kg(s, d)
-      val seeds = kt.nodes.filter(col("kind") === "Mention").limit(100)
+      // deterministic seed set: orderBy(id) — a bare limit() samples
+      // whatever partitions answer first, which no oracle can reproduce
+      val seeds = kt.nodes.filter(col("kind") === "Mention").orderBy("id").limit(100)
       graft.query.Steps.forwardSlice(seeds, kt.edges, kt.nodes,
         symbols = Nil, depth = 2, kinds = Seq("LINKS_TO", "SAME_AS")).drop("props")
+    }),
+    // provenance traversal: Triple node -> SUBJ/OBJ mentions — the
+    // derived-fact-to-origin walk the reference's exporters support
+    // (`CSVDDGExporter.java:18-45`)
+    "kg_step_prov" -> ((s, d) => {
+      val kt = kg(s, d)
+      val tn = kt.nodes.filter(col("kind") === "Triple")
+        .select(col("id").as("triple_id"), col("code").as("pred"), col("pageId"))
+      val se = kt.edges.filter(col("kind") === graft.model.Schema.EdgeKinds.Subject)
+        .select(col("src").as("triple_id"), col("dst").as("subj_mention"))
+      val oe = kt.edges.filter(col("kind") === graft.model.Schema.EdgeKinds.Object)
+        .select(col("src").as("triple_id"), col("dst").as("obj_mention"))
+      tn.join(se, "triple_id").join(oe, Seq("triple_id"), "left")
+        .select("triple_id", "pred", "pageId", "subj_mention", "obj_mention")
+        .orderBy("triple_id")
     }),
     "kg_step_nhash" -> ((s, d) => {
       val kt = kg(s, d)
@@ -384,6 +425,10 @@ object Queries {
     })
   )
 
+  /** Synthetic-media row count for the mm entries (shared with
+    * VerifyOracle's media dump). */
+  private[graft] val MmN = 2000
+
   /** documents ∪ (documents shifted by 1e6): plants exact duplicate pairs so
     * near-dup operators have deterministic positives at any scale. */
   private def dupedDocs(s: SparkSession, d: String): DataFrame = {
@@ -391,7 +436,7 @@ object Queries {
     base.unionByName(base.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
   }
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = KgOracleSql.map ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
@@ -462,7 +507,8 @@ object Queries {
       """SELECT user_id,
         | sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
         | sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
-        | round(avg(value), 4) AS avg_value
+        | round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |   / count(*), 4) AS avg_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q18_having" ->
       """SELECT l_partkey, count(*) AS n FROM lineitem
@@ -476,7 +522,7 @@ object Queries {
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events),
         |sess AS (
@@ -609,6 +655,61 @@ object Queries {
         | length(text) AS len,
         | len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
         | round(CAST(length(text) - length(replace(replace(text, ' ', ''), 'e', '')) AS DOUBLE) / length(text), 4) AS space_e_ratio
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d7_langid" -> langIdOracleSql,
+    // e2 runs with nProbe == nCentroids (exhaustive probing — see the query
+    // comment), so the IVF plumbing must reproduce exact brute force
+    "e2_ann_ivf" ->
+      """WITH sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) AS cs
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 50 AND c.vec_id != q.vec_id)
+        |SELECT query_id, rank, nn_id FROM (
+        |  SELECT query_id, nn_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, nn_id) AS rank
+        |  FROM sims) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // ground truth is the full all-pairs sweep: the LSH path may not miss a
+    // single >= 0.999 pair (identical vectors always collide; measured
+    // non-identical max cosine is 0.52 — see the query comment)
+    "e3_emb_neardup" ->
+      """WITH both_v AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+        |scored AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |                           CAST(y.embedding AS DOUBLE[])) AS cs
+        |  FROM both_v x JOIN both_v y ON x.vec_id < y.vec_id)
+        |SELECT a, b, round(cs, 4) AS cosine FROM scored
+        |WHERE cs >= 0.999 ORDER BY a, b""".stripMargin
   )
+
+  /** DuckDB twin of [[graft.ops.TextAnalysis.langId]], generated from the
+    * SAME stopword lists (one source of truth; integer argmax, lang-ascending
+    * tie-break, zero hits -> 'unk'). */
+  private def langIdOracleSql: String = {
+    val langs = graft.ops.TextAnalysis.stopWords.toSeq.sortBy(_._1)
+    val hitCols = langs.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(t, x -> list_contains($lst, x))) AS h_$lang"
+    }.mkString(",\n    ")
+    val g = langs.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
+    val cases = langs.map { case (l, _) => s"WHEN h_$l = $g THEN '$l'" }.mkString("\n    ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, len(t) AS nt,
+       |    $hitCols
+       |  FROM toks)
+       |SELECT doc_id,
+       |  CASE WHEN $g = 0 THEN 'unk'
+       |    $cases
+       |    END AS pred_lang,
+       |  CAST($g AS BIGINT) AS n_hits,
+       |  CAST(nt AS BIGINT) AS n_toks
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
 }

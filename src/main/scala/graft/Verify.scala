@@ -34,8 +34,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // single-threaded oracle leaf dumps (the reference's
+    // output-vs-in-memory-recompute test shape — see VerifyOracle); the
+    // `{{ORA}}` placeholder in dump-backed oracle SQL resolves to wherever
+    // THIS run wrote them, so the driver's DuckDB finds them regardless of
+    // its outDir choice
+    try VerifyOracle.dump(spark, sfDir, outDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] oracle dump failed: ${e.getMessage}")
+    }
+    val oraDir = Paths.get(outDir).toAbsolutePath.normalize.toString + "/_oracle"
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{{ORA}}", oraDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -1,0 +1,179 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.SparkSession
+
+import graft.canon.ConnectedComponents.LocalUnionFind
+import graft.extract._
+import graft.model._
+
+/** Single-threaded oracle dumps for the driver's DuckDB correctness gate.
+  *
+  * The reference's whole test philosophy is DB-output-vs-in-memory-recompute
+  * (`tests/ddg/testDDGCreator.java:29-49` asserts exactly the expected
+  * REACHES edges; gremtest asserts exact result sets,
+  * `gremtest/test_stdlib/tests/function.groovy:17-26`). This module is that
+  * in-memory recompute for the KG pipeline: a plain sequential loop over the
+  * deterministic page corpus, a `LocalUnionFind` for canonicalization, and
+  * the same PURE per-page / per-row functions the executors run — so the
+  * dump is differential against everything the DISTRIBUTED path adds
+  * (partitioning, shuffles, joins, salting, caching, dedup) while staying
+  * byte-comparable. Downstream tables (nodes / edges / step queries) are
+  * NOT dumped: the DuckDB oracle SQL re-derives them relationally from these
+  * leaf dumps ([[KgOracleSql]]), which makes the derivation itself
+  * independently checked, in SQL, by a different engine.
+  *
+  * Everything here is driver-side, runs once per `graft.Verify` invocation,
+  * and is sized for the verify scale (thousands of pages), not production.
+  */
+object VerifyOracle {
+
+  /** Spark-compatible xxhash64 over a chain of strings (seed 42, each
+    * child's digest seeding the next — exactly the XxHash64 expression's
+    * fold), via Spark's own XXH64 so there is no reimplementation to drift. */
+  def sparkXxhash64(parts: Seq[String]): Long = {
+    var h = 42L
+    parts.foreach { s =>
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, h)
+    }
+    h
+  }
+
+  /** Initial neighborhood-hash label — twin of Steps.neighborhoodHashFeatures'
+    * `abs(xxhash64(...)) % 65536` column (A_NUMBER collapse included). */
+  def initialLabel(kind: String, code: String): Long = {
+    val h =
+      if (code != null && code.nonEmpty && code.forall(c => c >= '0' && c <= '9'))
+        sparkXxhash64(Seq("A_NUMBER"))
+      else sparkXxhash64(Seq(kind, code))
+    math.abs(h) % 65536
+  }
+
+  /** Twin of TextAnalysis.fingerprint's min element (min of 8-gram xxhash64,
+    * with the <8-token truncated-shingle edge case of sequence/greatest). */
+  def fingerprintMin(text: String, shingleLen: Int = 8): Long = {
+    val toks = text.split("\\s+", -1)
+    val last = math.max(toks.length - shingleLen, 0)
+    var min = Long.MaxValue
+    var i = 0
+    while (i <= last) {
+      val sh = toks.slice(i, math.min(i + shingleLen, toks.length)).mkString(" ")
+      val h = sparkXxhash64(Seq(sh))
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  // -------- leaf-dump row shapes (written as parquet under <out>/_oracle) --------
+  final case class OraPage(pageId: Long, url: String, host: String, hostId: Long,
+                           nSentences: Int, error: String)
+  final case class OraMention(pageId: Long, url: String, mentionId: Long, mentionIdx: Int,
+                              sentIdx: Int, surface: String, norm: String, entityId: Long,
+                              entityNodeId: Long, nextMentionId: Long)
+  final case class OraRawTriple(pageId: Long, url: String, subj: Long, pred: String, obj: Long,
+                                objValue: String, sentIdx: Int, conf: Double, tripleNodeId: Long,
+                                subjMentionId: Long, objMentionId: Long)
+  final case class OraComp(id: Long, component: Long, idNode: Long, compNode: Long)
+  final case class OraHost(hostId: Long, host: String, domainId: Long, domain: String)
+  final case class OraLabel(kind: String, code: String, label: Long)
+  final case class OraMedia(media_id: Long, kind: String, width: Int, height: Int,
+                            durationMs: Int, ok: Boolean, f0: Float)
+  final case class OraDocSig(doc_id: Long, sig: Array[Long], simhash: Long, fp0: Long)
+
+  /** Registrable domain, twin of Pipeline.graphTables' column derivation. */
+  def domainOf(host: String): String = {
+    val labels = host.split("\\.", -1)
+    if (labels.length < 2) host else labels.takeRight(2).mkString(".")
+  }
+
+  /** Compute all leaf dumps sequentially and write them under
+    * `<outDir>/_oracle/<name>/`. */
+  def dump(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    import spark.implicits._
+    val oraDir = s"$outDir/_oracle"
+
+    // ---- KG pipeline leaves: sequential loop over the same corpus ----
+    val cfg = PageGen.Config(nPages = Queries.kgPages(sfDir))
+    val gaz = Pipeline.defaultGazetteer(cfg.nPersons)
+    val auto = PatternAutomaton.compile(PatternAutomaton.DefaultRules)
+    val uf = new LocalUnionFind
+
+    val pages = Vector.newBuilder[OraPage]
+    val mentions = Vector.newBuilder[OraMention]
+    val triples = Vector.newBuilder[OraRawTriple]
+    var i = 0L
+    while (i < cfg.nPages) {
+      val p = PageGen.page(cfg, i)
+      if (p.lang == "en") {
+        val ex = TripleExtractor.extractPage(p, gaz, auto)
+        pages += OraPage(ex.pageId, ex.url, ex.host, Ids.hash64(ex.host), ex.nSentences, ex.error)
+        val marr = ex.mentions.toIndexedSeq
+        marr.zipWithIndex.foreach { case (m, idx) =>
+          mentions += OraMention(m.pageId, m.url, m.mentionId, idx, m.sentIdx, m.surface,
+            m.norm, m.entityId,
+            if (m.entityId >= 0) Ids.entityNodeId(m.entityId) else 0L,
+            if (idx + 1 < marr.length) marr(idx + 1).mentionId else 0L)
+        }
+        ex.triples.foreach { t =>
+          if (t.pred == "same_as") { if (t.obj >= 0) uf.union(t.subj, t.obj) }
+          else triples += OraRawTriple(ex.pageId, ex.url, t.subj, t.pred, t.obj, t.objValue,
+            t.sentIdx, t.conf, Ids.tripleNodeId(t.subjMentionId, t.pred, t.objMentionId, t.objValue),
+            t.subjMentionId, t.objMentionId)
+        }
+      }
+      i += 1
+    }
+    val comps = uf.components.toSeq.sortBy(_._1).map { case (id, c) =>
+      OraComp(id, c, Ids.entityNodeId(id), Ids.entityNodeId(c))
+    }
+    val pagesV = pages.result(); val mentionsV = mentions.result(); val triplesV = triples.result()
+    val hosts = pagesV.map(p => (p.hostId, p.host)).distinct.sorted.map { case (hid, h) =>
+      val d = domainOf(h)
+      OraHost(hid, h, sparkXxhash64(Seq("Domain", d)), d)
+    }
+    // label map: every (kind, code) pair the derived node table can contain
+    val labelPairs: Seq[(String, String)] =
+      (pagesV.map(p => (Schema.NodeKinds.Page, p.url)) ++
+        hosts.map(h => (Schema.NodeKinds.Host, h.host)) ++
+        hosts.map(h => (Schema.NodeKinds.Domain, h.domain)) ++
+        mentionsV.map(m => (Schema.NodeKinds.Mention, m.surface)) ++
+        mentionsV.filter(_.entityId >= 0).map(m => (Schema.NodeKinds.Entity, m.entityId.toString)) ++
+        triplesV.map(t => (Schema.NodeKinds.TripleN, t.pred))).distinct
+    val labels = labelPairs.map { case (k, c) => OraLabel(k, c, initialLabel(k, c)) }
+
+    // ---- media leaves: the same pure row function + stub codec ----
+    val media = (0L until Queries.MmN.toLong).map { mi =>
+      val m = graft.ops.Multimodal.mediaRow(mi)
+      val (ok, f0) =
+        try (true, graft.ops.Multimodal.FakeCodec.decode(m.bytes)(0))
+        catch { case _: Exception => (false, 0.0f) }
+      OraMedia(m.media_id, m.kind, m.width, m.height, m.durationMs, ok, f0)
+    }
+
+    // ---- document-signature leaves: same pure per-doc functions ----
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val sigs = docs.map { case (id, text) =>
+      OraDocSig(id,
+        graft.ops.Dedup.minhashSignatureLocal(text, 3, 32, 42L),
+        graft.ops.Dedup.simhashLocal(text),
+        fingerprintMin(text))
+    }
+
+    def write[T <: Product : org.apache.spark.sql.Encoder](name: String, rows: Seq[T]): Unit =
+      spark.createDataset(rows).coalesce(1)
+        .write.mode("overwrite").parquet(s"$oraDir/$name")
+    write("pages", pagesV)
+    write("mentions", mentionsV)
+    write("rawtriples", triplesV)
+    write("components", comps)
+    write("hosts", hosts)
+    write("labelmap", labels)
+    write("media", media)
+    write("docsigs", sigs.toSeq)
+  }
+}

@@ -19,14 +19,19 @@ case class PageExtract(
     triples: Seq[PageTriple],
     error: String) // null when clean; a bad page never kills the job
 
-/** A page-local triple over *linked* entity ids (pre-canonicalization). */
+/** A page-local triple over *linked* entity ids (pre-canonicalization).
+  * Carries the MENTION ids that filled its slots — the provenance handles
+  * the graph exporters turn into Triple nodes + SUBJ/OBJ edges
+  * (≙ the `var` provenance on every REACHES edge, `CSVDDGExporter.java:18-45`). */
 case class PageTriple(
     subj: Long,
     pred: String,
     obj: Long,     // -1 for literal objects
     objValue: String, // literal text when obj == -1, else null
     sentIdx: Int,
-    conf: Double)
+    conf: Double,
+    subjMentionId: Long = 0L,
+    objMentionId: Long = 0L)  // 0 when the object is a literal
 
 /** One flat emitted row — page / mention / triple, discriminated by `rowKind`
   * ("p" | "m" | "t"). The distributed pipeline caches THIS flat columnar
@@ -51,13 +56,17 @@ case class FlatRow(
     entityId: Long,
     entityNodeId: Long,
     nextMentionId: Long, // successor in page order, 0 if last (≙ FLOWS_TO target)
-    // triple fields (rowKind = "t")
+    // triple fields (rowKind = "t"); edge rows (rowKind = "e") reuse
+    // subj/obj as src/dst mention ids and pred as the edge kind
     subj: Long,
     pred: String,
     obj: Long,
     objValue: String,
-    sentIdx: Int,
+    sentIdx: Int,       // also set on "m" rows (mention's sentence)
     conf: Double,
+    tripleNodeId: Long,    // provenance node id ("t" rows, non-same_as)
+    subjMentionId: Long,
+    objMentionId: Long,
     error: String)
 
 /** Counters surfaced to the manifest/metrics (≙ the reference silently
@@ -139,10 +148,15 @@ object TripleExtractor {
     }
   }
 
+  /** Mentions per sentence considered for SAME_SENTENCE pairs — a semantic
+    * cap like MaxSentencesPerPage (quadratic pair count must stay bounded
+    * for adversarial pages; rule sentences carry ≤3 mentions). */
+  val MaxSameSentenceMentions = 16
+
   def toFlatRows(ex: PageExtract): Iterator[FlatRow] = {
     val hostId = Ids.hash64(ex.host)
     val base = FlatRow("p", ex.pageId, ex.url, ex.host, hostId, ex.nSentences,
-      0L, -1, null, null, -1L, 0L, 0L, -1L, null, -1L, null, -1, 0.0, ex.error)
+      0L, -1, null, null, -1L, 0L, 0L, -1L, null, -1L, null, -1, 0.0, 0L, 0L, 0L, ex.error)
     // the discourse chain (NEXT_MENTION) is emitted HERE, page-locally —
     // deriving it later would cost a pageId window shuffle over every
     // mention stub for information the extractor already holds
@@ -152,13 +166,29 @@ object TripleExtractor {
         surface = m.surface, norm = m.norm, entityId = m.entityId,
         entityNodeId = if (m.entityId >= 0) Ids.entityNodeId(m.entityId) else 0L,
         nextMentionId = if (i + 1 < marr.length) marr(i + 1).mentionId else 0L,
-        error = null)
+        sentIdx = m.sentIdx, error = null)
+    }
+    // SAME_SENTENCE pairs (i < j in token order) — the branching page-local
+    // discourse graph (≙ CDG edges per function, `cdg/CDGCreator.java:41-88`);
+    // emitted page-locally for the same zero-shuffle reason as NEXT_MENTION
+    val es = marr.groupBy(_.sentIdx).iterator.flatMap { case (si, sms) =>
+      val ids = sms.take(MaxSameSentenceMentions).map(_.mentionId)
+      for {
+        i <- ids.indices.iterator
+        j <- (i + 1) until ids.length
+      } yield base.copy(rowKind = "e", subj = ids(i), obj = ids(j),
+        pred = graft.model.Schema.EdgeKinds.SameSentence, sentIdx = si, error = null)
     }
     val ts = ex.triples.iterator.map { t =>
       base.copy(rowKind = "t", subj = t.subj, pred = t.pred, obj = t.obj,
-        objValue = t.objValue, sentIdx = t.sentIdx, conf = t.conf, error = null)
+        objValue = t.objValue, sentIdx = t.sentIdx, conf = t.conf,
+        tripleNodeId =
+          if (t.pred == "same_as") 0L
+          else Ids.tripleNodeId(t.subjMentionId, t.pred, t.objMentionId, t.objValue),
+        subjMentionId = t.subjMentionId, objMentionId = t.objMentionId,
+        error = null)
     }
-    Iterator(base) ++ ms ++ ts
+    Iterator(base) ++ ms ++ es ++ ts
   }
 
   def hostOf(url: String): String = {
@@ -233,7 +263,7 @@ object TripleExtractor {
       msArr.zipWithIndex.foreach { case ((s, e, norm), idx) =>
         mentions += LinkedMention(pageId, p.url, Ids.mentionId(pageId, si, s),
           toks.slice(s, e).mkString(" "), norm, linked(idx),
-          if (linked(idx) >= 0) 1.0 else 0.0)
+          if (linked(idx) >= 0) 1.0 else 0.0, si)
       }
       auto.matchAllNorm(toks, sentNorms(si), mentionAt).foreach { case (rule, bindings) =>
         // bindings are token positions for each slot in pattern order
@@ -249,7 +279,11 @@ object TripleExtractor {
           if (objMention >= 0) (linked(objMention), null)
           else (-1L, toks(objPos)) // numeric literal slot
         if (subj >= 0 && (obj >= 0 || objValue != null)) {
-          triples += PageTriple(subj, rule.pred, obj, objValue, si, 1.0)
+          // provenance: the mention ids that filled the slots (subj >= 0
+          // implies a subject mention exists at the bound position)
+          val subjMid = Ids.mentionId(pageId, si, msArr(mentionAt(bindings(rule.subjSlot)))._1)
+          val objMid = if (objMention >= 0) Ids.mentionId(pageId, si, msArr(objMention)._1) else 0L
+          triples += PageTriple(subj, rule.pred, obj, objValue, si, 1.0, subjMid, objMid)
         }
       }
       si += 1

@@ -20,8 +20,10 @@ object Schema {
     val LinksTo      = "LINKS_TO"        // mention -> entity   (≙ CALLS resolution)
     val SameAs       = "SAME_AS"         // entity -> entity    (input to canonicalization)
     val NextMention  = "NEXT_MENTION"    // mention -> next mention in page order (≙ FLOWS_TO)
-    val Subject      = "SUBJ"            // triple -> mention
-    val Object       = "OBJ"             // triple -> mention
+    val SameSentence = "SAME_SENTENCE"   // mention -> later mention, same sentence (≙ CDG/CONTROLS:
+                                         //   the page-local discourse graph branches, not just chains)
+    val Subject      = "SUBJ"            // triple -> subject mention (provenance, ≙ REACHES `var`)
+    val Object       = "OBJ"             // triple -> object mention  (provenance)
   }
 
   /** Node-kind vocabulary (≙ the `type` column of the reference node table). */
@@ -74,7 +76,8 @@ case class LinkedMention(
     surface: String,
     norm: String,
     entityId: Long,
-    score: Double)
+    score: Double,
+    sentIdx: Int = -1)
 
 /** A canonical triple over entity ids, with provenance. */
 case class Triple(
@@ -139,6 +142,14 @@ object Ids {
   def entityNodeId(entityId: Long): Long = hash64(entityId, 0x456e74L /* "Ent" */)
   def tripleId(subj: Long, pred: String, obj: Long): Long =
     hash64(hash64(subj, hash64(pred)), obj)
+  /** Provenance node id of one extraction OCCURRENCE — keyed by the mention
+    * ids (position-unique within a page), not the entity ids, so the same
+    * fact stated twice yields two Triple nodes, each traceable to its own
+    * sentence (≙ the reference's per-statement DDG rows). */
+  def tripleNodeId(subjMentionId: Long, pred: String,
+                   objMentionId: Long, objValue: String): Long =
+    hash64(hash64(subjMentionId, hash64(pred)),
+      if (objMentionId != 0L) objMentionId else hash64(String.valueOf(objValue)))
   // NOTE: bucket assignment for the store lives in TableIO (Spark xxhash64
   // pmod) — a second FNV-based helper here once invited silently mismatched
   // bucket math, so it was removed.

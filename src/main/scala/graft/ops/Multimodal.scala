@@ -32,17 +32,22 @@ object Multimodal {
       ok: Boolean,
       error: String)
 
+  /** One synthetic media row — pure in (seed, i), shared by the distributed
+    * synth and the single-threaded oracle dump (same differential pattern as
+    * PageGen.page). */
+  def mediaRow(i: Long, seed: Long = 42L): MediaRow = {
+    val kind = Vector("image", "audio", "video")(Det.nextInt(Det.rand(seed, i, 1), 3))
+    val len = 64 + Det.nextInt(Det.rand(seed, i, 2), 192)
+    val bytes = Array.tabulate(len)(j => (Det.rand(seed, i, 3 + j) & 0xff).toByte)
+    val w = 16 * (1 + Det.nextInt(Det.rand(seed, i, 4), 64))
+    val h = 16 * (1 + Det.nextInt(Det.rand(seed, i, 5), 64))
+    MediaRow(i, kind, bytes, w, h, 16000, 1000 + Det.nextInt(Det.rand(seed, i, 6), 60000))
+  }
+
   /** Deterministic synthetic media table (no external data). */
   def synthMedia(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.range(0L, n.toLong).map { i =>
-      val kind = Vector("image", "audio", "video")(Det.nextInt(Det.rand(seed, i, 1), 3))
-      val len = 64 + Det.nextInt(Det.rand(seed, i, 2), 192)
-      val bytes = Array.tabulate(len)(j => (Det.rand(seed, i, 3 + j) & 0xff).toByte)
-      val w = 16 * (1 + Det.nextInt(Det.rand(seed, i, 4), 64))
-      val h = 16 * (1 + Det.nextInt(Det.rand(seed, i, 5), 64))
-      MediaRow(i, kind, bytes, w, h, 16000, 1000 + Det.nextInt(Det.rand(seed, i, 6), 60000))
-    }
+    spark.range(0L, n.toLong).map(i => mediaRow(i, seed))
   }
 
   /** STUB decoder: a real deployment replaces this one function with an

@@ -43,16 +43,26 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "dans"),
     "es" -> Seq("el", "la", "los", "y", "es", "una", "para", "en"))
 
+  /** Exposed for the DuckDB oracle generator (Queries builds the equivalent
+    * SQL from the same word lists — one source of truth). */
+  private[graft] def stopWords: Map[String, Seq[String]] = StopWords
+
   def langId(docs: DataFrame): DataFrame = {
-    val toks = split(lower(col("text")), "\\s+")
-    val scores = StopWords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val hits = size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
-      struct((hits.cast("double") / greatest(size(toks), lit(1))).as("score"),
+    // INTEGER-exact argmax: all languages share the same token count, so
+    // comparing hit COUNTS is equivalent to comparing hit ratios — and an
+    // integer compare is reproducible in any engine (no float tie-break).
+    // Tie-break: language name ascending; zero hits anywhere -> "unk".
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val scored = StopWords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(negate(size(filter(toks, t => t.isin(words.map(lit(_)): _*)))).as("neg_hits"),
         lit(lang).as("lang"))
     }
+    val best = sort_array(array(scored: _*)).getItem(0)
     docs.select(col("doc_id"),
-      sort_array(array(scores: _*), asc = false).getItem(0).getField("lang").as("pred_lang"),
-      round(sort_array(array(scores: _*), asc = false).getItem(0).getField("score"), 4).as("score"))
+      when(best.getField("neg_hits") === 0, lit("unk"))
+        .otherwise(best.getField("lang")).as("pred_lang"),
+      negate(best.getField("neg_hits")).cast("long").as("n_hits"),
+      size(toks).cast("long").as("n_toks"))
   }
 
   /** Rolling-hash document fingerprint: min-k of 8-gram Rabin-Karp hashes
