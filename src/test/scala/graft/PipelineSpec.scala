@@ -109,6 +109,72 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("canonical join past the cutover: shuffle path, identical triples") {
+    // cutover 0 forces the non-broadcast-hint path on the same input
+    val t2 = Pipeline.run(spark, PageGen.pages(spark, cfg), cfg.nPersons,
+      canonBroadcastCutover = 0L)
+    val a = tables.triples.collect().map(_.toString).sorted
+    val b = t2.triples.collect().map(_.toString).sorted
+    b shouldBe a
+    // with Spark's own auto-broadcast disabled, the hint-free path must plan
+    // a genuine shuffle join of the canonical map (the shape that survives a
+    // component map too big to broadcast)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t3 = Pipeline.run(spark, PageGen.pages(spark, cfg), cfg.nPersons,
+        canonBroadcastCutover = 0L)
+      val plan = t3.triples.queryExecution.executedPlan.toString
+      plan shouldNot include("BroadcastHashJoin")
+      "(SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(plan) should be(defined)
+      t3.flat.unpersist(false); t3.components.unpersist(false)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    t2.flat.unpersist(false); t2.components.unpersist(false)
+  }
+
+  test("triple provenance: SUBJ/OBJ edges point at the slot mentions") {
+    import org.apache.spark.sql.functions.col
+    val m = tables.flat.filter(col("rowKind") === "m")
+      .select(col("mentionId").as("mid"), col("entityId").as("ment"),
+        col("sentIdx").as("msent"))
+    val t = tables.flat.filter(col("rowKind") === "t" && col("tripleNodeId") =!= 0L)
+      .select(col("subj"), col("obj"), col("sentIdx").as("tsent"),
+        col("subjMentionId"), col("objMentionId"))
+    // every subject slot mention exists, carries the PRE-canon subject
+    // entity, and sits in the triple's sentence
+    val subjJoin = t.join(m, t("subjMentionId") === m("mid"))
+    subjJoin.count() shouldBe t.count()
+    subjJoin.filter(col("subj") =!= col("ment")).count() shouldBe 0L
+    subjJoin.filter(col("tsent") =!= col("msent")).count() shouldBe 0L
+    val to = t.filter(col("objMentionId") =!= 0L)
+    val objJoin = to.join(m, to("objMentionId") === m("mid"))
+    objJoin.count() shouldBe to.count()
+    objJoin.filter(col("obj") =!= col("ment")).count() shouldBe 0L
+    // and the materialized graph carries one SUBJ edge per Triple node
+    val nTriples = tables.nodes.filter(col("kind") === "Triple").count()
+    nTriples should be > 0L
+    tables.edges.filter(col("kind") === "SUBJ").count() shouldBe nTriples
+  }
+
+  test("SAME_SENTENCE edges connect exactly the same-sentence mention pairs") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val m = tables.flat.filter(col("rowKind") === "m")
+    // expected pair count = sum over (page, sentence) of C(k, 2)
+    val expected = m.groupBy("pageId", "sentIdx").agg(count(lit(1)).as("k"))
+      .collect().map(r => { val k = r.getLong(2); k * (k - 1) / 2 }).sum
+    val got = tables.edges.filter(col("kind") === "SAME_SENTENCE")
+    got.count() shouldBe expected
+    // each edge joins two mentions of the same page+sentence, ordered
+    val ml = m.select(col("mentionId").as("src"), col("sentIdx").as("sSent"),
+      col("pageId").as("sPage"), col("mentionIdx").as("sIdx"))
+    val mr = m.select(col("mentionId").as("dst"), col("sentIdx").as("dSent"),
+      col("pageId").as("dPage"), col("mentionIdx").as("dIdx"))
+    val j = got.join(ml, "src").join(mr, "dst")
+    j.count() shouldBe expected
+    j.filter(col("sSent") =!= col("dSent") || col("sPage") =!= col("dPage") ||
+      col("sIdx") >= col("dIdx")).count() shouldBe 0L
+  }
+
   test("skew exists by construction: mega-host and head entity") {
     val hosts = tables.flat.filter(org.apache.spark.sql.functions.col("rowKind") === "p")
       .collect().groupBy(_.host).view.mapValues(_.size)
