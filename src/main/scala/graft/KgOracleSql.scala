@@ -152,6 +152,65 @@ object KgOracleSql {
          |${nhashRound("l1", "x2", "l2")}
          |SELECT pageId AS "pageId", label, count(*) AS "count"
          |FROM l2 GROUP BY 1, 2""".stripMargin,
+    // interval-column chain slice: first-mention seeds make the depth-5
+    // slice a plain position filter
+    "kg_step_chain_slice" ->
+      s"""SELECT mentionId AS id, 'Mention' AS kind, surface AS code,
+         |  pageId AS "pageId", mentionIdx AS "childNum"
+         |FROM $M WHERE mentionIdx <= 5
+         |ORDER BY "pageId", "childNum", id""".stripMargin,
+    // shortest kill-avoiding distance on the branching page graph,
+    // re-derived by a recursive BFS enumeration (kill nodes reachable but
+    // never expanded, except the source)
+    "kg_step_unsanitized_dag" ->
+      s"""WITH RECURSIVE m AS (SELECT * FROM $M),
+         |lm AS (SELECT pageId, mentionId, mentionIdx, entityId FROM m WHERE entityId >= 0),
+         |pairs AS (
+         |  SELECT pageId, arg_min(mentionId, mentionIdx) AS src,
+         |         arg_max(mentionId, mentionIdx) AS dst
+         |  FROM lm GROUP BY 1
+         |  HAVING arg_min(mentionId, mentionIdx) != arg_max(mentionId, mentionIdx)),
+         |kills AS (SELECT mentionId AS id FROM lm WHERE entityId % 7 = 3),
+         |e AS (
+         |  SELECT pageId, mentionId AS src, nextMentionId AS dst FROM m WHERE nextMentionId != 0
+         |  UNION ALL
+         |  SELECT a.pageId, a.mentionId, b.mentionId FROM m a JOIN m b
+         |    ON a.pageId = b.pageId AND a.sentIdx = b.sentIdx AND a.mentionIdx < b.mentionIdx),
+         |walk(pageId, src, node, d) AS (
+         |  SELECT pageId, src, src, 0 FROM pairs
+         |  UNION
+         |  SELECT w.pageId, w.src, e.dst, w.d + 1
+         |  FROM walk w JOIN e ON e.pageId = w.pageId AND e.src = w.node
+         |  WHERE w.d < 30 AND (w.node = w.src OR w.node NOT IN (SELECT id FROM kills)))
+         |SELECT p.pageId AS "pageId", p.src, p.dst, CAST(min(w.d) AS INT) AS dist
+         |FROM pairs p JOIN walk w
+         |  ON w.pageId = p.pageId AND w.src = p.src AND w.node = p.dst
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    // initGraphs battery: seed = first head-entity mention per qualifying
+    // page; <=3-hop neighborhood size + condition-touch flag via recursive
+    // enumeration
+    "kg_step_graphlet" ->
+      s"""WITH RECURSIVE m AS (SELECT * FROM $M),
+         |seeds AS (
+         |  SELECT pageId, arg_min(mentionId, mentionIdx) AS seed
+         |  FROM m WHERE entityId = 0 GROUP BY 1),
+         |e AS (
+         |  SELECT pageId, mentionId AS src, nextMentionId AS dst FROM m WHERE nextMentionId != 0
+         |  UNION ALL
+         |  SELECT a.pageId, a.mentionId, b.mentionId FROM m a JOIN m b
+         |    ON a.pageId = b.pageId AND a.sentIdx = b.sentIdx AND a.mentionIdx < b.mentionIdx),
+         |walk(pageId, seed, node, d) AS (
+         |  SELECT pageId, seed, seed, 0 FROM seeds
+         |  UNION
+         |  SELECT w.pageId, w.seed, e.dst, w.d + 1
+         |  FROM walk w JOIN e ON e.pageId = w.pageId AND e.src = w.node
+         |  WHERE w.d < 3),
+         |conds AS (SELECT mentionId AS id FROM m WHERE entityId >= 0 AND entityId % 5 = 1)
+         |SELECT s.pageId AS "pageId", s.seed, count(DISTINCT w.node) AS "nReach",
+         |  CAST(max(CASE WHEN c.id IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS "hasCond"
+         |FROM seeds s JOIN walk w ON w.pageId = s.pageId AND w.seed = s.seed
+         |LEFT JOIN conds c ON c.id = w.node
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "kg_step_prov" ->
       s"""SELECT DISTINCT tripleNodeId AS triple_id, pred, pageId AS "pageId",
          |  subjMentionId AS subj_mention, nullif(objMentionId, 0) AS obj_mention

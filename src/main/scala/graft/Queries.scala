@@ -422,6 +422,48 @@ object Queries {
       graft.query.Steps.unsanitizedPairs(kt.nodes, kt.edges, pairs, kill,
         kinds = Seq(graft.model.Schema.EdgeKinds.NextMention))
         .orderBy("pageId")
+    }),
+    // ≙ the same taint question over the BRANCHING page graph (NEXT_MENTION
+    // ∪ SAME_SENTENCE): shortest kill-avoiding distance per candidate pair
+    "kg_step_unsanitized_dag" -> ((s, d) => {
+      val kt = kg(s, d)
+      val m = kt.flat.filter(col("rowKind") === "m" && col("entityId") >= 0)
+        .select(col("pageId"), col("mentionId"), col("mentionIdx"), col("entityId"))
+      val pairs = m.groupBy("pageId")
+        .agg(min(struct(col("mentionIdx"), col("mentionId"))).as("s"),
+          max(struct(col("mentionIdx"), col("mentionId"))).as("t"))
+        .filter(col("s.mentionId") =!= col("t.mentionId"))
+        .select(col("pageId"), col("s.mentionId").as("src"), col("t.mentionId").as("dst"))
+      val kill = m.filter(pmod(col("entityId"), lit(7)) === 3)
+        .select(col("mentionId").as("id"))
+      graft.query.Steps.shortestUnsanitized(kt.nodes, kt.edges, pairs, kill,
+        kinds = Seq(graft.model.Schema.EdgeKinds.NextMention,
+          graft.model.Schema.EdgeKinds.SameSentence))
+        .orderBy("pageId")
+    }),
+    // ≙ `statements`/`astNodes` via a build-time closure column: the chain
+    // slice as ONE range-filtered join (no iteration — PlanSpec-pinned)
+    "kg_step_chain_slice" -> ((s, d) => {
+      val kt = kg(s, d)
+      val seeds = kt.nodes.filter(col("kind") === "Mention" && col("childNum") === 0)
+      graft.query.Steps.chainSliceByInterval(kt.nodes, seeds, depth = 5)
+        .drop("props").orderBy("pageId", "childNum", "id")
+    }),
+    // ≙ initGraphs/taintedArgs battery: head-entity pages (necessary-
+    // condition prefilter) -> per-page graphlet -> sufficient check
+    "kg_step_graphlet" -> ((s, d) => {
+      val kt = kg(s, d)
+      val m = kt.flat.filter(col("rowKind") === "m" && col("entityId") >= 0)
+        .select(col("pageId"), col("mentionId"), col("mentionIdx"), col("entityId"))
+      val seeds = m.filter(col("entityId") === 0L).groupBy("pageId")
+        .agg(min(struct(col("mentionIdx"), col("mentionId"))).as("s"))
+        .select(col("pageId"), col("s.mentionId").as("seed"))
+      val cond = m.filter(pmod(col("entityId"), lit(5)) === 1)
+        .select(col("mentionId").as("id"))
+      graft.query.Steps.graphletReach(kt.nodes, kt.edges, seeds, cond,
+        kinds = Seq(graft.model.Schema.EdgeKinds.NextMention,
+          graft.model.Schema.EdgeKinds.SameSentence), depth = 3)
+        .orderBy("pageId")
     })
   )
 

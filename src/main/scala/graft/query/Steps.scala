@@ -247,6 +247,130 @@ object Steps {
     nodes.join(kept, "id")
   }
 
+  /** Loop-free chain slice via the BUILD-TIME closure column (≙ the
+    * `statements`/`astNodes` interval trick SURVEY §2.6 prescribes:
+    * `ast.groovy:72-78` walks the enclosing chain node by node; a
+    * materialized position makes it a range filter). Mention nodes carry
+    * their chain position as `childNum`, so a depth-d forward slice along
+    * NEXT_MENTION is exactly "same page, childNum in [seedPos, seedPos+d]"
+    * — ONE equi-join on pageId with a range residual, no iteration, no
+    * localCheckpoint loop (equivalence vs the iterative slice is tested).
+    * Seeds need (pageId, childNum). */
+  def chainSliceByInterval(nodes: DataFrame, seeds: DataFrame, depth: Int = 5): DataFrame = {
+    val s = seeds.select(col("pageId").as("_sPage"), col("childNum").as("_sPos"))
+    nodes.filter(col("kind") === "Mention")
+      .join(s, col("pageId") === col("_sPage") &&
+        col("childNum") >= col("_sPos") && col("childNum") <= col("_sPos") + depth)
+      .drop("_sPage", "_sPos")
+      .dropDuplicates("id")
+  }
+
+  final case class ReachRow(pageId: Long, tag: String, a: Long, b: Long)
+  final case class ReachHit(pageId: Long, src: Long, dst: Long, dist: Int)
+
+  /** Shortest kill-avoiding distance on the page-local DAG (the BFS twin of
+    * [[unsanitizedPairs]]' first-path DFS — exact shortest-path semantics,
+    * so it stays oracle-able once the local graph branches): for each
+    * (src, dst) candidate, the minimum hop count src→dst over `kinds` edges
+    * expanding through no kill node (arriving AT a kill dst is allowed,
+    * matching the DFS's arrival-before-kill-check order). Same cogroup
+    * scale shape as unsanitizedPairs: one pageId shuffle, in-memory BFS per
+    * page, paths never cross pages. */
+  def shortestUnsanitized(nodes: DataFrame, edges: DataFrame, pairs: DataFrame,
+                          killIds: DataFrame, kinds: Seq[String],
+                          maxDepth: Int = 30): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val nodePage = nodes.select(col("id"), col("pageId"))
+    val localEdges = edges.filter(col("kind").isin(kinds: _*))
+      .join(nodePage.withColumnRenamed("id", "src"), "src")
+      .select(col("pageId"), lit("e").as("tag"), col("src").as("a"), col("dst").as("b"))
+    val kills = killIds.select(col("id")).distinct().join(nodePage, "id")
+      .select(col("pageId"), lit("k").as("tag"), col("id").as("a"), lit(0L).as("b"))
+    val ctx = localEdges.unionByName(kills).as[ReachRow].groupByKey(_.pageId)
+    val prs = pairs.select(col("pageId"), lit("p").as("tag"),
+      col("src").as("a"), col("dst").as("b")).as[ReachRow].groupByKey(_.pageId)
+    ctx.cogroup(prs) { (pid, ctxIt, pairIt) =>
+      val adj = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      val kill = scala.collection.mutable.HashSet.empty[Long]
+      ctxIt.foreach { r =>
+        if (r.tag == "e") adj.getOrElseUpdate(r.a, scala.collection.mutable.ArrayBuffer.empty) += r.b
+        else kill += r.a
+      }
+      pairIt.flatMap { p =>
+        if (p.a == p.b) Iterator(ReachHit(pid, p.a, p.b, 0))
+        else {
+          val dist = scala.collection.mutable.HashMap(p.a -> 0)
+          val q = scala.collection.mutable.Queue(p.a)
+          var found = -1
+          while (found < 0 && q.nonEmpty) {
+            val cur = q.dequeue()
+            val d = dist(cur)
+            // kill nodes are never EXPANDED (except the source itself)
+            if (d < maxDepth && (cur == p.a || !kill.contains(cur))) {
+              adj.getOrElse(cur, Nil).foreach { nxt =>
+                if (!dist.contains(nxt)) {
+                  if (nxt == p.b) found = d + 1
+                  dist(nxt) = d + 1
+                  q.enqueue(nxt)
+                }
+              }
+            }
+          }
+          if (found >= 0) Iterator(ReachHit(pid, p.a, p.b, found)) else Iterator.empty
+        }
+      }
+    }.toDF()
+  }
+
+  final case class GraphletHit(pageId: Long, seed: Long, nReach: Long, hasCond: Int)
+
+  /** ≙ the initGraphs/taintedArgs battery (`queryTemplate.groovy:9-110`,
+    * `initGraphs/localDefTree.groovy`, `conditions.groovy`): a CHEAP
+    * necessary-condition prefilter (semi-join on qualifying pages — nothing
+    * else is even shipped), then a per-page graphlet built in one cogroup,
+    * then the sufficient check evaluated on the in-memory graphlet. Here:
+    * from each page's seed mention, the ≤`depth`-hop neighborhood size over
+    * `kinds` edges (seed included) and whether it touches a condition node.
+    * seeds: (pageId, seed); condIds: (id). */
+  def graphletReach(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+                    condIds: DataFrame, kinds: Seq[String], depth: Int = 3): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val qualifying = seeds.select(col("pageId")).distinct()
+    val nodePage = nodes.select(col("id"), col("pageId"))
+    val localEdges = edges.filter(col("kind").isin(kinds: _*))
+      .join(nodePage.withColumnRenamed("id", "src"), "src")
+      .join(qualifying, Seq("pageId"), "left_semi") // the necessary-condition prefilter
+      .select(col("pageId"), lit("e").as("tag"), col("src").as("a"), col("dst").as("b"))
+    val conds = condIds.select(col("id")).distinct().join(nodePage, "id")
+      .join(qualifying, Seq("pageId"), "left_semi")
+      .select(col("pageId"), lit("c").as("tag"), col("id").as("a"), lit(0L).as("b"))
+    val ctx = localEdges.unionByName(conds).as[ReachRow].groupByKey(_.pageId)
+    val sds = seeds.select(col("pageId"), lit("s").as("tag"),
+      col("seed").as("a"), lit(0L).as("b")).as[ReachRow].groupByKey(_.pageId)
+    ctx.cogroup(sds) { (pid, ctxIt, seedIt) =>
+      val adj = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      val cond = scala.collection.mutable.HashSet.empty[Long]
+      ctxIt.foreach { r =>
+        if (r.tag == "e") adj.getOrElseUpdate(r.a, scala.collection.mutable.ArrayBuffer.empty) += r.b
+        else cond += r.a
+      }
+      seedIt.map { s =>
+        var frontier = Set(s.a)
+        val visited = scala.collection.mutable.HashSet(s.a)
+        var d = 0
+        while (d < depth && frontier.nonEmpty) {
+          frontier = frontier.flatMap(n => adj.getOrElse(n, Nil))
+            .filter(visited.add)
+          d += 1
+        }
+        GraphletHit(pid, s.a, visited.size.toLong,
+          if (visited.exists(cond.contains)) 1 else 0)
+      }
+    }.toDF()
+  }
+
   // ---------- taint-style path queries (≙ taintTracking/dataflow.groovy) ----------
 
   /** Tagged page-local row for the cogroup: edge ("e", src, dst),

@@ -75,6 +75,20 @@ class PlanSpec extends AnyFunSuite with Matchers {
     nlj should be <= 1
   }
 
+  test("interval chain slice is one range-filtered join — no iteration") {
+    val cfg = model.PageGen.Config(nPages = 60)
+    val t = Pipeline.run(spark, model.PageGen.pages(spark, cfg), cfg.nPersons)
+    val seeds = t.nodes.filter(col("kind") === "Mention" && col("childNum") === 0)
+    val df = query.Steps.chainSliceByInterval(t.nodes, seeds, depth = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    // the iterative slice loop leaves one checkpointed scan per hop; the
+    // closure-column form must be a single join with zero checkpoint scans
+    "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).size shouldBe 1
+    plan shouldNot include("ExistingRDD")
+    t.flat.unpersist(false); t.components.unpersist(false)
+  }
+
   test("asof join is one keyed window over a union, no join at all") {
     val plan = physical(Queries.all("q28_asof")(spark, sfDir))
     plan should include("Window")

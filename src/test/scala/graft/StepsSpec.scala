@@ -182,4 +182,56 @@ class StepsSpec extends AnyFunSuite with Matchers {
       symbols = Nil, depth = 2, kinds = Seq(EK.LinksTo))
     sliced.filter(col("kind") === NK.Entity).count() should be > 0L
   }
+
+  test("chainSliceByInterval equals the iterative NEXT_MENTION slice") {
+    val seeds = t.nodes.filter(col("kind") === NK.Mention && col("childNum") === 7)
+    val interval = Steps.chainSliceByInterval(t.nodes, seeds, depth = 5)
+      .select("id").collect().map(_.getLong(0)).sorted
+    val iterative = Steps.forwardSlice(seeds, t.edges, t.nodes,
+      symbols = Nil, depth = 5, kinds = Seq(EK.NextMention))
+      .select("id").distinct().collect().map(_.getLong(0)).sorted
+    interval should not be empty
+    interval shouldBe iterative
+  }
+
+  test("shortestUnsanitized: DAG shortcut beats the chain, kills respected") {
+    import spark.implicits._
+    // page graph: 1 -> 2 -> 3 -> 4 (chain), plus 1 -> 3 (same-sentence skip);
+    // node 2 is a kill — only the skip path survives: 1 -> 3 -> 4, dist 2
+    val nodes = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L))
+      .toDF("id", "pageId")
+    val edges = Seq((1L, 2L, "N"), (2L, 3L, "N"), (3L, 4L, "N"), (1L, 3L, "S"))
+      .toDF("src", "dst", "kind").withColumn("variable", lit(null).cast("string"))
+    val pairs = Seq((10L, 1L, 4L)).toDF("pageId", "src", "dst")
+    val kills = Seq(Tuple1(2L)).toDF("id")
+    val hit = Steps.shortestUnsanitized(nodes, edges, pairs, kills, Seq("N", "S"))
+      .collect()
+    hit.map(r => (r.getLong(1), r.getLong(2), r.getInt(3))) shouldBe Array((1L, 4L, 2))
+    // without the skip edge the kill blocks everything
+    val hit2 = Steps.shortestUnsanitized(nodes, edges.filter(col("kind") === "N"),
+      pairs, kills, Seq("N", "S")).collect()
+    hit2 shouldBe empty
+    // arriving AT a kill dst is allowed (kills block expansion, not arrival)
+    val hit3 = Steps.shortestUnsanitized(nodes, edges, pairs,
+      Seq(Tuple1(4L)).toDF("id"), Seq("N", "S")).collect()
+    hit3.map(_.getInt(3)) shouldBe Array(2)
+  }
+
+  test("graphletReach: neighborhood size and condition flag per seed") {
+    import spark.implicits._
+    // star + tail: seed 1 -> {2, 3}, 3 -> 4 -> 5 -> 6; depth 3 reaches
+    // {1,2,3,4,5} (6 is 4 hops); condition node 5 is inside
+    val nodes = (1L to 6L).map((_, 10L)).toDF("id", "pageId")
+    val edges = Seq((1L, 2L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst").withColumn("kind", lit("N"))
+      .withColumn("variable", lit(null).cast("string"))
+    val seeds = Seq((10L, 1L)).toDF("pageId", "seed")
+    val run = Steps.graphletReach(nodes, edges, seeds,
+      Seq(Tuple1(5L)).toDF("id"), Seq("N"), depth = 3).collect()
+    run.map(r => (r.getLong(1), r.getLong(2), r.getInt(3))) shouldBe Array((1L, 5L, 1))
+    // condition node outside the 3-hop ball -> flag 0
+    val run2 = Steps.graphletReach(nodes, edges, seeds,
+      Seq(Tuple1(6L)).toDF("id"), Seq("N"), depth = 3).collect()
+    run2.map(r => (r.getLong(2), r.getInt(3))) shouldBe Array((5L, 0))
+  }
 }
