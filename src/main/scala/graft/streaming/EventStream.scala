@@ -39,7 +39,7 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
-  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionState(intervals: List[(Long, Long, Int)])
   final case class SessionOut(user_id: Long, session_start: Timestamp,
                               n_events: Int, duration_sec: Long)
 
@@ -47,10 +47,16 @@ object EventStream {
     * after `gapSec` of event-time inactivity. The streaming twin of the
     * batch q20_sessionize window query.
     *
-    * Uses EVENT-time timeouts (driven by the watermark), not processing
-    * time: identical input always yields identical sessions — the same
-    * determinism-under-replay invariant the batch extractor has — and the
-    * state store holds only sessions newer than the watermark. */
+    * A session is emitted ONLY once the watermark passes its end + gap —
+    * never merely because a gap appeared inside one micro-batch. Until then
+    * every still-reachable interval stays in state, so an in-watermark
+    * straggler can extend or merge ANY open interval instead of becoming a
+    * spurious singleton next to an already-emitted session. Emission is
+    * therefore a pure function of (input set, watermark trajectory) — the
+    * determinism-under-replay invariant — and closed sessions are final: an
+    * event that could still touch one (ts ≤ end + gap ≤ watermark) is by
+    * definition behind the watermark and already dropped. State is bounded:
+    * intervals die as soon as the watermark passes them. */
   def sessionize(events: Dataset[Event], gapSec: Long = 1800,
                  watermark: String = "30 minutes"): Dataset[SessionOut] = {
     val spark = events.sparkSession
@@ -61,39 +67,34 @@ object EventStream {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(SessionOut(userId, new Timestamp(s.start), s.n, (s.last - s.start) / 1000))
-          } else {
-            // uniform interval merge: the stored session plus each event (a
-            // point interval), sorted by start, merged when within the gap.
-            // This handles cross-batch out-of-order events — stragglers that
-            // chain with each other, interior events, and backward session
-            // extension — with one rule instead of case analysis.
-            val gapMs = gapSec * 1000
-            val intervals = (state.getOption.map(s => (s.start, s.last, s.n)).toSeq ++
-              rows.map(e => (e.ts.getTime, e.ts.getTime, 1))).sortBy(iv => (iv._1, iv._2))
-            val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
-            intervals.foreach { iv =>
-              merged.lastOption match {
-                case Some(m) if iv._1 <= m._2 + gapMs =>
-                  merged(merged.length - 1) = (m._1, math.max(m._2, iv._2), m._3 + iv._3)
-                case _ => merged += iv
-              }
+          // ONE body for both data batches and timeouts (rows is empty on
+          // timeout): merge, close what the watermark has passed, keep the rest
+          val gapMs = gapSec * 1000
+          val intervals = (state.getOption.map(_.intervals).getOrElse(Nil) ++
+            rows.map(e => (e.ts.getTime, e.ts.getTime, 1))).sortBy(iv => (iv._1, iv._2))
+          // uniform interval merge: stored intervals plus each event (a point
+          // interval), merged when within the gap — stragglers chaining with
+          // each other, interior events and backward extension all fall out
+          // of the one rule
+          val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          intervals.foreach { iv =>
+            merged.lastOption match {
+              case Some(m) if iv._1 <= m._2 + gapMs =>
+                merged(merged.length - 1) = (m._1, math.max(m._2, iv._2), m._3 + iv._3)
+              case _ => merged += iv
             }
-            if (merged.isEmpty) Iterator.empty
-            else {
-            // everything but the latest session is followed by a gap: close it
-            val out = merged.init.map { case (st, en, n) =>
-              SessionOut(userId, new Timestamp(st), n, (en - st) / 1000)
-            }
-            val (st, en, n) = merged.last
-            state.update(SessionState(st, en, n))
-            // close when the watermark passes last-event-time + gap
-            state.setTimeoutTimestamp(en + gapMs)
-            out.iterator
-            }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) = merged.partition(iv => iv._2 + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionState(open.toList))
+            // wake exactly when the earliest open interval becomes closable
+            // (> wm by construction of `open`, as setTimeoutTimestamp requires)
+            state.setTimeoutTimestamp(open.map(_._2).min + gapMs)
+          }
+          closed.iterator.map { case (st, en, n) =>
+            SessionOut(userId, new Timestamp(st), n, (en - st) / 1000)
           }
       }
   }

@@ -62,8 +62,15 @@ object KgCli {
         Seq(("nodes", nm.buckets.values.sum), ("edges", em.buckets.values.sum),
           ("danglingEdges", dangling)).toDF("counter", "value")
       case "lookup" =>
-        Steps.nodesWithKindAndCodeRegex(nodes, args(0), args(1))
-          .drop("props").orderBy("id")
+        // ≙ joern-lookup after joern-hide: nodes carrying the 'hidden' tag
+        // are excluded from lookups until unhidden
+        val found = Steps.nodesWithKindAndCodeRegex(nodes, args(0), args(1))
+        val visible =
+          if (TableIO.readManifest(s"$tablesDir/tags").isDefined)
+            found.join(TableIO.read(spark, s"$tablesDir/tags")
+              .filter(col("tag") === "hidden").select("id"), Seq("id"), "left_anti")
+          else found
+        visible.drop("props").orderBy("id")
       case "code" =>
         nodes.filter(col("id").isin(args.map(_.toLong): _*))
           .select("id", "code").orderBy("id")
@@ -89,32 +96,73 @@ object KgCli {
       case "coref" =>
         val seeds = nodes.filter(col("id").isin(args.map(_.toLong): _*))
         Steps.corefMentions(seeds, edges, nodes).drop("props").orderBy("id")
-      // ≙ joern-tag / joern-unhide: tags live in their own bucketed table,
-      // appended by predicate-invalidation + rewrite (no node mutation)
+      // ≙ joern-tag / joern-hide / joern-unhide: tags live in their own
+      // bucketed table, rewritten by snapshot swap (no node mutation).
+      // hide/unhide are sugar over the reserved 'hidden' tag.
       case "tag" =>
-        import spark.implicits._
         val (tag, ids) = (args.head, args.tail.map(_.toLong))
-        val existing =
-          if (TableIO.readManifest(s"$tablesDir/tags").isDefined)
-            TableIO.read(spark, s"$tablesDir/tags") else Seq.empty[(Long, String)].toDF("id", "tag")
-        // write the NEW snapshot to a sibling dir first, then swap — a
-        // crash mid-rewrite must never lose the only durable copy of the
-        // tags (a checkpoint is executor-local, not durable)
-        val merged = existing.unionByName(ids.map((_, tag)).toDF("id", "tag"))
-          .distinct().localCheckpoint(true)
-        val tmp = s"$tablesDir/tags.new"
-        TableIO.deleteRecursively(tmp)
-        TableIO.writeBucketed(merged, tmp, col("id"))
-        TableIO.deleteRecursively(s"$tablesDir/tags")
-        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-          java.nio.file.Paths.get(s"$tablesDir/tags"))
-        merged.orderBy("id", "tag")
+        swapTags(spark, tablesDir, existing =>
+          existing.unionByName(tagRows(spark, ids, tag)).distinct())
+      case "untag" =>
+        val (tag, ids) = (args.head, args.tail.map(_.toLong))
+        swapTags(spark, tablesDir, existing =>
+          existing.join(tagRows(spark, ids, tag), Seq("id", "tag"), "left_anti"))
+      case "hide" =>
+        swapTags(spark, tablesDir, existing =>
+          existing.unionByName(tagRows(spark, args.map(_.toLong), "hidden")).distinct())
+      case "unhide" =>
+        swapTags(spark, tablesDir, existing =>
+          existing.join(tagRows(spark, args.map(_.toLong), "hidden"),
+            Seq("id", "tag"), "left_anti"))
       case "list-tags" =>
         TableIO.read(spark, s"$tablesDir/tags").orderBy("id", "tag")
+      // ≙ joern-ast2features (python/joern-tools scripts/ml/): per-page
+      // neighborhood-hash bag-of-labels as sparse "label:count" lines
+      case "features" =>
+        val kind = if (args.nonEmpty) args(0) else "MENTIONS"
+        Steps.neighborhoodHashFeatures(nodes, edges, kind)
+          .groupBy("pageId")
+          .agg(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("label"), col("count")))),
+            s => concat(s.getField("label"), lit(":"), s.getField("count"))))
+            .as("features"))
+          .orderBy("pageId")
       case other =>
         throw new IllegalArgumentException(
-          s"unknown verb '$other' (build|import-ref|lookup|code|edges|slice|coref|tag|list-tags|list-pages|list-entities)")
+          s"unknown verb '$other' (build|import-ref|lookup|code|edges|slice|coref|" +
+            "tag|untag|hide|unhide|features|list-tags|list-pages|list-entities)")
     }
+  }
+
+  private def tagRows(spark: SparkSession, ids: Seq[Long], tag: String) = {
+    import spark.implicits._
+    ids.map((_, tag)).toDF("id", "tag")
+  }
+
+  /** Rewrite the tags table via snapshot swap. Crash-safe at every step:
+    * new snapshot lands in tags.new; the LIVE table is renamed ASIDE (not
+    * deleted) before the new one moves in, so a crash between the renames
+    * leaves a recoverable copy (tags.old or tags.new) rather than nothing —
+    * and read() falls back to those if the swap was interrupted. */
+  private def swapTags(spark: SparkSession, tablesDir: String,
+                       f: DataFrame => DataFrame): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val live = s"$tablesDir/tags"
+    val existing =
+      if (TableIO.readManifest(live).isDefined) TableIO.read(spark, live)
+      else if (TableIO.readManifest(s"$live.new").isDefined) TableIO.read(spark, s"$live.new")
+      else if (TableIO.readManifest(s"$live.old").isDefined) TableIO.read(spark, s"$live.old")
+      else Seq.empty[(Long, String)].toDF("id", "tag")
+    val next = f(existing).localCheckpoint(true)
+    TableIO.deleteRecursively(s"$live.new")
+    TableIO.writeBucketed(next, s"$live.new", col("id"))
+    TableIO.deleteRecursively(s"$live.old")
+    if (Files.exists(Paths.get(live)))
+      Files.move(Paths.get(live), Paths.get(s"$live.old"))
+    Files.move(Paths.get(s"$live.new"), Paths.get(live))
+    TableIO.deleteRecursively(s"$live.old")
+    next.orderBy("id", "tag")
   }
 
   /** TSV rendering: tabs/newlines in values escaped exactly like the

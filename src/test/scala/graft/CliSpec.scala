@@ -54,6 +54,33 @@ class CliSpec extends AnyFunSuite with Matchers {
     tags.map(r => r.getString(1)).sorted shouldBe Array("reviewed", "suspect")
   }
 
+  test("untag / hide / unhide verbs; hidden nodes vanish from lookup") {
+    val host = KgCli.run(spark, dir, "lookup", Seq("Host", "^host0\\.")).head().getLong(0)
+    // hide: the node disappears from lookup but stays in the table
+    KgCli.run(spark, dir, "hide", Seq(host.toString))
+    KgCli.run(spark, dir, "lookup", Seq("Host", "^host0\\."))
+      .filter(col("id") === host).count() shouldBe 0L
+    KgCli.run(spark, dir, "list-tags", Nil)
+      .filter(col("tag") === "hidden").count() shouldBe 1L
+    // unhide restores it
+    KgCli.run(spark, dir, "unhide", Seq(host.toString))
+    KgCli.run(spark, dir, "lookup", Seq("Host", "^host0\\."))
+      .filter(col("id") === host).count() shouldBe 1L
+    // untag removes exactly the named pair
+    KgCli.run(spark, dir, "tag", Seq("a", host.toString))
+    KgCli.run(spark, dir, "tag", Seq("b", host.toString))
+    KgCli.run(spark, dir, "untag", Seq("a", host.toString))
+    KgCli.run(spark, dir, "list-tags", Nil)
+      .filter(col("id") === host).collect().map(_.getString(1)) shouldBe Array("b")
+  }
+
+  test("features verb: sparse label:count lines per page") {
+    val f = KgCli.run(spark, dir, "features", Seq("MENTIONS"))
+    f.count() should be > 100L
+    val line = f.head().getString(1)
+    line should fullyMatch regex """(\d+:\d+)( \d+:\d+)*"""
+  }
+
   test("TSV rendering escapes tabs/newlines and folds maps") {
     import spark.implicits._
     val df = Seq((1L, "a\tb\nc", Map("k" -> "v", "a" -> "b"))).toDF("id", "code", "props")

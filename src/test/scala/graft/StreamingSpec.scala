@@ -103,14 +103,21 @@ class StreamingSpec extends AnyFunSuite with Matchers {
       q.processAllAvailable()
       // two stragglers 1 min apart, both > gap before the stored session:
       // they must merge with EACH OTHER (one early session), not emit two
-      // zero-duration singletons
+      // zero-duration singletons. Nothing may be emitted before the
+      // watermark passes them (no early-emit nondeterminism)...
       input.addData(Event(2, ts(30), 1, "a", 0), Event(3, ts(31), 1, "a", 0))
       q.processAllAvailable()
-      val closed = spark.table("sess_str").collect()
-      closed.length shouldBe 1
+      spark.table("sess_str").count() shouldBe 0
+      // ...so advance the watermark (1h) past both sessions' end + gap
+      input.addData(Event(4, ts(200), 1, "a", 0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_str").collect().sortBy(_.getTimestamp(1).getTime)
+      closed.length shouldBe 2
       closed(0).getTimestamp(1) shouldBe ts(30)
       closed(0).getInt(2) shouldBe 2
       closed(0).getLong(3) shouldBe 60L
+      closed(1).getTimestamp(1) shouldBe ts(60)
+      closed(1).getInt(2) shouldBe 1
     } finally q.stop()
   }
 
