@@ -23,6 +23,21 @@ import graft.model.PageGen
   * pipeline is extraction-dominated, which is the regime the 100-TB design
   * targets (per-page local work, zero shuffle until the entity merge).
   */
+/** Child-JVM entry for one bench level (see Bench.runPipeline): JIT-warms
+  * on the small corpus (untimed — a fresh JVM would otherwise charge cold
+  * compilation to the measurement, which hits the short high-core runs
+  * hardest), then runs the timed full pipeline and prints one
+  * GRAFT_BENCH_RESULT line. */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val Array(coresS, warmDir, pagesDir, outDir) = args
+    if (warmDir != "-")
+      Bench.runPipelineInProcess(coresS.toInt, warmDir, s"$outDir-warm")
+    val (n, sec) = Bench.runPipelineInProcess(coresS.toInt, pagesDir, outDir)
+    println(f"GRAFT_BENCH_RESULT $n $sec%.3f")
+  }
+}
+
 object Bench {
   private def newSession(cores: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -30,6 +45,11 @@ object Bench {
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // the flat cache is the pipeline's one big persist; columnar cache
+      // COMPRESSION costs ~2x the cache-build CPU for no win here (it is
+      // MEMORY_AND_DISK-backed and read back only a handful of times) —
+      // measured: build 22s->15s at 2 cores, 11s->7s at 8 (ScaleProbe)
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
@@ -51,7 +71,8 @@ object Bench {
   }
 
   /** Full pipeline incl. materialization; returns (triples, seconds). */
-  private def runPipeline(cores: Int, pagesDir: String, outDir: String): (Long, Double) = {
+  private[graft] def runPipelineInProcess(cores: Int, pagesDir: String,
+                                          outDir: String): (Long, Double) = {
     val spark = newSession(cores)
     try {
       import spark.implicits._
@@ -71,6 +92,65 @@ object Bench {
     } finally spark.stop()
   }
 
+  /** The classpath of the running application, reconstructed from the
+    * classloader chain (under sbt, java.class.path is only the launcher). */
+  private def appClasspath: String = {
+    def urls(cl: ClassLoader): Seq[java.net.URL] = cl match {
+      case null => Nil
+      case u: java.net.URLClassLoader => u.getURLs.toSeq ++ urls(cl.getParent)
+      case other => urls(other.getParent)
+    }
+    val fromCl = urls(getClass.getClassLoader)
+      .filter(_.getProtocol == "file")
+      .map(u => java.nio.file.Paths.get(u.toURI).toString)
+    (fromCl :+ System.getProperty("java.class.path"))
+      .filter(_.nonEmpty).distinct.mkString(java.io.File.pathSeparator)
+  }
+
+  /** Optionally (SPARK_GRAFT_CHILD_JVM=1) run one parallelism level in a
+    * CHILD JVM with `-XX:ActiveProcessorCount=cores`: a shared parent JVM
+    * sized for the whole box lends its 32 GC/JIT/pool threads to the
+    * low-core levels, which slightly flatters their wall time. Measured on
+    * this host, though, fresh child JVMs run the HIGH-core level 2-3x
+    * slower than a warmed shared JVM even after a small-corpus JIT warmup
+    * (cold code cache + cold allocator at short wall times), which corrupts
+    * the efficiency ratio far more than the GC-thread effect it removes —
+    * so the default stays in-process, matching the BASELINE.md protocol. */
+  private def runPipeline(cores: Int, pagesDir: String, outDir: String,
+                          warmDir: String = "-"): (Long, Double) = {
+    if (!sys.env.get("SPARK_GRAFT_CHILD_JVM").contains("1"))
+      return runPipelineInProcess(cores, pagesDir, outDir)
+    val mem = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "28g")
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val moduleOpts = org.apache.spark.launcher.JavaModuleOptions
+        .defaultModuleOptions().split("\\s+").toSeq.filter(_.nonEmpty)
+      val cmd = Seq(javaBin, s"-Xmx$mem", s"-XX:ActiveProcessorCount=$cores") ++
+        moduleOpts ++ Seq("-cp", appClasspath, "graft.BenchOne",
+          cores.toString, warmDir, pagesDir, outDir)
+      val log = java.nio.file.Files.createTempFile("graft-bench-child", ".log").toFile
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(log)
+      val p = pb.start()
+      val rc = p.waitFor()
+      val out = new String(java.nio.file.Files.readAllBytes(log.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      log.delete()
+      val m = "GRAFT_BENCH_RESULT (\\d+) ([0-9.]+)".r.findAllMatchIn(out).toSeq.lastOption
+      if (rc != 0 || m.isEmpty) {
+        System.err.println(s"[bench] child (cores=$cores) failed rc=$rc; " +
+          s"tail: ${out.takeRight(500)}; falling back in-process")
+        runPipelineInProcess(cores, pagesDir, outDir)
+      } else (m.get.group(1).toLong, m.get.group(2).toDouble)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] child spawn failed: ${e.getMessage}; in-process fallback")
+        runPipelineInProcess(cores, pagesDir, outDir)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -81,22 +161,38 @@ object Bench {
     val shm = "/dev/shm/graft-bench"
     val pagesDir = s"$shm-pages"
 
-    // untimed setup: corpus parquet + JIT warmup of the full pipeline path
+    // untimed setup: full corpus parquet + a small JIT-warmup corpus (the
+    // in-process path warms the shared JVM once; child JVMs each warm on it)
+    val warmPagesDir = s"$shm-pages-warm"
     materializeCorpus(cpus, benchPages, pagesDir)
-    runPipeline(cpus, pagesDir, s"$shm-warm")
+    materializeCorpus(cpus, math.max(benchPages / 20, 200), warmPagesDir)
+    if (!sys.env.get("SPARK_GRAFT_CHILD_JVM").contains("1"))
+      runPipelineInProcess(cpus, pagesDir, s"$shm-warm") // full-corpus warm, as round 1
 
-    // INTERLEAVED best-of-3: host slowdowns come in multi-minute bursts, so
+    // INTERLEAVED best-of-N: host slowdowns come in multi-minute bursts, so
     // consecutive same-level runs share the same fate — cycling the levels
-    // decorrelates the noise from any one level
-    val rounds = (1 to 3).map { _ =>
-      (runPipeline(lowCpus, pagesDir, s"$shm-low"),
-        runPipeline(midCpus, pagesDir, s"$shm-mid"),
-        runPipeline(cpus, pagesDir, s"$shm-high"))
+    // decorrelates the noise from any one level. 5 rounds by default: the
+    // 2-core level is the efficiency denominator and the noisiest (longest
+    // wall time per round), so its best-of needs the most samples.
+    val nRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
+    // wall-clock guard: never let extra best-of rounds push the whole bench
+    // past the budget (a killed bench emits NO json at all — worse than a
+    // noisier best-of); at least 2 rounds always run
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "720").toLong
+    val benchT0 = System.nanoTime()
+    val rounds = (1 to nRounds).flatMap { i =>
+      val elapsed = (System.nanoTime() - benchT0) / 1e9
+      if (i > 2 && elapsed > budgetSec) None
+      else Some(
+        (runPipeline(lowCpus, pagesDir, s"$shm-low", warmPagesDir),
+          runPipeline(midCpus, pagesDir, s"$shm-mid", warmPagesDir),
+          runPipeline(cpus, pagesDir, s"$shm-high", warmPagesDir)))
     }
     val (triplesLow, secLow) = rounds.map(_._1).minBy(_._2)
     val (triplesMid, secMid) = rounds.map(_._2).minBy(_._2)
     val (triplesHigh, secHigh) = rounds.map(_._3).minBy(_._2)
     graft.store.TableIO.deleteRecursively(pagesDir)
+    graft.store.TableIO.deleteRecursively(warmPagesDir)
     val thrLow = triplesLow / secLow
     val thrMid = triplesMid / secMid
     val thrHigh = triplesHigh / secHigh
@@ -124,7 +220,25 @@ object Bench {
     // neighbor-noise bursts — the spread makes the best-of basis auditable
     val roundsJson = rounds.map { case ((_, a), (_, b), (_, c)) =>
       f"[$a%.3f,$b%.3f,$c%.3f]" }.mkString("[", ",", "]")
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"pages":$benchPages,"triples":$triplesHigh,"cores":[$lowCpus,$midCpus,$cpus],"sec":[$secLow%.3f,$secMid%.3f,$secHigh%.3f],"round_sec":$roundsJson,"triples_per_sec":[$thrLow%.1f,$thrMid%.1f,$thrHigh%.1f],"scaling_efficiency_${lowCpus}to$midCpus":$effLowMid%.3f,"scaling_efficiency_${midCpus}to$cpus":$effMidHigh%.3f}}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"pages":$benchPages,"triples":$triplesHigh,"cores":[$lowCpus,$midCpus,$cpus],"sec":[$secLow%.3f,$secMid%.3f,$secHigh%.3f],"round_sec":$roundsJson,"triples_per_sec":[$thrLow%.1f,$thrMid%.1f,$thrHigh%.1f],"scaling_efficiency_${lowCpus}to$midCpus":$effLowMid%.3f,"scaling_efficiency_${midCpus}to$cpus":$effMidHigh%.3f}}"""
+    // the JSON must be machine-findable: sbt's logger prefixes every
+    // println with "[info] ", which broke the round-1 driver parse — so
+    // also (a) write it straight to fd 1, bypassing the redirected
+    // System.out, as a clean prefix-free line, and (b) persist it to a file
+    try {
+      val fd = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+      // leading newline: the write lands raw on fd 1, possibly mid-line of
+      // sbt's own terminal output — force a clean line start
+      fd.write(("\n" + json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      fd.flush()
+    } catch { case _: Throwable => () }
+    // sbt -batch relays even raw fd-1 writes through its client with an
+    // "[info] " prefix, so the FILE is the only guaranteed prefix-free
+    // artifact; write it where the repo lives and where we run
+    for (p <- Seq("BENCH_LATEST.json", "/root/repo/BENCH_LATEST.json").distinct)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+      catch { case _: Throwable => () }
+    println(json)
   }
 }

@@ -137,9 +137,15 @@ object TableIO {
 
     // repartition on the bucket key so each bucket is written by one task:
     // without this, every input partition writes a file into every bucket
-    // directory (P × B small files — the write anti-scales with cores)
+    // directory (P × B small files — the write anti-scales with cores).
+    // The partition key is REMAPPED (see partKeys) so the mapping is exactly
+    // 1 bucket : 1 reduce task — a plain repartition(n, bucket) murmur-
+    // hashes the bucket id, leaving ~1/3 of the write slots empty and
+    // loading others with 2-3 buckets, a skewed write tail that wastes the
+    // mid/high-core levels' parallelism
+    val keys = partKeys(numBuckets)
     val pending = withBucket.filter(col("bucket").isin(wanted.toSeq: _*))
-      .repartition(numBuckets, col("bucket"))
+      .repartition(numBuckets, element_at(typedLit(keys.toSeq), col("bucket") + 1))
     pending.write.mode("append").partitionBy("bucket").parquet(s"$dir/data")
     // lineage counters from parquet footers — metadata-only, no recompute
     // (persist + pre-count here used to double the whole write's work).
@@ -158,6 +164,26 @@ object TableIO {
     writeManifestAtomic(dir, m)
     m
   }
+
+  /** For each bucket b in [0, n): an int whose Spark murmur3 (seed 42, the
+    * HashPartitioning hash) lands in partition b of n — computed with
+    * Spark's own Murmur3_x86_32 so repartition(n, key) places bucket b's
+    * rows in exactly reduce task b (bijective, no empty/doubled writers). */
+  private val partKeyCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Int]]()
+  private[store] def partKeys(n: Int): Array[Int] =
+    partKeyCache.computeIfAbsent(n, { n =>
+      val keys = new Array[Int](n)
+      val found = new Array[Boolean](n)
+      var i = 0
+      var remaining = n
+      while (remaining > 0) {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(i, 42)
+        val b = ((h % n) + n) % n
+        if (!found(b)) { found(b) = true; keys(b) = i; remaining -= 1 }
+        i += 1
+      }
+      keys
+    })
 
   private def hasDataFiles(dir: String): Boolean = {
     val d = Paths.get(dir, "data")

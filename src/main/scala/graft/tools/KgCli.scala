@@ -127,11 +127,42 @@ object KgCli {
             s => concat(s.getField("label"), lit(":"), s.getField("count"))))
             .as("features"))
           .orderBy("pageId")
+      // ≙ joern-plot-proggraph: one page's subgraph as graphviz DOT (the
+      // reference's plot tools are client-side too — the server only
+      // answers the subgraph query)
+      case "plot" =>
+        val pid = args(0).toLong
+        val kinds = if (args.length > 1) args.drop(1) else
+          Seq("MENTIONS", "NEXT_MENTION", "SAME_SENTENCE", "LINKS_TO", "SUBJ", "OBJ")
+        val ns = Steps.nodesOfPage(nodes, pid)
+        dotFrame(spark, ns, Steps.inducedEdges(ns, edges.filter(col("kind").isin(kinds: _*))))
+      // ≙ joern-plot-slice: DOT of a forward slice from the given node
+      case "plot-slice" =>
+        val seeds = nodes.filter(col("id") === args(1).toLong)
+        val kinds = Seq("LINKS_TO", "SAME_AS", "NEXT_MENTION", "SAME_SENTENCE")
+        val sliced = Steps.forwardSlice(seeds, edges, nodes,
+          symbols = Nil, depth = args(0).toInt, kinds = kinds)
+        dotFrame(spark, sliced, Steps.inducedEdges(sliced,
+          edges.filter(col("kind").isin(kinds: _*))))
       case other =>
         throw new IllegalArgumentException(
           s"unknown verb '$other' (build|import-ref|lookup|code|edges|slice|coref|" +
-            "tag|untag|hide|unhide|features|list-tags|list-pages|list-entities)")
+            "tag|untag|hide|unhide|features|plot|plot-slice|list-tags|list-pages|list-entities)")
     }
+  }
+
+  /** Render a (nodes, edges) pair as one graphviz DOT document in a 1-row
+    * frame (collected — plots are small, client-side artifacts by contract). */
+  private def dotFrame(spark: SparkSession, nodes: DataFrame, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    def esc(s: String): String =
+      if (s == null) "" else s.replace("\\", "\\\\").replace("\"", "\\\"").take(60)
+    val ns = nodes.select("id", "kind", "code").orderBy("id").limit(5000).collect()
+      .map(r => s"""  n${r.getLong(0)} [label="${esc(r.getString(1))}: ${esc(r.getString(2))}"];""")
+    val es = edges.select("src", "dst", "kind").orderBy("src", "dst", "kind").limit(20000)
+      .collect()
+      .map(r => s"""  n${r.getLong(0)} -> n${r.getLong(1)} [label="${esc(r.getString(2))}"];""")
+    Seq((ns ++ es).mkString("digraph g {\n", "\n", "\n}")).toDF("dot")
   }
 
   private def tagRows(spark: SparkSession, ids: Seq[Long], tag: String) = {

@@ -81,6 +81,18 @@ class CliSpec extends AnyFunSuite with Matchers {
     line should fullyMatch regex """(\d+:\d+)( \d+:\d+)*"""
   }
 
+  test("plot verbs emit well-formed DOT") {
+    val pid = KgCli.run(spark, dir, "list-pages", Nil).head().getLong(0)
+    val dot = KgCli.run(spark, dir, "plot", Seq(pid.toString)).head().getString(0)
+    dot should startWith("digraph g {")
+    dot should endWith("}")
+    dot should include("NEXT_MENTION")
+    val m = KgCli.run(spark, dir, "lookup", Seq("Mention", ".*")).head().getLong(0)
+    val dot2 = KgCli.run(spark, dir, "plot-slice", Seq("2", m.toString)).head().getString(0)
+    dot2 should startWith("digraph g {")
+    dot2 should include(s"n$m ")
+  }
+
   test("TSV rendering escapes tabs/newlines and folds maps") {
     import spark.implicits._
     val df = Seq((1L, "a\tb\nc", Map("k" -> "v", "a" -> "b"))).toDF("id", "code", "props")

@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
 class VerifyOracleSpec extends AnyFunSuite with Matchers {
   lazy val spark = TestSpark.spark
 
+  test("every registry entry carries a DuckDB oracle (no silent drift)") {
+    SparkEntry.oracleSql.keySet shouldBe SparkEntry.queries.keySet
+  }
+
   test("sparkXxhash64 equals the xxhash64 expression (1-arg and chained)") {
     import spark.implicits._
     val samples = Seq("", "a", "Domain", "host0.example.com", "Jürgen Müller ★",
