@@ -161,20 +161,21 @@ object Bench {
     val shm = "/dev/shm/graft-bench"
     val pagesDir = s"$shm-pages"
 
-    // untimed setup: full corpus parquet + a small JIT-warmup corpus (the
-    // in-process path warms the shared JVM once; child JVMs each warm on it)
-    val warmPagesDir = s"$shm-pages-warm"
+    // untimed setup: full corpus parquet, then JIT warmup — the shared JVM
+    // warms once on the full corpus (round-1 protocol); the child-JVM mode
+    // instead materializes a small corpus each child warms on
+    val childMode = sys.env.get("SPARK_GRAFT_CHILD_JVM").contains("1")
+    val warmPagesDir = if (childMode) s"$shm-pages-warm" else "-"
     materializeCorpus(cpus, benchPages, pagesDir)
-    materializeCorpus(cpus, math.max(benchPages / 20, 200), warmPagesDir)
-    if (!sys.env.get("SPARK_GRAFT_CHILD_JVM").contains("1"))
-      runPipelineInProcess(cpus, pagesDir, s"$shm-warm") // full-corpus warm, as round 1
+    if (childMode) materializeCorpus(cpus, math.max(benchPages / 20, 200), warmPagesDir)
+    else runPipelineInProcess(cpus, pagesDir, s"$shm-warm")
 
     // INTERLEAVED best-of-N: host slowdowns come in multi-minute bursts, so
     // consecutive same-level runs share the same fate — cycling the levels
     // decorrelates the noise from any one level. 5 rounds by default: the
     // 2-core level is the efficiency denominator and the noisiest (longest
     // wall time per round), so its best-of needs the most samples.
-    val nRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
+    val nRounds = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt, 1)
     // wall-clock guard: never let extra best-of rounds push the whole bench
     // past the budget (a killed bench emits NO json at all — worse than a
     // noisier best-of); at least 2 rounds always run
@@ -192,7 +193,7 @@ object Bench {
     val (triplesMid, secMid) = rounds.map(_._2).minBy(_._2)
     val (triplesHigh, secHigh) = rounds.map(_._3).minBy(_._2)
     graft.store.TableIO.deleteRecursively(pagesDir)
-    graft.store.TableIO.deleteRecursively(warmPagesDir)
+    if (childMode) graft.store.TableIO.deleteRecursively(warmPagesDir)
     val thrLow = triplesLow / secLow
     val thrMid = triplesMid / secMid
     val thrHigh = triplesHigh / secHigh
@@ -235,10 +236,10 @@ object Bench {
     } catch { case _: Throwable => () }
     // sbt -batch relays even raw fd-1 writes through its client with an
     // "[info] " prefix, so the FILE is the only guaranteed prefix-free
-    // artifact; write it where the repo lives and where we run
-    for (p <- Seq("BENCH_LATEST.json", "/root/repo/BENCH_LATEST.json").distinct)
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
-      catch { case _: Throwable => () }
+    // artifact; cwd under sbt is the project root (override via env)
+    val jsonPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH_LATEST.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(jsonPath), json + "\n")
+    catch { case _: Throwable => () }
     println(json)
   }
 }

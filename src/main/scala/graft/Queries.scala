@@ -349,8 +349,10 @@ object Queries {
     // ---------------- multimodal plumbing (stub decode; real Spark shape) ----------------
     "mm1_media_features" -> ((s, _) =>
       graft.ops.Multimodal.extractFeatures(graft.ops.Multimodal.synthMedia(s, MmN))
+        // f0 only when decode succeeded: failures carry an EMPTY feature
+        // array, and element_at(empty, 1) errors under ANSI mode
         .toDF().select(col("media_id"), col("kind"), col("ok"),
-          element_at(col("feature"), 1).as("f0")).orderBy("media_id")),
+          when(col("ok"), element_at(col("feature"), 1)).as("f0")).orderBy("media_id")),
     "mm2_resize_plan" -> ((s, _) =>
       graft.ops.Multimodal.resizePlan(graft.ops.Multimodal.synthMedia(s, MmN).toDF(), 256)
         .orderBy("media_id")),

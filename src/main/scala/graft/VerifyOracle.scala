@@ -81,7 +81,7 @@ object VerifyOracle {
   final case class OraHost(hostId: Long, host: String, domainId: Long, domain: String)
   final case class OraLabel(kind: String, code: String, label: Long)
   final case class OraMedia(media_id: Long, kind: String, width: Int, height: Int,
-                            durationMs: Int, ok: Boolean, f0: Float)
+                            durationMs: Int, ok: Boolean, f0: Option[Float])
   final case class OraDocSig(doc_id: Long, sig: Array[Long], simhash: Long, fp0: Long)
 
   /** Registrable domain, twin of Pipeline.graphTables' column derivation. */
@@ -131,6 +131,15 @@ object VerifyOracle {
       OraComp(id, c, Ids.entityNodeId(id), Ids.entityNodeId(c))
     }
     val pagesV = pages.result(); val mentionsV = mentions.result(); val triplesV = triples.result()
+    // the edge oracle derives SAME_SENTENCE as ALL same-sentence pairs; the
+    // extractor caps at MaxSameSentenceMentions mentions/sentence — assert
+    // the cap is unreachable on THIS corpus so a denser config fails loudly
+    // here instead of as a baffling driver hash mismatch
+    mentionsV.groupBy(m => (m.pageId, m.sentIdx)).foreach { case (k, ms) =>
+      require(ms.size <= TripleExtractor.MaxSameSentenceMentions,
+        s"sentence $k has ${ms.size} mentions > cap ${TripleExtractor.MaxSameSentenceMentions}" +
+          " — the SQL edge oracle would diverge from the capped extractor")
+    }
     val hosts = pagesV.map(p => (p.hostId, p.host)).distinct.sorted.map { case (hid, h) =>
       val d = domainOf(h)
       OraHost(hid, h, sparkXxhash64(Seq("Domain", d)), d)
@@ -146,11 +155,13 @@ object VerifyOracle {
     val labels = labelPairs.map { case (k, c) => OraLabel(k, c, initialLabel(k, c)) }
 
     // ---- media leaves: the same pure row function + stub codec ----
+    // (f0 is NULL on decode failure, matching the query's when(ok, ...) —
+    // element_at over the empty failure array would error under ANSI)
     val media = (0L until Queries.MmN.toLong).map { mi =>
       val m = graft.ops.Multimodal.mediaRow(mi)
       val (ok, f0) =
-        try (true, graft.ops.Multimodal.FakeCodec.decode(m.bytes)(0))
-        catch { case _: Exception => (false, 0.0f) }
+        try (true, Some(graft.ops.Multimodal.FakeCodec.decode(m.bytes)(0)))
+        catch { case _: Exception => (false, None) }
       OraMedia(m.media_id, m.kind, m.width, m.height, m.durationMs, ok, f0)
     }
 

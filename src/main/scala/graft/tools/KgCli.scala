@@ -65,11 +65,11 @@ object KgCli {
         // ≙ joern-lookup after joern-hide: nodes carrying the 'hidden' tag
         // are excluded from lookups until unhidden
         val found = Steps.nodesWithKindAndCodeRegex(nodes, args(0), args(1))
-        val visible =
-          if (TableIO.readManifest(s"$tablesDir/tags").isDefined)
-            found.join(TableIO.read(spark, s"$tablesDir/tags")
-              .filter(col("tag") === "hidden").select("id"), Seq("id"), "left_anti")
-          else found
+        val visible = readTags(spark, tablesDir) match {
+          case Some(tags) => found.join(
+            tags.filter(col("tag") === "hidden").select("id"), Seq("id"), "left_anti")
+          case None => found
+        }
         visible.drop("props").orderBy("id")
       case "code" =>
         nodes.filter(col("id").isin(args.map(_.toLong): _*))
@@ -115,7 +115,9 @@ object KgCli {
           existing.join(tagRows(spark, args.map(_.toLong), "hidden"),
             Seq("id", "tag"), "left_anti"))
       case "list-tags" =>
-        TableIO.read(spark, s"$tablesDir/tags").orderBy("id", "tag")
+        readTags(spark, tablesDir)
+          .getOrElse(throw new IllegalStateException(s"no tags table at $tablesDir/tags"))
+          .orderBy("id", "tag")
       // ≙ joern-ast2features (python/joern-tools scripts/ml/): per-page
       // neighborhood-hash bag-of-labels as sparse "label:count" lines
       case "features" =>
@@ -134,7 +136,13 @@ object KgCli {
         val pid = args(0).toLong
         val kinds = if (args.length > 1) args.drop(1) else
           Seq("MENTIONS", "NEXT_MENTION", "SAME_SENTENCE", "LINKS_TO", "SUBJ", "OBJ")
-        val ns = Steps.nodesOfPage(nodes, pid)
+        // include the entity endpoints of the page's LINKS_TO edges —
+        // Entity nodes carry pageId 0, so a page-only node set would make
+        // every LINKS_TO edge dangle out of the induced subgraph
+        val pageNodes = Steps.nodesOfPage(nodes, pid)
+        val ns = pageNodes
+          .unionByName(Steps.out(pageNodes, edges, nodes, "LINKS_TO"))
+          .dropDuplicates("id")
         dotFrame(spark, ns, Steps.inducedEdges(ns, edges.filter(col("kind").isin(kinds: _*))))
       // ≙ joern-plot-slice: DOT of a forward slice from the given node
       case "plot-slice" =>
@@ -155,8 +163,10 @@ object KgCli {
     * frame (collected — plots are small, client-side artifacts by contract). */
   private def dotFrame(spark: SparkSession, nodes: DataFrame, edges: DataFrame): DataFrame = {
     import spark.implicits._
+    // truncate BEFORE escaping — truncating after can split an escape pair
+    // and leave a dangling backslash that escapes the closing quote
     def esc(s: String): String =
-      if (s == null) "" else s.replace("\\", "\\\\").replace("\"", "\\\"").take(60)
+      if (s == null) "" else s.take(60).replace("\\", "\\\\").replace("\"", "\\\"")
     val ns = nodes.select("id", "kind", "code").orderBy("id").limit(5000).collect()
       .map(r => s"""  n${r.getLong(0)} [label="${esc(r.getString(1))}: ${esc(r.getString(2))}"];""")
     val es = edges.select("src", "dst", "kind").orderBy("src", "dst", "kind").limit(20000)
@@ -170,6 +180,16 @@ object KgCli {
     ids.map((_, tag)).toDF("id", "tag")
   }
 
+  /** Read the tags table with the SAME crash-swap fallback the writer has
+    * (live, then .new, then .old) — a crash mid-swap must not make hidden
+    * nodes silently reappear in lookup or break list-tags. */
+  private def readTags(spark: SparkSession, tablesDir: String): Option[DataFrame] = {
+    val live = s"$tablesDir/tags"
+    Seq(live, s"$live.new", s"$live.old")
+      .find(TableIO.readManifest(_).isDefined)
+      .map(TableIO.read(spark, _))
+  }
+
   /** Rewrite the tags table via snapshot swap. Crash-safe at every step:
     * new snapshot lands in tags.new; the LIVE table is renamed ASIDE (not
     * deleted) before the new one moves in, so a crash between the renames
@@ -180,11 +200,8 @@ object KgCli {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
     val live = s"$tablesDir/tags"
-    val existing =
-      if (TableIO.readManifest(live).isDefined) TableIO.read(spark, live)
-      else if (TableIO.readManifest(s"$live.new").isDefined) TableIO.read(spark, s"$live.new")
-      else if (TableIO.readManifest(s"$live.old").isDefined) TableIO.read(spark, s"$live.old")
-      else Seq.empty[(Long, String)].toDF("id", "tag")
+    val existing = readTags(spark, tablesDir)
+      .getOrElse(Seq.empty[(Long, String)].toDF("id", "tag"))
     val next = f(existing).localCheckpoint(true)
     TableIO.deleteRecursively(s"$live.new")
     TableIO.writeBucketed(next, s"$live.new", col("id"))
