@@ -211,6 +211,17 @@ object KgOracleSql {
          |FROM seeds s JOIN walk w ON w.pageId = s.pageId AND w.seed = s.seed
          |LEFT JOIN conds c ON c.id = w.node
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // coref expansion: seed mentions -> linked entities -> every mention of
+    // those entities (the two-hop LINKS_TO walk, re-derived as one join)
+    "kg_step_coref" ->
+      s"""WITH m AS (SELECT * FROM $M),
+         |seeds AS (SELECT mentionId AS id FROM m ORDER BY mentionId LIMIT 100),
+         |ents AS (SELECT DISTINCT m.entityId FROM m
+         |  JOIN seeds ON m.mentionId = seeds.id WHERE m.entityId >= 0)
+         |SELECT m.mentionId AS id, 'Mention' AS kind, m.surface AS code,
+         |  m.pageId AS "pageId", m.mentionIdx AS "childNum"
+         |FROM m JOIN ents ON m.entityId = ents.entityId
+         |ORDER BY id""".stripMargin,
     "kg_step_prov" ->
       s"""SELECT DISTINCT tripleNodeId AS triple_id, pred, pageId AS "pageId",
          |  subjMentionId AS subj_mention, nullif(objMentionId, 0) AS obj_mention

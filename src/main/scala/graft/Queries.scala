@@ -305,6 +305,10 @@ object Queries {
       graft.ops.Dedup.minhashLSH(dupedDocs(s, d), threshold = 0.7).orderBy("a", "b")),
     "d4_simhash" -> ((s, d) =>
       graft.ops.Dedup.simhashNearDup(dupedDocs(s, d), maxHamming = 3).orderBy("a", "b")),
+    // the keep-side of exact dedup over the planted-duplicate corpus: every
+    // original survives, every planted copy is dropped
+    "d10_dedup_keep" -> ((s, d) =>
+      graft.ops.Dedup.exactKeep(dupedDocs(s, d)).orderBy("doc_id")),
     "d5_token_count" -> ((s, d) => graft.ops.TextAnalysis.tokenCounts(t(s, d, "documents"))),
     "d9_bpe_tokens" -> ((s, d) =>
       graft.ops.TextAnalysis.bpeTokenEstimate(t(s, d, "documents")).orderBy("doc_id")),
@@ -450,6 +454,16 @@ object Queries {
       val seeds = kt.nodes.filter(col("kind") === "Mention" && col("childNum") === 0)
       graft.query.Steps.chainSliceByInterval(kt.nodes, seeds, depth = 5)
         .drop("props").orderBy("pageId", "childNum", "id")
+    }),
+    // ≙ the interproc parameter↔caller expansion (corefMentions): from the
+    // 100 smallest mention nodes, through their linked entities, to ALL
+    // co-referent mentions — two keyed hops over LINKS_TO
+    "kg_step_coref" -> ((s, d) => {
+      val kt = kg(s, d)
+      val seeds = kt.nodes.filter(col("kind") === "Mention").orderBy("id").limit(100)
+      graft.query.Steps.corefMentions(seeds, kt.edges, kt.nodes)
+        .select("id", "kind", "code", "pageId", "childNum")
+        .orderBy("id")
     }),
     // ≙ initGraphs/taintedArgs battery: head-entity pages (necessary-
     // condition prefilter) -> per-page graphlet -> sufficient check
@@ -700,6 +714,14 @@ object Queries {
         | len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
         | round(CAST(length(text) - length(replace(replace(text, ' ', ''), 'e', '')) AS DOUBLE) / length(text), 4) AS space_e_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d10_dedup_keep" ->
+      """WITH b AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |k AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM b GROUP BY 1)
+        |SELECT b.doc_id, b.text FROM b
+        |JOIN k ON md5(b.text) = k.h AND b.doc_id = k.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "d7_langid" -> langIdOracleSql,
     // e2 runs with nProbe == nCentroids (exhaustive probing — see the query
     // comment), so the IVF plumbing must reproduce exact brute force

@@ -19,6 +19,18 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
 
+  /** The KEEP side of exact dedup — the filtered corpus a training
+    * pipeline actually consumes: one representative row (min doc_id) per
+    * content hash. Shaped as a semi join against the per-hash keeper, so
+    * the full rows shuffle once on the content hash and nothing collects. */
+  def exactKeep(docs: DataFrame): DataFrame = {
+    val keepers = docs.groupBy(md5(col("text")).as("_h"))
+      .agg(min("doc_id").as("doc_id"))
+    docs.withColumn("_h", md5(col("text")))
+      .join(keepers, Seq("_h", "doc_id"), "left_semi")
+      .drop("_h")
+  }
+
   /** Word n-gram shingle set as a column expression. A document with fewer
     * than n tokens has NO shingles (the old greatest(..,0) emitted one
     * truncated shingle, diverging from the natural n-gram definition). */
