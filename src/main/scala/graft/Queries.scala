@@ -563,8 +563,8 @@ object Queries {
         |  SELECT o_orderkey FROM orders WHERE o_totalprice > 100000.0)""".stripMargin,
     "q17_case_agg" ->
       """SELECT user_id,
-        | sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-        | sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
         | round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
         |   / count(*), 4) AS avg_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -585,8 +585,8 @@ object Queries {
         |  FROM events),
         |sess AS (
         |  SELECT user_id,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, count(*) AS n_events
         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -49,20 +49,30 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                    maxBucket: Int = 100): DataFrame = {
     val withSh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    // eager checkpoint: exploded feeds the hot-key count, the size count and
+    // both join branches — recomputing the tokenize+shingle pass 4× is the
+    // dominant CPU cost otherwise
     val exploded = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
-    // drop hot shingles (stopword-only n-grams): the skew kill
-    val rare = exploded.withColumn("cnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("s")))
-      .filter(col("cnt") <= maxBucket)
+      .localCheckpoint(true)
+    // drop hot shingles (stopword-only n-grams): the skew kill. Hot-key
+    // detection is a groupBy count (map-side partial agg) + anti join — NOT
+    // a count-over-window, which would funnel every occurrence of a
+    // boilerplate shingle through one task before the filter ran. The hot
+    // set is tiny by construction (heavy hitters), so AQE broadcasts it.
+    val hot = exploded.groupBy("s").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > maxBucket).select("s")
+    val rare = exploded.join(hot, Seq("s"), "left_anti")
     // set sizes over the SAME post-filter universe as the intersection —
     // pre-filter sizes deflated the ratio and could drop exact duplicates
-    // below threshold when they shared many boilerplate shingles
-    val rareSized = rare.withColumn("shSize", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-    val a = rareSized.select(col("s"), col("doc_id").as("a"), col("shSize").as("aSize"))
-    val b = rareSized.select(col("s"), col("doc_id").as("b"), col("shSize").as("bSize"))
+    // below threshold when they shared many boilerplate shingles. groupBy,
+    // not count-over-window-by-doc_id: same partial-agg argument.
+    val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("shSize"))
+    val a = rare.select(col("s"), col("doc_id").as("a"))
+    val b = rare.select(col("s"), col("doc_id").as("b"))
     a.join(b, Seq("s")).filter(col("a") < col("b"))
-      .groupBy("a", "b", "aSize", "bSize").agg(count(lit(1)).as("inter"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("shSize").as("aSize")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("shSize").as("bSize")), Seq("b"))
       .withColumn("jaccard", col("inter") / (col("aSize") + col("bSize") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
@@ -129,19 +139,27 @@ object Dedup {
       // ran before any action and silently recomputed them, while never
       // unpersisting leaked the cache entry
       .localCheckpoint(true)
-    val banded = sig.select(col("doc_id"), col("sig"),
+    // ids-only banding: the banding shuffle carries (band, bandHash, doc_id)
+    // — no signature payload — and the hot-bucket cap ("maxBucket smallest
+    // doc_ids per bucket", same semantics as before) is a bounded min-k heap
+    // with map-side partial aggregation (graft.functions.MinKAgg), so a
+    // degenerate band (empty/boilerplate docs sharing one signature) shrinks
+    // inside every map task instead of being window-sorted in one reducer.
+    val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64(concat_ws(",", transform(
           slice(col("sig"), bnd * rows + lit(1), lit(rows)), _.cast("string")))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
-    // cap hot buckets: keep the `maxBucket` smallest doc_ids per bucket
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("band", "bandHash").orderBy("doc_id")
-    val capped = banded.withColumn("rn", row_number().over(w)).filter(col("rn") <= maxBucket)
-    val l = capped.select(col("band"), col("bandHash"), col("doc_id").as("a"), col("sig").as("sigA"))
-    val r = capped.select(col("band"), col("bandHash"), col("doc_id").as("b"), col("sig").as("sigB"))
-    val cand = l.join(r, Seq("band", "bandHash")).filter(col("a") < col("b"))
-      .select("a", "b", "sigA", "sigB").dropDuplicates("a", "b")
+    val buckets = banded.groupBy("band", "bandHash")
+      .agg(graft.functions.MinKAgg.minK(maxBucket)(col("doc_id")).as("ids"))
+    // per-bucket pair expansion runs over ≤ maxBucket capped ids; signatures
+    // re-attach by doc_id equi-join only for surviving candidate pairs
+    val cand = buckets
+      .select(explode(graft.functions.MinKAgg.pairCombos(col("ids"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .dropDuplicates("a", "b")
+      .join(sig.select(col("doc_id").as("a"), col("sig").as("sigA")), Seq("a"))
+      .join(sig.select(col("doc_id").as("b"), col("sig").as("sigB")), Seq("b"))
     cand.withColumn("estJaccard",
       size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => x === y), b => b))
         .cast("double") / lit(numHashes))
@@ -180,17 +198,20 @@ object Dedup {
     val sh = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) => (id, simhashLocal(text)) })
       .toDF("doc_id", "sh").localCheckpoint(true)
-    val chunked = sh.select(col("doc_id"), col("sh"),
+    // same ids-only + bounded-heap cap shape as minhashLSH: chunk value 0 is
+    // hot for short docs, and the min-k aggregator reduces it map-side
+    val chunked = sh.select(col("doc_id"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sh"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunkVal")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("chunk", "chunkVal").orderBy("doc_id")
-    val capped = chunked.withColumn("rn", row_number().over(w)).filter(col("rn") <= maxBucket)
-    val l = capped.select(col("chunk"), col("chunkVal"), col("doc_id").as("a"), col("sh").as("shA"))
-    val r = capped.select(col("chunk"), col("chunkVal"), col("doc_id").as("b"), col("sh").as("shB"))
-    val cand = l.join(r, Seq("chunk", "chunkVal")).filter(col("a") < col("b"))
+    val buckets = chunked.groupBy("chunk", "chunkVal")
+      .agg(graft.functions.MinKAgg.minK(maxBucket)(col("doc_id")).as("ids"))
+    val cand = buckets
+      .select(explode(graft.functions.MinKAgg.pairCombos(col("ids"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .dropDuplicates("a", "b")
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("shA")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shB")), Seq("b"))
     cand.withColumn("hamming", bit_count(col("shA").bitwiseXOR(col("shB"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("a", "b", "hamming")
@@ -202,12 +223,18 @@ object Dedup {
                        nPlanes: Int = 12, seed: Long = 42L,
                        maxBucket: Int = 200): DataFrame = {
     val sigCol = Similarity.hyperplaneSignature(col("embedding"), nPlanes, seed)
-    val sig = embs.select(col("vec_id"), col("embedding"), sigCol.as("bucket"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket").orderBy("vec_id")
-    val capped = sig.withColumn("rn", row_number().over(w)).filter(col("rn") <= maxBucket)
-    val l = capped.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
-    val r = capped.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
-    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+    // ids-only bucketing + bounded min-k cap (map-side partial agg — see
+    // MinKAgg); embeddings re-attach by vec_id only for candidate pairs, so
+    // neither the bucket shuffle nor a hot bucket ever carries the vectors
+    val sig = embs.select(col("vec_id"), sigCol.as("bucket"))
+    val buckets = sig.groupBy("bucket")
+      .agg(graft.functions.MinKAgg.minK(maxBucket)(col("vec_id")).as("ids"))
+    buckets
+      .select(explode(graft.functions.MinKAgg.pairCombos(col("ids"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .dropDuplicates("a", "b")
+      .join(embs.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+      .join(embs.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
       .withColumn("cosine", Similarity.cosine(col("ea"), col("eb")))
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine")

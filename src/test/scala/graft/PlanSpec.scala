@@ -89,6 +89,20 @@ class PlanSpec extends AnyFunSuite with Matchers {
     t.flat.unpersist(false); t.components.unpersist(false)
   }
 
+  test("near-dup hot-bucket caps never plan a Window (map-side bounded heap)") {
+    // Window.partitionBy(bucket) has no partial aggregation: a hot bucket
+    // (boilerplate/empty docs sharing a signature) would be shuffled into
+    // ONE task and sorted before the cap filter ran. The cap must plan as
+    // an (Object)HashAggregate with a partial mode instead.
+    for (q <- Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash", "e3_emb_neardup")) {
+      val plan = physical(Queries.all(q)(spark, sfDir))
+      withClue(s"$q plan:") {
+        plan shouldNot include("Window")
+        plan should include("Aggregate")
+      }
+    }
+  }
+
   test("asof join is one keyed window over a union, no join at all") {
     val plan = physical(Queries.all("q28_asof")(spark, sfDir))
     plan should include("Window")

@@ -30,6 +30,16 @@ def canon(rows, cols):
 fails = 0
 for name, sql in sorted(oracle.items()):
     try:
+        # Type guard: the driver materializes oracle results through
+        # pandas/arrow, where HUGEINT (int128, e.g. DuckDB's sum() over
+        # integers) and DECIMAL convert to float64 and hash-mismatch the
+        # bit-exact Spark dump. Fail loudly so every oracle casts these.
+        bad = [(c, str(t)) for c, t in zip(con.sql(sql).columns, con.sql(sql).types)
+               if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()]
+        if bad:
+            print(f"FAIL {name}: oracle output has HUGEINT/DECIMAL columns {bad}; CAST them (e.g. AS BIGINT/DOUBLE)")
+            fails += 1
+            continue
         res = con.execute(sql)
         ocols = [d[0] for d in res.description]
         orows = res.fetchall()
