@@ -30,6 +30,9 @@ import graft.model.PageGen
   * GRAFT_BENCH_RESULT line. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
+    // the parent parses GRAFT_BENCH_RESULT with [0-9.]+ — a comma-decimal
+    // default locale would print 12,345 and silently truncate the parse
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val Array(coresS, warmDir, pagesDir, outDir) = args
     if (warmDir != "-")
       Bench.runPipelineInProcess(coresS.toInt, warmDir, s"$outDir-warm")
@@ -152,6 +155,8 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // locale-stable float formatting for the JSON artifact (see BenchOne)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val midCpus = math.max(cpus / 4, 1)

@@ -77,6 +77,13 @@ final class ExtractMetrics(spark: SparkSession) extends Serializable {
   val sentences: LongAccumulator = spark.sparkContext.longAccumulator("sentences")
   val mentions: LongAccumulator = spark.sparkContext.longAccumulator("mentions")
   val triples: LongAccumulator = spark.sparkContext.longAccumulator("triples")
+  /** Mentions dropped by the per-sentence SAME_SENTENCE cap — the cap is a
+    * deliberate semantic bound, but on a denser corpus than the verify
+    * fixtures it would silently truncate discourse edges; this makes
+    * production truncation observable (the DuckDB oracles do not model the
+    * cap — VerifyOracle.dump asserts it never fires at verify scale). */
+  val sameSentenceDropped: LongAccumulator =
+    spark.sparkContext.longAccumulator("sameSentenceDropped")
 }
 
 /** The local half of the pipeline: HTML→text → sentences → mentions →
@@ -143,7 +150,7 @@ object TripleExtractor {
           metrics.mentions.add(ex.mentions.size)
           metrics.triples.add(ex.triples.size)
         }
-        toFlatRows(ex)
+        toFlatRows(ex, metrics)
       }
     }
   }
@@ -153,7 +160,7 @@ object TripleExtractor {
     * for adversarial pages; rule sentences carry ≤3 mentions). */
   val MaxSameSentenceMentions = 16
 
-  def toFlatRows(ex: PageExtract): Iterator[FlatRow] = {
+  def toFlatRows(ex: PageExtract, metrics: ExtractMetrics = null): Iterator[FlatRow] = {
     val hostId = Ids.hash64(ex.host)
     val base = FlatRow("p", ex.pageId, ex.url, ex.host, hostId, ex.nSentences,
       0L, -1, null, null, -1L, 0L, 0L, -1L, null, -1L, null, -1, 0.0, 0L, 0L, 0L, ex.error)
@@ -172,6 +179,8 @@ object TripleExtractor {
     // discourse graph (≙ CDG edges per function, `cdg/CDGCreator.java:41-88`);
     // emitted page-locally for the same zero-shuffle reason as NEXT_MENTION
     val es = marr.groupBy(_.sentIdx).iterator.flatMap { case (si, sms) =>
+      if (metrics != null && sms.length > MaxSameSentenceMentions)
+        metrics.sameSentenceDropped.add(sms.length - MaxSameSentenceMentions)
       val ids = sms.take(MaxSameSentenceMentions).map(_.mentionId)
       for {
         i <- ids.indices.iterator

@@ -167,11 +167,13 @@ object KgCli {
     // and leave a dangling backslash that escapes the closing quote
     def esc(s: String): String =
       if (s == null) "" else s.take(60).replace("\\", "\\\\").replace("\"", "\\\"")
+    // node ids are signed 64-bit hashes (~half negative): a bare n-123…
+    // is not a legal unquoted DOT ID, so quote every id
     val ns = nodes.select("id", "kind", "code").orderBy("id").limit(5000).collect()
-      .map(r => s"""  n${r.getLong(0)} [label="${esc(r.getString(1))}: ${esc(r.getString(2))}"];""")
+      .map(r => s"""  "n${r.getLong(0)}" [label="${esc(r.getString(1))}: ${esc(r.getString(2))}"];""")
     val es = edges.select("src", "dst", "kind").orderBy("src", "dst", "kind").limit(20000)
       .collect()
-      .map(r => s"""  n${r.getLong(0)} -> n${r.getLong(1)} [label="${esc(r.getString(2))}"];""")
+      .map(r => s"""  "n${r.getLong(0)}" -> "n${r.getLong(1)}" [label="${esc(r.getString(2))}"];""")
     Seq((ns ++ es).mkString("digraph g {\n", "\n", "\n}")).toDF("dot")
   }
 

@@ -87,10 +87,19 @@ class CliSpec extends AnyFunSuite with Matchers {
     dot should startWith("digraph g {")
     dot should endWith("}")
     dot should include("NEXT_MENTION")
+    // every statement must PARSE as DOT, not just string-match: ids are
+    // signed 64-bit hashes (~half negative) and n-123… is only legal
+    // quoted — an unquoted emit once shipped Graphviz-rejected output
+    val stmt = """  ("n-?\d+") (\[|-> ("n-?\d+") \[)label="[^"]*"\];""".r
+    val body = dot.split("\n").drop(1).dropRight(1)
+    body should not be empty
+    body.foreach { line => withClue(s"unparseable DOT statement: $line") {
+      stmt.matches(line) shouldBe true
+    }}
     val m = KgCli.run(spark, dir, "lookup", Seq("Mention", ".*")).head().getLong(0)
     val dot2 = KgCli.run(spark, dir, "plot-slice", Seq("2", m.toString)).head().getString(0)
     dot2 should startWith("digraph g {")
-    dot2 should include(s"n$m ")
+    dot2 should include(s""""n$m" """)
   }
 
   test("TSV rendering escapes tabs/newlines and folds maps") {
