@@ -96,6 +96,10 @@ object KgOracleSql {
       s"""SELECT hostId AS id, 'Host' AS kind, host AS code,
          |  CAST(0 AS BIGINT) AS "pageId", 0 AS "childNum"
          |FROM $H WHERE regexp_matches(host, '^host0\\.')""".stripMargin,
+    "kg_step_loc" ->
+      s"""SELECT mentionId AS id,
+         |  url || ':' || sentIdx || ':' || tokStart || ':' || tokEnd AS location
+         |FROM $M ORDER BY id""".stripMargin,
     "kg_step_entity_degree" ->
       s"""SELECT entityNodeId AS entity_node, count(*) AS n_mentions
          |FROM $M WHERE entityId >= 0

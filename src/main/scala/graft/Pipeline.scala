@@ -147,8 +147,12 @@ object Pipeline {
     val domainNodes = asNodes($"domainId", NK.Domain, $"domain", lit(0L), lit(0),
       map(lit("domain"), $"domain"))(hostDomain.select("domainId", "domain").distinct())
 
+    // loc = "sentIdx:tokStart:tokEnd" — the reference stores a location
+    // string on every CFG node (`ast/CodeLocation.java:14-19`); joern-location
+    // style lookups resolve it via Steps.withLocationLabel / the CLI verb
     val mentionNodes = asNodes($"mentionId", NK.Mention, $"surface", $"pageId", $"mentionIdx",
-      map(lit("norm"), $"norm", lit("entityId"), $"entityId".cast("string")))(m.toDF())
+      map(lit("norm"), $"norm", lit("entityId"), $"entityId".cast("string"),
+        lit("loc"), concat_ws(":", $"sentIdx", $"tokStart", $"tokEnd")))(m.toDF())
 
     val entityNodes = asNodes($"entityNodeId", NK.Entity, $"entityId".cast("string"),
       lit(0L), lit(0), map(lit("entityId"), $"entityId".cast("string")))(

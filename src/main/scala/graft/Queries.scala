@@ -376,6 +376,14 @@ object Queries {
         .groupBy(col("dst").as("entity_node")).agg(count(lit(1)).as("n_mentions"))
         .orderBy(col("n_mentions").desc, col("entity_node")).limit(50)
     }),
+    // ≙ joern-location (joern-tools): resolve every Mention node to its
+    // "pageUrl:sent:tokStart:tokEnd" source span via the location label join
+    "kg_step_loc" -> ((s, d) => {
+      val kt = kg(s, d)
+      graft.query.Steps.withLocationLabel(kt.nodes)
+        .filter(col("kind") === "Mention")
+        .select("id", "location").orderBy("id")
+    }),
     "kg_step_slice" -> ((s, d) => {
       val kt = kg(s, d)
       // deterministic seed set: orderBy(id) — a bare limit() samples

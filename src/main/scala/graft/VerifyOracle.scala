@@ -73,7 +73,8 @@ object VerifyOracle {
                            nSentences: Int, error: String)
   final case class OraMention(pageId: Long, url: String, mentionId: Long, mentionIdx: Int,
                               sentIdx: Int, surface: String, norm: String, entityId: Long,
-                              entityNodeId: Long, nextMentionId: Long)
+                              entityNodeId: Long, nextMentionId: Long,
+                              tokStart: Int, tokEnd: Int)
   final case class OraRawTriple(pageId: Long, url: String, subj: Long, pred: String, obj: Long,
                                 objValue: String, sentIdx: Int, conf: Double, tripleNodeId: Long,
                                 subjMentionId: Long, objMentionId: Long)
@@ -116,7 +117,8 @@ object VerifyOracle {
           mentions += OraMention(m.pageId, m.url, m.mentionId, idx, m.sentIdx, m.surface,
             m.norm, m.entityId,
             if (m.entityId >= 0) Ids.entityNodeId(m.entityId) else 0L,
-            if (idx + 1 < marr.length) marr(idx + 1).mentionId else 0L)
+            if (idx + 1 < marr.length) marr(idx + 1).mentionId else 0L,
+            m.tokStart, m.tokEnd)
         }
         ex.triples.foreach { t =>
           if (t.pred == "same_as") { if (t.obj >= 0) uf.union(t.subj, t.obj) }

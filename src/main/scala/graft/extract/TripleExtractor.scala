@@ -63,6 +63,8 @@ case class FlatRow(
     obj: Long,
     objValue: String,
     sentIdx: Int,       // also set on "m" rows (mention's sentence)
+    tokStart: Int,      // mention token span ("m" rows; -1 elsewhere)
+    tokEnd: Int,
     conf: Double,
     tripleNodeId: Long,    // provenance node id ("t" rows, non-same_as)
     subjMentionId: Long,
@@ -163,7 +165,7 @@ object TripleExtractor {
   def toFlatRows(ex: PageExtract, metrics: ExtractMetrics = null): Iterator[FlatRow] = {
     val hostId = Ids.hash64(ex.host)
     val base = FlatRow("p", ex.pageId, ex.url, ex.host, hostId, ex.nSentences,
-      0L, -1, null, null, -1L, 0L, 0L, -1L, null, -1L, null, -1, 0.0, 0L, 0L, 0L, ex.error)
+      0L, -1, null, null, -1L, 0L, 0L, -1L, null, -1L, null, -1, -1, -1, 0.0, 0L, 0L, 0L, ex.error)
     // the discourse chain (NEXT_MENTION) is emitted HERE, page-locally —
     // deriving it later would cost a pageId window shuffle over every
     // mention stub for information the extractor already holds
@@ -173,7 +175,7 @@ object TripleExtractor {
         surface = m.surface, norm = m.norm, entityId = m.entityId,
         entityNodeId = if (m.entityId >= 0) Ids.entityNodeId(m.entityId) else 0L,
         nextMentionId = if (i + 1 < marr.length) marr(i + 1).mentionId else 0L,
-        sentIdx = m.sentIdx, error = null)
+        sentIdx = m.sentIdx, tokStart = m.tokStart, tokEnd = m.tokEnd, error = null)
     }
     // SAME_SENTENCE pairs (i < j in token order) — the branching page-local
     // discourse graph (≙ CDG edges per function, `cdg/CDGCreator.java:41-88`);
@@ -272,7 +274,7 @@ object TripleExtractor {
       msArr.zipWithIndex.foreach { case ((s, e, norm), idx) =>
         mentions += LinkedMention(pageId, p.url, Ids.mentionId(pageId, si, s),
           toks.slice(s, e).mkString(" "), norm, linked(idx),
-          if (linked(idx) >= 0) 1.0 else 0.0, si)
+          if (linked(idx) >= 0) 1.0 else 0.0, si, s, e)
       }
       auto.matchAllNorm(toks, sentNorms(si), mentionAt).foreach { case (rule, bindings) =>
         // bindings are token positions for each slot in pattern order

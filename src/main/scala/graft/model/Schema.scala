@@ -77,7 +77,12 @@ case class LinkedMention(
     norm: String,
     entityId: Long,
     score: Double,
-    sentIdx: Int = -1)
+    sentIdx: Int = -1,
+    // token span within the sentence (≙ the reference's CodeLocation
+    // line:pos span, `ast/CodeLocation.java:14-19`) — surfaced as the
+    // node's `loc` prop and the joern-location analog
+    tokStart: Int = -1,
+    tokEnd: Int = -1)
 
 /** A canonical triple over entity ids, with provenance. */
 case class Triple(

@@ -198,15 +198,20 @@ object Steps {
       .join(nodes, "id")
   }
 
-  /** ≙ functionToLocationStr / locations (`function.groovy:2-11`,
-    * `info.groovy`): human-readable "pageUrl:childNum" label per node via a
-    * denormalizing join against the Page nodes. */
+  /** ≙ functionToLocationStr / locations / joern-location (`function.groovy:
+    * 2-11`, `ast/CodeLocation.java:14-19`, joern-tools `joern-location`):
+    * human-readable "pageUrl:sent:tokStart:tokEnd" label per node via a
+    * denormalizing join against the Page nodes. Mention nodes carry the
+    * token span in their `loc` prop; nodes without one (hosts, entities,
+    * triples) fall back to "pageUrl:childNum". */
   def withLocationLabel(nodes: DataFrame): DataFrame = {
     val pages = nodes.filter(col("kind") === "Page")
       .select(col("pageId").as("_pid"), col("code").as("_pageUrl"))
     nodes.join(pages, nodes("pageId") === pages("_pid"), "left")
       .withColumn("location",
-        concat_ws(":", coalesce(col("_pageUrl"), lit("?")), col("childNum")))
+        concat_ws(":", coalesce(col("_pageUrl"), lit("?")),
+          coalesce(try_element_at(col("props"), lit("loc")),
+            col("childNum").cast("string"))))
       .drop("_pid", "_pageUrl")
   }
 

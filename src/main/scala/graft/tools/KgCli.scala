@@ -74,6 +74,13 @@ object KgCli {
       case "code" =>
         nodes.filter(col("id").isin(args.map(_.toLong): _*))
           .select("id", "code").orderBy("id")
+      // ≙ joern-location (python/joern-tools): node ids -> source spans
+      // ("pageUrl:sent:tokStart:tokEnd" for mentions, "pageUrl:childNum"
+      // for nodes without a span prop)
+      case "location" =>
+        Steps.withLocationLabel(nodes)
+          .filter(col("id").isin(args.map(_.toLong): _*))
+          .select("id", "kind", "code", "location").orderBy("id")
       case "edges" =>
         edges.filter(col("kind") === args(0)).orderBy("src", "dst")
       case "slice" =>
@@ -154,7 +161,7 @@ object KgCli {
           edges.filter(col("kind").isin(kinds: _*))))
       case other =>
         throw new IllegalArgumentException(
-          s"unknown verb '$other' (build|import-ref|lookup|code|edges|slice|coref|" +
+          s"unknown verb '$other' (build|import-ref|lookup|code|location|edges|slice|coref|" +
             "tag|untag|hide|unhide|features|plot|plot-slice|list-tags|list-pages|list-entities)")
     }
   }

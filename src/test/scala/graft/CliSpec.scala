@@ -40,6 +40,19 @@ class CliSpec extends AnyFunSuite with Matchers {
       KgCli.run(spark, dir, "frobnicate", Nil)
   }
 
+  test("location verb resolves mentions to url:sent:tokStart:tokEnd spans") {
+    val m = KgCli.run(spark, dir, "lookup", Seq("Mention", ".*")).head().getLong(0)
+    val row = KgCli.run(spark, dir, "location", Seq(m.toString)).head()
+    row.getLong(0) shouldBe m
+    // the span triple comes from the node's loc prop, not the childNum
+    // fallback — exactly four ':'-separated tail fields
+    row.getString(3) should fullyMatch regex """.+:\d+:\d+:\d+"""
+    // a spanless node (Host) falls back to "?:childNum"
+    val h = KgCli.run(spark, dir, "lookup", Seq("Host", ".*")).head().getLong(0)
+    val hrow = KgCli.run(spark, dir, "location", Seq(h.toString)).head()
+    hrow.getString(3) shouldBe "?:0"
+  }
+
   test("coref / tag / list-tags verbs") {
     // coref: a mention expands to all co-referent mentions of its entity
     val m = KgCli.run(spark, dir, "lookup", Seq("Mention", ".*"))
