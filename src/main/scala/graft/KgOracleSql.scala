@@ -96,6 +96,86 @@ object KgOracleSql {
       s"""SELECT hostId AS id, 'Host' AS kind, host AS code,
          |  CAST(0 AS BIGINT) AS "pageId", 0 AS "childNum"
          |FROM $H WHERE regexp_matches(host, '^host0\\.')""".stripMargin,
+    // Dominance re-derived from FIRST PRINCIPLES, not CHK: d strictly
+    // dominates b iff b is unreachable from the page's first mention once d
+    // is removed (the textbook definition, as a per-candidate recursive
+    // reachability CTE). idom(b) = the strict dominator with the largest
+    // mention index — dominators form a chain, and dominance on this DAG
+    // implies topological (index) precedence. A genuinely different
+    // algorithm than the Spark side's iterative fixpoint.
+    "kg_step_dom" ->
+      s"""WITH RECURSIVE
+         |m AS (SELECT pageId, mentionId, mentionIdx FROM $M),
+         |pe AS (
+         |  SELECT pageId, mentionId AS src, nextMentionId AS dst FROM $M
+         |    WHERE nextMentionId != 0
+         |  UNION
+         |  SELECT x.pageId, x.mentionId, y.mentionId
+         |  FROM $M x JOIN $M y ON x.pageId = y.pageId AND x.sentIdx = y.sentIdx
+         |    AND x.mentionIdx < y.mentionIdx),
+         |rt AS (SELECT pageId, mentionId AS root FROM m
+         |  QUALIFY row_number() OVER (PARTITION BY pageId ORDER BY mentionIdx) = 1),
+         |reach AS (
+         |  SELECT r.pageId, c.mentionId AS d, r.root AS node
+         |  FROM rt r JOIN m c ON c.pageId = r.pageId AND c.mentionId != r.root
+         |  UNION
+         |  SELECT re.pageId, re.d, pe.dst
+         |  FROM reach re JOIN pe ON pe.pageId = re.pageId AND pe.src = re.node
+         |  WHERE pe.dst != re.d),
+         |sdom AS (
+         |  SELECT b.pageId, dm.mentionId AS d, dm.mentionIdx AS didx, b.mentionId AS b
+         |  FROM m b JOIN m dm ON dm.pageId = b.pageId AND dm.mentionId != b.mentionId
+         |  JOIN rt r ON r.pageId = b.pageId
+         |  WHERE b.mentionId != r.root
+         |    AND NOT EXISTS (SELECT 1 FROM reach re
+         |      WHERE re.pageId = b.pageId AND re.d = dm.mentionId
+         |        AND re.node = b.mentionId))
+         |SELECT pageId AS "pageId", d AS src, b AS dst FROM sdom
+         |QUALIFY row_number() OVER (PARTITION BY pageId, b ORDER BY didx DESC) = 1
+         |ORDER BY "pageId", dst""".stripMargin,
+    // control dependence from the same first-principles postdominators:
+    // ipdom(a) = min-index strict postdominator; CONTROLS = the FOW chain
+    // walk from each edge target down to (excluding) ipdom(src)
+    "kg_step_cdg" ->
+      s"""WITH RECURSIVE
+         |m AS (SELECT pageId, mentionId, mentionIdx FROM $M),
+         |pe AS (
+         |  SELECT pageId, mentionId AS src, nextMentionId AS dst FROM $M
+         |    WHERE nextMentionId != 0
+         |  UNION
+         |  SELECT x.pageId, x.mentionId, y.mentionId
+         |  FROM $M x JOIN $M y ON x.pageId = y.pageId AND x.sentIdx = y.sentIdx
+         |    AND x.mentionIdx < y.mentionIdx),
+         |ext AS (SELECT pageId, mentionId AS exit FROM m
+         |  QUALIFY row_number() OVER (PARTITION BY pageId ORDER BY mentionIdx DESC) = 1),
+         |preach AS (
+         |  SELECT x.pageId, c.mentionId AS d, x.exit AS node
+         |  FROM ext x JOIN m c ON c.pageId = x.pageId AND c.mentionId != x.exit
+         |  UNION
+         |  SELECT re.pageId, re.d, pe.src
+         |  FROM preach re JOIN pe ON pe.pageId = re.pageId AND pe.dst = re.node
+         |  WHERE pe.src != re.d),
+         |spdom AS (
+         |  SELECT a.pageId, dm.mentionId AS d, dm.mentionIdx AS didx, a.mentionId AS a
+         |  FROM m a JOIN m dm ON dm.pageId = a.pageId AND dm.mentionId != a.mentionId
+         |  JOIN ext x ON x.pageId = a.pageId
+         |  WHERE a.mentionId != x.exit
+         |    AND NOT EXISTS (SELECT 1 FROM preach re
+         |      WHERE re.pageId = a.pageId AND re.d = dm.mentionId
+         |        AND re.node = a.mentionId)),
+         |ipdom AS (
+         |  SELECT pageId, a, d AS ip FROM spdom
+         |  QUALIFY row_number() OVER (PARTITION BY pageId, a ORDER BY didx ASC) = 1),
+         |walk AS (
+         |  SELECT pe.pageId, pe.src AS a, pe.dst AS cur, ia.ip AS stop
+         |  FROM pe JOIN ipdom ia ON ia.pageId = pe.pageId AND ia.a = pe.src
+         |  WHERE pe.dst != ia.ip
+         |  UNION
+         |  SELECT w.pageId, w.a, ic.ip, w.stop
+         |  FROM walk w JOIN ipdom ic ON ic.pageId = w.pageId AND ic.a = w.cur
+         |  WHERE ic.ip != w.stop)
+         |SELECT DISTINCT pageId AS "pageId", a AS src, cur AS dst FROM walk
+         |ORDER BY "pageId", src, dst""".stripMargin,
     "kg_step_loc" ->
       s"""SELECT mentionId AS id,
          |  url || ':' || sentIdx || ':' || tokStart || ':' || tokEnd AS location

@@ -376,6 +376,22 @@ object Queries {
         .groupBy(col("dst").as("entity_node")).agg(count(lit(1)).as("n_mentions"))
         .orderBy(col("n_mentions").desc, col("entity_node")).limit(50)
     }),
+    // computed per-page dominance (≙ CHK iterative idom,
+    // `dom/DominatorTree.java:162-226`): idom(b) -> b over each page's
+    // NEXT_MENTION ∪ SAME_SENTENCE DAG from the page's first mention
+    "kg_step_dom" -> ((s, d) => {
+      val kt = kg(s, d)
+      graft.extract.Dominance.compute(s, kt.nodes, kt.edges)
+        .filter(col("kind") === graft.extract.Dominance.Dom)
+        .select("pageId", "src", "dst").orderBy("pageId", "dst")
+    }),
+    // control dependence via the postdom chain walk (≙ CDGCreator.java:41-88)
+    "kg_step_cdg" -> ((s, d) => {
+      val kt = kg(s, d)
+      graft.extract.Dominance.compute(s, kt.nodes, kt.edges)
+        .filter(col("kind") === graft.extract.Dominance.Controls)
+        .select("pageId", "src", "dst").orderBy("pageId", "src", "dst")
+    }),
     // ≙ joern-location (joern-tools): resolve every Mention node to its
     // "pageUrl:sent:tokStart:tokEnd" source span via the location label join
     "kg_step_loc" -> ((s, d) => {
