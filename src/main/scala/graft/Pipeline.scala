@@ -54,11 +54,17 @@ object Pipeline {
 
   def run(spark: SparkSession, pages: Dataset[Page], nPersons: Int = 500,
           targetLang: String = "en",
-          canonBroadcastCutover: Long = CanonBroadcastCutover): Tables = {
+          canonBroadcastCutover: Long = CanonBroadcastCutover,
+          rules: Seq[PatternRule] = PatternAutomaton.DefaultRules,
+          // rule-diff incremental recompute (G3): when a restricted page set
+          // is re-extracted, the GLOBAL canonical mapping must come from the
+          // original full build (same_as rules unchanged ⇒ it is still
+          // valid) — recomputing it from the restricted pages would be wrong
+          precomputedComponents: Option[DataFrame] = None): Tables = {
     import spark.implicits._
 
     val gaz = spark.sparkContext.broadcast(defaultGazetteer(nPersons))
-    val auto = spark.sparkContext.broadcast(PatternAutomaton.compile(PatternAutomaton.DefaultRules))
+    val auto = spark.sparkContext.broadcast(PatternAutomaton.compile(rules))
     val metrics = new ExtractMetrics(spark)
 
     // 1-2: language predicate BEFORE the expensive mapPartitions (the
@@ -76,8 +82,9 @@ object Pipeline {
 
     // 4: global fixpoint (adaptive: driver union-find under the cutover,
     // salted distributed label propagation above it — identical results)
-    val components = ConnectedComponents.auto(spark, sameAs)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val components = precomputedComponents.getOrElse(
+      ConnectedComponents.auto(spark, sameAs)
+        .persist(StorageLevel.MEMORY_AND_DISK))
 
     // 5: canonicalize triples. The mapping is bounded by the entity universe
     // (≪ triple count) → broadcast map-side join while it fits; past the
@@ -240,7 +247,12 @@ object Pipeline {
     val writes = Seq(
       Future(TableIO.writeBucketed(t.triples, s"$outDir/triples", col("url"), counters)),
       Future(TableIO.writeBucketed(t.nodes, s"$outDir/nodes", col("id"), counters)),
-      Future(TableIO.writeBucketed(t.edges, s"$outDir/edges", col("src"), counters)))
+      Future(TableIO.writeBucketed(t.edges, s"$outDir/edges", col("src"), counters)),
+      // the canonical mapping is materialized too: a rule-diff incremental
+      // recompute (Incremental.applyRuleDiff) re-extracts only the touched
+      // page buckets and must reuse THIS global mapping, not rebuild one
+      // from the restricted page set
+      Future(TableIO.writeBucketed(t.components, s"$outDir/components", col("id"), counters)))
     writes.foreach(Await.result(_, Duration.Inf))
     counters
   }

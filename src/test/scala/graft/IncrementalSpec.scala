@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+
+import graft.extract.{EntSlot, Lit, NumSlot, PatternAutomaton, PatternRule}
+import graft.model.PageGen
+import graft.store.TableIO
+
+class IncrementalSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+
+  private val cfg = PageGen.Config(nPages = 60)
+  // rule 7 ("age") re-predicated: the diff is {old 7, new 7}; its literals
+  // ("is", "years", "old") hit only the pages carrying an age sentence
+  private val newRules: Vector[PatternRule] = PatternAutomaton.DefaultRules.map {
+    case r if r.ruleId == 7 =>
+      PatternRule(7, "age_years", Vector(EntSlot, Lit("is"), NumSlot, Lit("years"), Lit("old")), 0, 1)
+    case r => r
+  }
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("changedRules is the structural symmetric difference") {
+    Incremental.changedRules(PatternAutomaton.DefaultRules, PatternAutomaton.DefaultRules) shouldBe empty
+    val ch = Incremental.changedRules(PatternAutomaton.DefaultRules, newRules)
+    ch.map(_.pred).sorted shouldBe Seq("age", "age_years")
+  }
+
+  test("rule diff recomputes only touched buckets, result == full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val pages = PageGen.pages(spark, cfg)
+
+    // full build under the OLD rules
+    val t0 = Pipeline.run(spark, pages, cfg.nPersons)
+    Pipeline.materialize(spark, t0, dir)
+    t0.flat.unpersist(false); t0.components.unpersist(false)
+
+    // incremental: apply the diff
+    val touched = Incremental.applyRuleDiff(spark, pages,
+      PatternAutomaton.DefaultRules, newRules, dir, cfg.nPersons)
+    touched should not be empty
+    touched.size should be < TableIO.NumBuckets // partial recompute, by construction
+
+    // ground truth: a from-scratch rebuild under the NEW rules
+    val t1 = Pipeline.run(spark, pages, cfg.nPersons, rules = newRules)
+    val incr = TableIO.read(spark, s"$dir/triples")
+    sortedRows(incr) shouldBe sortedRows(t1.triples)
+    incr.filter(col("pred") === "age_years").count() should be > 0L
+    incr.filter(col("pred") === "age").count() shouldBe 0L
+    t1.flat.unpersist(false); t1.components.unpersist(false)
+
+    // affected-page detection is the necessary-condition superset: every
+    // page whose triples differ between the two rule sets is in a touched
+    // bucket (here: every page with an age triple)
+    val agePages = t1.triples.filter(col("pred") === "age_years")
+      .select(pmod(xxhash64(col("url")), lit(TableIO.NumBuckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    agePages.subsetOf(touched) shouldBe true
+
+    // a no-op diff touches nothing
+    Incremental.applyRuleDiff(spark, pages, newRules, newRules, dir, cfg.nPersons) shouldBe empty
+    TableIO.deleteRecursively(dir)
+  }
+
+  test("same_as rule diff falls back to a full rebuild (stale canonical map)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-sa").toString
+    val pages = PageGen.pages(spark, cfg)
+    val t0 = Pipeline.run(spark, pages, cfg.nPersons)
+    Pipeline.materialize(spark, t0, dir)
+    t0.flat.unpersist(false); t0.components.unpersist(false)
+
+    // drop the same_as rule entirely: no links -> no canonicalization
+    val noSameAs = PatternAutomaton.DefaultRules.filterNot(_.pred == "same_as")
+    val touched = Incremental.applyRuleDiff(spark, pages,
+      PatternAutomaton.DefaultRules, noSameAs, dir, cfg.nPersons)
+    touched.size shouldBe TableIO.NumBuckets // full invalidation, detected
+
+    val t1 = Pipeline.run(spark, pages, cfg.nPersons, rules = noSameAs)
+    sortedRows(TableIO.read(spark, s"$dir/triples")) shouldBe sortedRows(t1.triples)
+    sortedRows(TableIO.read(spark, s"$dir/components")) shouldBe sortedRows(t1.components.toDF())
+    t1.flat.unpersist(false); t1.components.unpersist(false)
+    TableIO.deleteRecursively(dir)
+  }
+}
