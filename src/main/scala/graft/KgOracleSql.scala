@@ -230,7 +230,8 @@ object KgOracleSql {
          |nodes AS ($nodesUnion),
          |lmap AS (SELECT * FROM $L),
          |l0 AS (SELECT n.id, n."pageId" AS pageId, lm.label
-         |  FROM nodes n JOIN lmap lm ON n.kind = lm.kind AND n.code = lm.code),
+         |  FROM nodes n JOIN lmap lm ON n.kind = lm.kind AND n.code = lm.code
+         |  WHERE n.kind IN ('Page', 'Mention')),
          |e AS (SELECT pageId AS src, mentionId AS dst FROM m),
          |${nhashRound("l0", "x1", "l1")},
          |${nhashRound("l1", "x2", "l2")}

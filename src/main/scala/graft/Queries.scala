@@ -425,7 +425,13 @@ object Queries {
     }),
     "kg_step_nhash" -> ((s, d) => {
       val kt = kg(s, d)
-      graft.query.Steps.neighborhoodHashFeatures(kt.nodes, kt.edges, "MENTIONS")
+      // label frame restricted to the kinds incident to MENTIONS edges
+      // (Page src, Mention dst): Triple/Host/Domain/Entity nodes can never
+      // influence an in-frame label, so carrying them through 2 rounds of
+      // join+checkpoint was pure traffic (~60% of the node table is Triple
+      // provenance nodes). Oracle filters l0 identically.
+      graft.query.Steps.neighborhoodHashFeatures(kt.nodes, kt.edges, "MENTIONS",
+        onKinds = Some(Seq("Page", "Mention")))
     }),
     // ≙ usesFiltered longest-match dedup over each page's mentions
     "kg_step_usesfiltered" -> ((s, d) => {

@@ -125,16 +125,18 @@ object ConnectedComponents {
       // min-monotone, so still correct, and rounds drop from O(diameter) to
       // O(log diameter); costs one extra keyed join per round
       val jump = labels.select($"id".as("label"), $"label".as("label2"))
-      // ONE materialization per iteration: eager localCheckpoint (which also
-      // truncates lineage and preserves the id-hash partitioning); the
-      // changed-count then reads the checkpointed blocks
-      val newLabels = prop.join(jump, Seq("label"), "left")
-        .select($"id", $"old",
-          least($"label", coalesce($"label2", $"label")).as("label"))
-        .withColumn("changed", $"label" < $"old")
-        .drop("old")
-        .repartition($"id")
-        .localCheckpoint(true)
+      // ONE materialization per iteration (Materialize.iterate: eager
+      // localCheckpoint, or a reliable checkpoint every Nth round when
+      // spark.graft.reliableCheckpointInterval is set — cluster fault story);
+      // it truncates lineage and preserves the id-hash partitioning, and the
+      // changed-count then reads the materialized blocks
+      val newLabels = graft.util.Materialize.iterate(
+        prop.join(jump, Seq("label"), "left")
+          .select($"id", $"old",
+            least($"label", coalesce($"label2", $"label")).as("label"))
+          .withColumn("changed", $"label" < $"old")
+          .drop("old")
+          .repartition($"id"), iter)
       val changed = newLabels.filter($"changed").count() // ≙ DDGCreator's changedNodes
       val old = labels
       labels = newLabels.drop("changed")

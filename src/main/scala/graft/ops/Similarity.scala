@@ -103,7 +103,7 @@ object Similarity {
       .select((row_number().over(wTiny) - 1).as("centroid_id"),
         col("embedding").as("c_emb"))
       .localCheckpoint(true)
-    (0 until iters).foreach { _ =>
+    (0 until iters).foreach { it =>
       val assigned = assign(corpus, centroids)
       centroids = assigned
         .select(col("centroid_id"), col("embedding"))
@@ -114,7 +114,7 @@ object Similarity {
         .groupBy("centroid_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("c_emb"))
-        .localCheckpoint(true)
+        .transform(graft.util.Materialize.iterate(_, it))
     }
     centroids
   }

@@ -109,8 +109,9 @@ object Steps {
                 restrictFirstHopVars: Option[Seq[String]] = None): DataFrame = {
     val e0 = edges.filter(col("kind").isin(kinds: _*))
     val (srcCol, dstCol) = if (forward) ("src", "dst") else ("dst", "src")
-    // localCheckpoint per iteration truncates lineage — without it the plan
+    // materialize per iteration to truncate lineage — without it the plan
     // doubles every hop and the driver OOMs on plan strings alone
+    // (Materialize.iterate: reliable every Nth round when configured)
     var visited = seeds.select(col("id")).distinct().localCheckpoint(true)
     var frontier = visited
     var depth = 0
@@ -123,10 +124,10 @@ object Steps {
         .join(e, srcCol)
         .select(col(dstCol).as("id")).distinct()
         .join(visited, Seq("id"), "left_anti") // frontier - visited (cfg.groovy:21)
-        .localCheckpoint(true)
+        .transform(graft.util.Materialize.iterate(_, depth))
       if (next.isEmpty) done = true
       else {
-        visited = visited.union(next).localCheckpoint(true)
+        visited = graft.util.Materialize.iterate(visited.union(next), depth)
         frontier = next
       }
       depth += 1
@@ -175,9 +176,13 @@ object Steps {
       val next = frontier.select(col("origin"), col("id").as("src"))
         .join(e0, "src")
         .select(col("origin"), col("dst").as("id")).distinct()
-        .join(visited, Seq("origin", "id"), "left_anti").localCheckpoint(true)
+        .join(visited, Seq("origin", "id"), "left_anti")
+        .transform(graft.util.Materialize.iterate(_, depth))
       if (next.isEmpty) done = true
-      else { visited = visited.union(next).localCheckpoint(true); frontier = next }
+      else {
+        visited = graft.util.Materialize.iterate(visited.union(next), depth)
+        frontier = next
+      }
       depth += 1
     }
     visited.filter(col("origin") === col("id")).select(col("origin").as("id")).distinct()
@@ -452,10 +457,23 @@ object Steps {
   /** Feature vectors: 2 iterations of label hashing over a node's out-edge
     * neighborhood, then bag-of-labels counts per page
     * (`neighborhoodHash.groovy:23-35`: newLabel = rot1(label) XOR xor(childLabels);
-    * initial 16-bit label from kind/code, numbers collapsed — `:97-109`). */
+    * initial 16-bit label from kind/code, numbers collapsed — `:97-109`).
+    *
+    * `onKinds`: restrict the label frame to node kinds incident to
+    * `edgeKind`. Non-incident nodes never influence any in-frame label (they
+    * are never a dst of the edge kind), so the restriction only drops their
+    * own rows from the bag — but it keeps them out of every per-iteration
+    * join + checkpoint, which on the full KG table is ~3× less traffic
+    * (Triple provenance nodes alone are ~60% of the node table and carry no
+    * MENTIONS edges). Default = unrestricted, the reference's semantics. */
   def neighborhoodHashFeatures(nodes: DataFrame, edges: DataFrame,
-                               edgeKind: String, iterations: Int = 2): DataFrame = {
-    val initial = nodes.select(col("id"), col("pageId"),
+                               edgeKind: String, iterations: Int = 2,
+                               onKinds: Option[Seq[String]] = None): DataFrame = {
+    val frame = onKinds match {
+      case Some(ks) => nodes.filter(col("kind").isin(ks: _*))
+      case None => nodes
+    }
+    val initial = frame.select(col("id"), col("pageId"),
       (abs(when(col("code").rlike("^[0-9]+$"), xxhash64(lit("A_NUMBER")))
         .otherwise(xxhash64(col("kind"), col("code")))) % 65536).as("label"))
     val e = edges.filter(col("kind") === edgeKind).select("src", "dst")
@@ -464,7 +482,7 @@ object Steps {
     // next round references the result again — checkpoint per round or the
     // lineage re-executes the whole chain at every reuse
     var labeled = initial.localCheckpoint(true)
-    (0 until iterations).foreach { _ =>
+    (0 until iterations).foreach { it =>
       // bit_xor is a declarative aggregate (partial map-side combine, codegen)
       // — collect_list + interpreted fold built a per-group array for nothing
       val childXor = e.join(labeled.withColumnRenamed("id", "dst").select("dst", "label"), "dst")
@@ -475,7 +493,7 @@ object Steps {
       labeled = labeled.join(childXor, Seq("id"), "left")
         .select(col("id"), col("pageId"),
           (rot1.bitwiseXOR(coalesce(col("childXor"), lit(0L))) % 65536).as("label"))
-        .localCheckpoint(true)
+        .transform(graft.util.Materialize.iterate(_, it))
     }
     labeled.groupBy("pageId", "label").count()
   }

@@ -64,6 +64,27 @@ class CanonSpec extends AnyFunSuite with Matchers {
     comps(1L) shouldBe 0L
   }
 
+  test("reliable-checkpoint interval: distributed CC output identical with option on") {
+    import spark.implicits._
+    val edges = (1L to 40L).sliding(2).map(s => (s(0), s(1))).toSeq ++
+      Seq((40L, 200L), (300L, 301L))
+    val plain = cc(edges)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(graft.util.Materialize.IntervalKey, "2")
+    try {
+      ConnectedComponents.run(spark, edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe plain
+      // reliable snapshots were actually written (interval 2 fires on a
+      // >=2-iteration fixpoint; the 40-chain needs several rounds)
+      val wrote = new java.io.File(dir).listFiles()
+      wrote should not be null
+      wrote.length should be > 0
+    } finally {
+      spark.conf.set(graft.util.Materialize.IntervalKey, "0")
+    }
+  }
+
   test("property: CC equals union-find on random graphs; invariant under edge order") {
     (0 until 5).foreach { trial =>
       val e = (0 until 60).map { i =>

@@ -89,6 +89,24 @@ class StepsSpec extends AnyFunSuite with Matchers {
     f1.agg(min("label")).collect()(0).getLong(0) should be >= 0L
   }
 
+  test("nhash onKinds: restriction drops only out-of-frame rows") {
+    import spark.implicits._
+    val inKinds = Seq(NK.Page, NK.Mention)
+    val full = Steps.neighborhoodHashFeatures(t.nodes, t.edges, EK.Mentions)
+    val restricted = Steps.neighborhoodHashFeatures(t.nodes, t.edges, EK.Mentions,
+      onKinds = Some(inKinds))
+    // out-of-frame nodes are never a MENTIONS dst, so running the kernel on
+    // them alone (same edge set) yields their rotate-only labels; adding that
+    // bag back to the restricted bag must reproduce the full result exactly
+    val outFrame = Steps.neighborhoodHashFeatures(
+      t.nodes.filter(!col("kind").isin(inKinds: _*)), t.edges, EK.Mentions)
+    val recombined = restricted.unionByName(outFrame)
+      .groupBy("pageId", "label").agg(sum("count").as("count"))
+    recombined.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted shouldBe
+      full.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    restricted.count() should be < full.count()
+  }
+
   test("unsanitizedPairs: kill nodes, depth cap, endpoints exempt") {
     import spark.implicits._
     // handcrafted page 1: chain 1->2->3->4->5, branch 2->6->4 (bypass)
