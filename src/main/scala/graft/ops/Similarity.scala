@@ -155,4 +155,25 @@ object Similarity {
       .withColumn("cosine", safeCosine("q_emb", "q_norm", "nn_emb", "nn_norm"))
     rankTopK(cands, k)
   }
+
+  /** Feature-hashed dense embedding of a sparse bag-of-labels frame
+    * (id, label, count) — the hashing trick the reference's ml scripts get
+    * from sally's hashed feature maps (`scripts/ml/joern-knn`,
+    * `joern-cluster` consume ast2features output embedded this way): index
+    * = label mod dim, value = summed count. Two partial-aggregating
+    * groupBys, no window; `dim` is a constant so the dense array is bounded
+    * regardless of corpus size. Output (id, embedding) plugs straight into
+    * [[bruteForceTopK]] / [[ivfTopK]] / [[kmeansCentroids]]. */
+  def featureHashEmbedding(bags: DataFrame, idCol: String = "pageId",
+                           dim: Int = 64): DataFrame = {
+    bags
+      .groupBy(col(idCol).as("id"), pmod(col("label"), lit(dim)).cast("int").as("pos"))
+      .agg(sum(col("count")).cast("double").as("v"))
+      .groupBy(col("id"))
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("v")))).as("m"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(try_element_at(col("m"), i), lit(0.0)).cast("float"))
+          .as("embedding"))
+  }
 }

@@ -74,6 +74,21 @@ object Steps {
       .join(edges.filter(col("kind") === kind), "src")
       .groupBy("src").count()
 
+  /** ≙ siblings (`ast.groovy:53-62`): parents().children() minus the origin
+    * itself. The exclusion is per path (a node sharing a parent with ANOTHER
+    * input node is still emitted for that other origin), and duplicates are
+    * preserved like the reference pipe — two keyed hops, no driver loop. */
+  def siblings(from: DataFrame, edges: DataFrame, nodes: DataFrame,
+               kind: String): DataFrame = {
+    val e = edges.filter(col("kind") === kind)
+    val parents = from.select(col("id").as("dst")).join(e, "dst")
+      .select(col("src"), col("dst").as("origin"))
+    parents.join(e, "src")
+      .filter(col("dst") =!= col("origin"))
+      .select(col("dst").as("id"))
+      .join(nodes, "id")
+  }
+
   // ---------- per-page selection (≙ functionToASTNodes via functionId) ----------
 
   /** All nodes of one page — an indexed filter, not a traversal
@@ -94,6 +109,46 @@ object Steps {
   /** ≙ _emitForFunctions: semi-join batching instead of per-row subqueries. */
   def forPages(from: DataFrame, pages: DataFrame): DataFrame =
     from.join(pages.select("pageId").distinct(), Seq("pageId"), "left_semi")
+
+  /** ≙ apiSyms (`misc.groovy:96-99`): the API-symbol codes of the input
+    * rows' pages — the reference kind set {Callee, IdentifierDeclType,
+    * Parameter} ↦ the KG's symbol-bearing page-local kinds (Mention,
+    * Triple). Output is the code column, duplicates preserved like the
+    * reference pipe; a pageId semi-join plus a kind-set filter, both
+    * pushdown-friendly. */
+  def apiSyms(from: DataFrame, nodes: DataFrame,
+              kinds: Seq[String] = Seq(graft.model.Schema.NodeKinds.Mention,
+                graft.model.Schema.NodeKinds.TripleN)): DataFrame =
+    nodes.join(from.select("pageId").distinct(), Seq("pageId"), "left_semi")
+      .filter(col("kind").isin(kinds: _*))
+      .select(col("code"))
+
+  // ---------- named descriptor combinators (`syntax/match.groovy:12-49`,
+  // `taintTracking/interproc.groovy:108-151`): Column predicates to compose
+  // with filter() — the reference's closure descriptors, minus the closures
+
+  /** ≙ calls(regex) (`interproc.groovy:123-128`): Callee-kind rows whose
+    * code CONTAINS the literal (the reference Pattern.quotes the argument
+    * and pads with `.*`). Callee ↦ Mention, the call-site occurrence. */
+  def callsDescriptor(literal: String): Column =
+    col("kind") === graft.model.Schema.NodeKinds.Mention &&
+      col("code").rlike(".*" + java.util.regex.Pattern.quote(literal) + ".*")
+
+  /** ≙ checks(regex) (`interproc.groovy:108-113`): condition-kind rows whose
+    * code contains the literal. The reference's condition kind set
+    * {Equality, Relational, Primary, UnaryOp} ↦ Triple, the KG's
+    * predicate-bearing node. */
+  def checksDescriptor(literal: String): Column =
+    col("kind") === graft.model.Schema.NodeKinds.TripleN &&
+      col("code").rlike(".*" + java.util.regex.Pattern.quote(literal) + ".*")
+
+  /** ≙ codeMatches(regex, s) (`interproc.groovy:130-136`): template regex
+    * whose optional %s slot receives the QUOTED literal. */
+  def codeMatchesDescriptor(template: String, s: String): Column = {
+    val rx = if (template.contains("%s"))
+      template.format(java.util.regex.Pattern.quote(s)) else template
+    col("code").rlike(rx)
+  }
 
   // ---------- reachability / slicing (iterative frontier joins) ----------
 

@@ -26,6 +26,8 @@ import graft.store.TableIO
   *                                      co-referent mentions via the entity
   *   tag <tag> <id> [id...]           ≙ joern-tag (tags table, merged)
   *   list-tags                        list the tags table
+  *   knn <k> <pageId> [edgeKind]      ≙ scripts/ml/joern-knn
+  *   cluster <n> [edgeKind]           ≙ scripts/ml/joern-cluster
   *
   * Output: header + rows, tab-separated, maps JSON-ish, deterministic order.
   */
@@ -136,6 +138,30 @@ object KgCli {
             s => concat(s.getField("label"), lit(":"), s.getField("count"))))
             .as("features"))
           .orderBy("pageId")
+      // ≙ scripts/ml/joern-knn: k nearest pages to a query page by cosine
+      // over feature-hashed neighborhood-hash bags (sally-style embedding)
+      case "knn" =>
+        val (k, pid) = (args(0).toInt, args(1).toLong)
+        val kind = if (args.length > 2) args(2) else "MENTIONS"
+        // drop the pageId-0 bag (global nodes — Entity/Host/Domain — live
+        // outside any page); knn/cluster are page-level tools
+        val emb = graft.ops.Similarity.featureHashEmbedding(
+          Steps.neighborhoodHashFeatures(nodes, edges, kind)
+            .filter(col("pageId") =!= 0))
+        graft.ops.Similarity.bruteForceTopK(emb.filter(col("id") === pid), emb, k)
+          .orderBy("rank")
+      // ≙ scripts/ml/joern-cluster: k-means page clusters over the same
+      // embedding; output (pageId, cluster)
+      case "cluster" =>
+        val n = args(0).toInt
+        val kind = if (args.length > 1) args(1) else "MENTIONS"
+        val emb = graft.ops.Similarity.featureHashEmbedding(
+          Steps.neighborhoodHashFeatures(nodes, edges, kind)
+            .filter(col("pageId") =!= 0))
+        val centroids = graft.ops.Similarity.kmeansCentroids(emb, n)
+        graft.ops.Similarity.assign(emb, centroids)
+          .select(col("id").as("pageId"), col("centroid_id").as("cluster"))
+          .orderBy("pageId")
       // ≙ joern-plot-proggraph: one page's subgraph as graphviz DOT (the
       // reference's plot tools are client-side too — the server only
       // answers the subgraph query)
@@ -162,7 +188,8 @@ object KgCli {
       case other =>
         throw new IllegalArgumentException(
           s"unknown verb '$other' (build|import-ref|lookup|code|location|edges|slice|coref|" +
-            "tag|untag|hide|unhide|features|plot|plot-slice|list-tags|list-pages|list-entities)")
+            "tag|untag|hide|unhide|features|knn|cluster|plot|plot-slice|" +
+            "list-tags|list-pages|list-entities)")
     }
   }
 

@@ -94,6 +94,32 @@ class CliSpec extends AnyFunSuite with Matchers {
     line should fullyMatch regex """(\d+:\d+)( \d+:\d+)*"""
   }
 
+  test("knn verb: k nearest pages by hashed-feature cosine, self excluded") {
+    val pid = KgCli.run(spark, dir, "list-pages", Nil).head().getLong(0)
+    val nn = KgCli.run(spark, dir, "knn", Seq("5", pid.toString)).collect()
+    nn.length shouldBe 5
+    nn.map(_.getInt(1)).toSeq shouldBe (1 to 5)
+    nn.foreach { r =>
+      r.getLong(0) shouldBe pid
+      r.getLong(2) should not be pid
+      r.getDouble(3) should (be >= -1.0001 and be <= 1.0001)
+    }
+    // cosine non-increasing down the ranks
+    val cos = nn.map(_.getDouble(3)).toSeq
+    cos.zip(cos.tail).foreach { case (a, b) => a should be >= b }
+  }
+
+  test("cluster verb: every page assigned to one of n clusters") {
+    val pages = KgCli.run(spark, dir, "list-pages", Nil).count()
+    val cl = KgCli.run(spark, dir, "cluster", Seq("4")).collect()
+    cl.length shouldBe pages
+    val ids = cl.map(_.getInt(1)).toSet
+    ids.subsetOf((0 until 4).toSet) shouldBe true
+    ids.size should be > 1 // synthetic pages are not all identical
+    // deterministic: same input, same assignment
+    KgCli.run(spark, dir, "cluster", Seq("4")).collect() shouldBe cl
+  }
+
   test("plot verbs emit well-formed DOT") {
     val pid = KgCli.run(spark, dir, "list-pages", Nil).head().getLong(0)
     val dot = KgCli.run(spark, dir, "plot", Seq(pid.toString)).head().getString(0)

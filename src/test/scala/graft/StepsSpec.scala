@@ -89,6 +89,42 @@ class StepsSpec extends AnyFunSuite with Matchers {
     f1.agg(min("label")).collect()(0).getLong(0) should be >= 0L
   }
 
+  test("siblings: co-children of the same parent, origin excluded per path") {
+    val m = t.nodes.filter(col("kind") === NK.Mention).limit(1)
+    val origin = m.head().getLong(0)
+    val pid = m.head().getAs[Long]("pageId")
+    val sibs = Steps.siblings(m, t.edges, t.nodes, EK.Mentions).collect()
+    sibs.map(_.getLong(0)) should not contain origin
+    // siblings over MENTIONS = every other mention of the same page
+    val expected = t.nodes.filter(col("kind") === NK.Mention &&
+      col("pageId") === pid && col("id") =!= origin).count()
+    sibs.length.toLong shouldBe expected
+  }
+
+  test("apiSyms: symbol codes of the input pages, kind-set filtered") {
+    val p = t.nodes.filter(col("kind") === NK.Page).limit(2)
+    val syms = Steps.apiSyms(p, t.nodes)
+    syms.columns shouldBe Array("code")
+    syms.count() should be > 0L
+    // restricting the kind set shrinks (or keeps) the result
+    Steps.apiSyms(p, t.nodes, Seq(NK.Mention)).count() should be <= syms.count()
+  }
+
+  test("descriptor combinators: calls/checks/codeMatches compose with filter") {
+    val aMention = t.nodes.filter(col("kind") === NK.Mention).head()
+    val lit0 = aMention.getString(2).take(3) // a literal that occurs
+    val called = t.nodes.filter(Steps.callsDescriptor(lit0))
+    called.count() should be > 0L
+    called.select("kind").distinct().collect().map(_.getString(0)) shouldBe Array(NK.Mention)
+    // regex metacharacters in the literal are quoted, not interpreted
+    t.nodes.filter(Steps.callsDescriptor("never(matches)+[anything]")).count() shouldBe 0L
+    val checked = t.nodes.filter(Steps.checksDescriptor(""))
+    checked.select("kind").distinct().collect().map(_.getString(0)) shouldBe Array(NK.TripleN)
+    // codeMatches: %s slot receives the QUOTED literal
+    t.nodes.filter(Steps.codeMatchesDescriptor(".*%s.*", lit0)).count() should be >= called.count()
+    t.nodes.filter(Steps.codeMatchesDescriptor("^$", "ignored")).count() shouldBe 0L
+  }
+
   test("nhash onKinds: restriction drops only out-of-frame rows") {
     import spark.implicits._
     val inKinds = Seq(NK.Page, NK.Mention)
