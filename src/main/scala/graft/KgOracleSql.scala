@@ -47,17 +47,30 @@ object KgOracleSql {
     * sentences carry at most 3 mentions, so the cap is unreachable on this
     * corpus by construction.) */
   private val edgesUnion =
-    """SELECT hostId AS src, pageId AS dst, 'IS_PAGE_OF' AS kind, CAST(NULL AS VARCHAR) AS variable FROM p
-      |UNION ALL SELECT domainId, hostId, 'IS_PARENT_HOST_OF', NULL FROM h
-      |UNION ALL SELECT pageId, mentionId, 'MENTIONS', NULL FROM m
-      |UNION ALL SELECT mentionId, entityNodeId, 'LINKS_TO', norm FROM m WHERE entityId >= 0
-      |UNION ALL SELECT idNode, compNode, 'SAME_AS', NULL FROM c
-      |UNION ALL SELECT mentionId, nextMentionId, 'NEXT_MENTION', NULL FROM m WHERE nextMentionId != 0
-      |UNION ALL SELECT a.mentionId, b.mentionId, 'SAME_SENTENCE', NULL
-      |  FROM m a JOIN m b ON a.pageId = b.pageId AND a.sentIdx = b.sentIdx
+    """SELECT hostId AS src, pageId AS dst, 'IS_PAGE_OF' AS kind,
+      |  CAST(NULL AS VARCHAR) AS variable, CAST(NULL AS VARCHAR) AS label FROM p
+      |UNION ALL SELECT domainId, hostId, 'IS_PARENT_HOST_OF', NULL, NULL FROM h
+      |UNION ALL SELECT pageId, mentionId, 'MENTIONS', NULL, NULL FROM m
+      |UNION ALL SELECT mentionId, entityNodeId, 'LINKS_TO', norm, NULL FROM m WHERE entityId >= 0
+      |UNION ALL SELECT idNode, compNode, 'SAME_AS', NULL, NULL FROM c
+      |-- NEXT_MENTION flow label: 'except' over a mention-less sentence gap
+      |-- (lead over page order = the extractor's marr(i+1))
+      |UNION ALL SELECT mentionId, nextMentionId, 'NEXT_MENTION', NULL,
+      |    CASE WHEN lead(sentIdx) OVER (PARTITION BY pageId ORDER BY mentionIdx)
+      |              - sentIdx > 1 THEN 'except' END
+      |  FROM m QUALIFY nextMentionId != 0
+      |-- SAME_SENTENCE branch label: True iff b is a's immediate in-sentence
+      |-- successor (rank gap 1), False for skip pairs
+      |UNION ALL SELECT a.mentionId, b.mentionId, 'SAME_SENTENCE', NULL,
+      |    CASE WHEN b.rk = a.rk + 1 THEN 'True' ELSE 'False' END
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY pageId, sentIdx
+      |          ORDER BY mentionIdx) AS rk FROM m) a
+      |  JOIN (SELECT *, row_number() OVER (PARTITION BY pageId, sentIdx
+      |          ORDER BY mentionIdx) AS rk FROM m) b
+      |    ON a.pageId = b.pageId AND a.sentIdx = b.sentIdx
       |    AND a.mentionIdx < b.mentionIdx
-      |UNION ALL SELECT DISTINCT tripleNodeId, subjMentionId, 'SUBJ', pred FROM rt
-      |UNION ALL SELECT DISTINCT tripleNodeId, objMentionId, 'OBJ', pred FROM rt
+      |UNION ALL SELECT DISTINCT tripleNodeId, subjMentionId, 'SUBJ', pred, NULL FROM rt
+      |UNION ALL SELECT DISTINCT tripleNodeId, objMentionId, 'OBJ', pred, NULL FROM rt
       |  WHERE objMentionId != 0""".stripMargin
 
   /** One nhash iteration: rot1(label) XOR xor(child labels), 16-bit. */

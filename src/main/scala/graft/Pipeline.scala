@@ -166,8 +166,11 @@ object Pipeline {
       m.filter($"entityId" >= 0).select("entityNodeId", "entityId").distinct())
 
     def asEdges(src: org.apache.spark.sql.Column, dst: org.apache.spark.sql.Column,
-                kind: String, variable: org.apache.spark.sql.Column)(df: DataFrame): DataFrame =
-      df.select(src.as("src"), dst.as("dst"), lit(kind).as("kind"), variable.as("variable"))
+                kind: String, variable: org.apache.spark.sql.Column,
+                label: org.apache.spark.sql.Column = lit(null).cast("string"))
+               (df: DataFrame): DataFrame =
+      df.select(src.as("src"), dst.as("dst"), lit(kind).as("kind"),
+        variable.as("variable"), label.as("label"))
 
     val isPageOf = asEdges($"hostId", $"pageId", EK.IsPageOf, lit(null).cast("string"))(p.toDF())
     val isParentHost = asEdges($"domainId", $"hostId", EK.IsParentHost,
@@ -180,21 +183,26 @@ object Pipeline {
       .map { case (id, comp) =>
         GraphEdge(Ids.entityNodeId(id), Ids.entityNodeId(comp), EK.SameAs, null)
       }.toDF()
+      .select(col("src"), col("dst"), col("kind"), col("variable"), col("label"))
 
     // discourse-order chain: mention i -> mention i+1 within a page (the
     // FLOWS_TO analog, `cfg/CFG.java:119-139`). The successor id is emitted
     // by the extractor itself (page-local knowledge) so this is a pure
     // column filter over the cache — no window, no shuffle
+    // the extractor labels the edge 'except' over a mention-less sentence
+    // gap (≙ CFGEdge.java:12-18 exception flow); null = unconditional
     val nextMention = m.filter($"nextMentionId" =!= 0L)
       .select($"mentionId".as("src"), $"nextMentionId".as("dst"),
-        lit(EK.NextMention).as("kind"), lit(null).cast("string").as("variable"))
+        lit(EK.NextMention).as("kind"), lit(null).cast("string").as("variable"),
+        $"label")
 
     // SAME_SENTENCE pairs — extractor-emitted "e" rows, pure column select
     // (the branching C3/CDG analog; slices and taint walks get a DAG, not
     // just the linear chain)
+    // label True (adjacent pair — the taken branch) / False (skip pair)
     val sameSentence = flat.filter($"rowKind" === "e")
       .select($"subj".as("src"), $"obj".as("dst"),
-        $"pred".as("kind"), lit(null).cast("string").as("variable"))
+        $"pred".as("kind"), lit(null).cast("string").as("variable"), $"label")
 
     // triple-provenance subgraph (≙ CSVDDGExporter.java:18-45 carrying `var`
     // on every REACHES edge): one Triple node per extraction occurrence,

@@ -69,7 +69,13 @@ case class FlatRow(
     tripleNodeId: Long,    // provenance node id ("t" rows, non-same_as)
     subjMentionId: Long,
     objMentionId: Long,
-    error: String)
+    error: String,
+    // flow label (≙ CFGEdge.java:12-18): "m" rows label their NEXT_MENTION
+    // out-edge ('except' over a mention-less sentence gap), "e" rows their
+    // SAME_SENTENCE edge ('True' adjacent / 'False' skip); null elsewhere.
+    // Emitted here because adjacency/gap is page-local knowledge — deriving
+    // it downstream would cost a pageId window shuffle
+    label: String = null)
 
 /** Counters surfaced to the manifest/metrics (≙ the reference silently
   * dropping dangling edges at `CSVImporter.java:209-222` — we count instead). */
@@ -175,7 +181,11 @@ object TripleExtractor {
         surface = m.surface, norm = m.norm, entityId = m.entityId,
         entityNodeId = if (m.entityId >= 0) Ids.entityNodeId(m.entityId) else 0L,
         nextMentionId = if (i + 1 < marr.length) marr(i + 1).mentionId else 0L,
-        sentIdx = m.sentIdx, tokStart = m.tokStart, tokEnd = m.tokEnd, error = null)
+        sentIdx = m.sentIdx, tokStart = m.tokStart, tokEnd = m.tokEnd, error = null,
+        // NEXT_MENTION flow label: 'except' when the successor skips over a
+        // mention-less sentence (abnormal transfer), null = unconditional
+        label = if (i + 1 < marr.length && marr(i + 1).sentIdx - m.sentIdx > 1)
+          "except" else null)
     }
     // SAME_SENTENCE pairs (i < j in token order) — the branching page-local
     // discourse graph (≙ CDG edges per function, `cdg/CDGCreator.java:41-88`);
@@ -188,7 +198,10 @@ object TripleExtractor {
         i <- ids.indices.iterator
         j <- (i + 1) until ids.length
       } yield base.copy(rowKind = "e", subj = ids(i), obj = ids(j),
-        pred = graft.model.Schema.EdgeKinds.SameSentence, sentIdx = si, error = null)
+        pred = graft.model.Schema.EdgeKinds.SameSentence, sentIdx = si, error = null,
+        // branch label: adjacent pair = the taken branch, skip pair = the
+        // bypass (≙ CFGEdge True/False on condition out-edges)
+        label = if (j == i + 1) "True" else "False")
     }
     val ts = ex.triples.iterator.map { t =>
       base.copy(rowKind = "t", subj = t.subj, pred = t.pred, obj = t.obj,

@@ -107,7 +107,12 @@ case class GraphEdge(
     src: Long,
     dst: Long,
     kind: String,
-    variable: String) // nullable (≙ the `var` property on REACHES edges)
+    variable: String, // nullable (≙ the `var` property on REACHES edges)
+    // nullable flow label (≙ CFGEdge.java:12-18 True/False/except):
+    // SAME_SENTENCE carries True (adjacent pair) / False (skip pair);
+    // NEXT_MENTION carries except when the flow jumps over a mention-less
+    // sentence; null = unconditional flow / non-flow edge
+    label: String = null)
 
 /** Deterministic 64-bit ids — no `monotonically_increasing_id`, no per-run
   * counters. The reference's dense per-run ids only need to be unique under

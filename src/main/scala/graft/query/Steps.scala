@@ -150,6 +150,58 @@ object Steps {
     col("code").rlike(rx)
   }
 
+  /** ≙ matchParents (`syntax/match.groovy:20-28`): walk toward the root over
+    * the containment hierarchy (Mention→Page→Host→Domain), emitting every
+    * ancestor matching `pred`. The hierarchy is 3 levels deep by schema, so
+    * this is 3 batched in-hops, not an unbounded loop. */
+  def matchParents(from: DataFrame, edges: DataFrame, nodes: DataFrame,
+                   pred: Column): DataFrame = {
+    val contain = Seq(graft.model.Schema.EdgeKinds.Mentions,
+      graft.model.Schema.EdgeKinds.IsPageOf, graft.model.Schema.EdgeKinds.IsParentHost)
+    val e = edges.filter(col("kind").isin(contain: _*)).select("src", "dst")
+    var frontier = from.select(col("id"))
+    var ancestors = frontier.limit(0)
+    (0 until 3).foreach { _ =>
+      frontier = frontier.select(col("id").as("dst")).join(e, "dst")
+        .select(col("src").as("id")).distinct()
+      ancestors = ancestors.unionByName(frontier)
+    }
+    ancestors.distinct().join(nodes, "id").filter(pred)
+  }
+
+  /** ≙ arg(f, i) (`syntax/match.groovy:34-41`): the i-th argument slot of
+    * calls to `f` — Triple nodes whose predicate is `f`, hopped to slot 0
+    * (SUBJ) or slot 1 (OBJ), the KG's ArgumentList.ithChildren navigation. */
+  def argOfCalls(nodes: DataFrame, edges: DataFrame, f: String, i: Int): DataFrame = {
+    require(i == 0 || i == 1, s"triple slots are 0 (SUBJ) / 1 (OBJ), got $i")
+    out(nodesWithKindAndCode(nodes, graft.model.Schema.NodeKinds.TripleN, f),
+      edges, nodes, if (i == 0) graft.model.Schema.EdgeKinds.Subject
+      else graft.model.Schema.EdgeKinds.Object)
+  }
+
+  /** ≙ param(x) (`syntax/match.groovy:47-49`): Parameter-kind rows with code
+    * matching x — Parameter ↦ Mention, the slot-filling occurrence. */
+  def paramDescriptor(nodes: DataFrame, rx: String): DataFrame =
+    nodesWithKindAndCodeRegex(nodes, graft.model.Schema.NodeKinds.Mention, rx)
+
+  /** ≙ paramsToNames / paramsToTypes (`syntax/params.groovy:2-8`): project
+    * param rows to their name (surface code) / declared-type analog (the
+    * normalized form carried in props.norm). */
+  def paramsToNames(params: DataFrame): DataFrame =
+    params.select(col("code").as("name"))
+  def paramsToTypes(params: DataFrame): DataFrame =
+    params.select(try_element_at(col("props"), lit("norm")).as("type"))
+
+  /** ≙ noMoreChildren (`syntax/ast.groovy:36-39`): rows with zero out-edges
+    * of `kind` — an anti-join, the batched form of outE().count().is(0). */
+  def noMoreChildren(from: DataFrame, edges: DataFrame, kind: String): DataFrame =
+    from.join(edges.filter(col("kind") === kind).select(col("src").as("id")),
+      Seq("id"), "left_anti")
+
+  /** ≙ isStatement (`syntax/ast.groovy:51-53`: isCFGNode == 'True'): the
+    * KG's CFG nodes are the Mention chain. */
+  def isStatementCol: Column = col("kind") === graft.model.Schema.NodeKinds.Mention
+
   // ---------- reachability / slicing (iterative frontier joins) ----------
 
   /** Visited-set BFS over edges of `kinds`, up to `maxDepth` hops

@@ -49,15 +49,18 @@ object RefCsvGraphSource {
   }
 
   /** Read a reference edges.csv into the graft edges shape
-    * (src, dst, kind, variable). */
+    * (src, dst, kind, variable, label) — `flowLabel` is the reference's
+    * True/False/except branch label on FLOWS_TO edges (CFGEdge.java:12-18). */
   def readEdges(spark: SparkSession, path: String): DataFrame = {
     val raw = tsv(spark, path)
     val varCol = if (raw.columns.contains("var")) col("var") else lit(null)
+    val labelCol = if (raw.columns.contains("flowLabel")) col("flowLabel") else lit(null)
     raw.select(
       col("start").cast("long").as("src"),
       col("end").cast("long").as("dst"),
       col("type").as("kind"),
-      varCol.cast("string").as("variable"))
+      varCol.cast("string").as("variable"),
+      labelCol.cast("string").as("label"))
   }
 
   /** FK validation (the S8 import check as a join, not per-row lookups):

@@ -173,6 +173,28 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     j.count() shouldBe expected
     j.filter(col("sSent") =!= col("dSent") || col("sPage") =!= col("dPage") ||
       col("sIdx") >= col("dIdx")).count() shouldBe 0L
+    // branch labels (≙ CFGEdge True/False): exactly k-1 'True' (adjacent)
+    // edges per (page, sentence) with k mentions, every other pair 'False'
+    val expectedTrue = m.groupBy("pageId", "sentIdx").agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getLong(2) - 1).sum
+    got.filter(col("label") === "True").count() shouldBe expectedTrue
+    got.filter(col("label") === "False").count() shouldBe (expected - expectedTrue)
+  }
+
+  test("NEXT_MENTION 'except' label marks exactly the sentence-gap hops") {
+    import org.apache.spark.sql.functions.col
+    val m = tables.flat.filter(col("rowKind") === "m")
+    val nm = tables.edges.filter(col("kind") === "NEXT_MENTION")
+    val ml = m.select(col("mentionId").as("src"), col("sentIdx").as("sSent"))
+    val mr = m.select(col("mentionId").as("dst"), col("sentIdx").as("dSent"))
+    val j = nm.join(ml, "src").join(mr, "dst")
+    j.filter(col("label") === "except")
+      .filter(col("dSent") - col("sSent") <= 1).count() shouldBe 0L
+    j.filter(col("label").isNull)
+      .filter(col("dSent") - col("sSent") > 1).count() shouldBe 0L
+    // non-flow edge kinds never carry a label
+    tables.edges.filter(!col("kind").isin("NEXT_MENTION", "SAME_SENTENCE"))
+      .filter(col("label").isNotNull).count() shouldBe 0L
   }
 
   test("skew exists by construction: mega-host and head entity") {

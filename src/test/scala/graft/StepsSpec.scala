@@ -125,6 +125,43 @@ class StepsSpec extends AnyFunSuite with Matchers {
     t.nodes.filter(Steps.codeMatchesDescriptor("^$", "ignored")).count() shouldBe 0L
   }
 
+  test("matchParents: containment ancestors filtered by predicate") {
+    val m = t.nodes.filter(col("kind") === NK.Mention).limit(1)
+    val pid = m.head().getAs[Long]("pageId")
+    // a mention's ancestors: its page, the page's host, the host's domain
+    val all = Steps.matchParents(m, t.edges, t.nodes, lit(true)).collect()
+    all.map(_.getString(1)).toSet shouldBe Set(NK.Page, NK.Host, NK.Domain)
+    all.find(_.getString(1) == NK.Page).get.getLong(0) shouldBe pid
+    // predicate filters in-walk
+    val onlyHosts = Steps.matchParents(m, t.edges, t.nodes, col("kind") === NK.Host)
+    onlyHosts.select("kind").distinct().collect().map(_.getString(0)) shouldBe Array(NK.Host)
+  }
+
+  test("argOfCalls: SUBJ/OBJ slot navigation by predicate name") {
+    val aTriple = t.nodes.filter(col("kind") === NK.TripleN).head()
+    val pred = aTriple.getString(2)
+    val subj = Steps.argOfCalls(t.nodes, t.edges, pred, 0)
+    subj.count() should be > 0L
+    subj.select("kind").distinct().collect().map(_.getString(0)) shouldBe Array(NK.Mention)
+    an[IllegalArgumentException] should be thrownBy
+      Steps.argOfCalls(t.nodes, t.edges, pred, 2)
+  }
+
+  test("param/params/noMoreChildren/isStatement helpers") {
+    val params = Steps.paramDescriptor(t.nodes, ".+")
+    params.select("kind").distinct().collect().map(_.getString(0)) shouldBe Array(NK.Mention)
+    Steps.paramsToNames(params).columns shouldBe Array("name")
+    val types = Steps.paramsToTypes(params)
+    types.columns shouldBe Array("type")
+    types.filter(col("type").isNotNull).count() should be > 0L
+    // leaves of the MENTIONS relation = everything but Page nodes
+    val leaves = Steps.noMoreChildren(t.nodes, t.edges, EK.Mentions)
+    leaves.filter(col("kind") === NK.Page).count() shouldBe 0L
+    leaves.filter(col("kind") === NK.Mention).count() should be > 0L
+    t.nodes.filter(Steps.isStatementCol).select("kind").distinct()
+      .collect().map(_.getString(0)) shouldBe Array(NK.Mention)
+  }
+
   test("nhash onKinds: restriction drops only out-of-frame rows") {
     import spark.implicits._
     val inKinds = Seq(NK.Page, NK.Mention)
