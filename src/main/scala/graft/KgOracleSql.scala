@@ -311,6 +311,31 @@ object KgOracleSql {
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // coref expansion: seed mentions -> linked entities -> every mention of
     // those entities (the two-hop LINKS_TO walk, re-derived as one join)
+    // siblings over MENTIONS = the other mentions of each seed's page,
+    // one row per (seed, sibling) path — the join multiplicity IS the
+    // duplicate-preserving pipe semantics
+    "kg_step_siblings" ->
+      s"""WITH m AS (SELECT * FROM $M),
+         |seeds AS (SELECT mentionId AS id, pageId FROM m ORDER BY mentionId LIMIT 100)
+         |SELECT m.mentionId AS id, 'Mention' AS kind, m.surface AS code,
+         |  m.pageId AS "pageId", m.mentionIdx AS "childNum"
+         |FROM m JOIN seeds ON m.pageId = seeds.pageId AND m.mentionId != seeds.id
+         |ORDER BY id, "childNum"""".stripMargin,
+    // matchParents: the 3-level containment walk re-derived set-wise —
+    // seed pages, their hosts, the hosts' domains (deduped, as the step
+    // dedups its frontier)
+    "kg_step_ancestors" ->
+      s"""WITH m AS (SELECT * FROM $M), p AS (SELECT * FROM $P), h AS (SELECT * FROM $H),
+         |seeds AS (SELECT mentionId AS id, pageId FROM m ORDER BY mentionId LIMIT 100),
+         |sp AS (SELECT DISTINCT pageId FROM seeds),
+         |pages AS (SELECT p.* FROM p JOIN sp ON p.pageId = sp.pageId),
+         |hosts AS (SELECT DISTINCT h.hostId, h.host, h.domainId, h.domain
+         |  FROM h JOIN pages ON h.hostId = pages.hostId)
+         |SELECT pageId AS id, 'Page' AS kind, url AS code,
+         |  pageId AS "pageId", 0 AS "childNum" FROM pages
+         |UNION ALL SELECT hostId, 'Host', host, 0, 0 FROM hosts
+         |UNION ALL SELECT DISTINCT domainId, 'Domain', domain, 0, 0 FROM hosts
+         |ORDER BY id""".stripMargin,
     "kg_step_coref" ->
       s"""WITH m AS (SELECT * FROM $M),
          |seeds AS (SELECT mentionId AS id FROM m ORDER BY mentionId LIMIT 100),

@@ -495,6 +495,26 @@ object Queries {
         .select("id", "kind", "code", "pageId", "childNum")
         .orderBy("id")
     }),
+    // ≙ siblings (`ast.groovy:53-62`): co-children of each seed's parent
+    // over MENTIONS, origin excluded per path, duplicates preserved
+    "kg_step_siblings" -> ((s, d) => {
+      val kt = kg(s, d)
+      val seeds = kt.nodes.filter(col("kind") === "Mention").orderBy("id").limit(100)
+      graft.query.Steps.siblings(seeds, kt.edges, kt.nodes,
+        graft.model.Schema.EdgeKinds.Mentions)
+        .select("id", "kind", "code", "pageId", "childNum")
+        .orderBy("id", "childNum")
+    }),
+    // ≙ matchParents (`syntax/match.groovy:20-28`): the containment
+    // ancestors (Page/Host/Domain) of the seed mentions, deduped
+    "kg_step_ancestors" -> ((s, d) => {
+      val kt = kg(s, d)
+      val seeds = kt.nodes.filter(col("kind") === "Mention").orderBy("id").limit(100)
+      graft.query.Steps.matchParents(seeds, kt.edges, kt.nodes,
+        col("kind").isin("Page", "Host", "Domain"))
+        .select("id", "kind", "code", "pageId", "childNum")
+        .orderBy("id")
+    }),
     // ≙ initGraphs/taintedArgs battery: head-entity pages (necessary-
     // condition prefilter) -> per-page graphlet -> sufficient check
     "kg_step_graphlet" -> ((s, d) => {
