@@ -45,16 +45,21 @@ object Incremental {
     ((o diff n) ++ (n diff o)).toSeq.sortBy(_.ruleId)
   }
 
-  /** Necessary-condition predicate column: SOME changed rule has ALL its
-    * literal words contained in lower(text). A literal-free rule matches
-    * structurally anywhere → predicate true for every page. */
-  def affectedPredicate(changed: Seq[PatternRule]): Column = {
-    val perRule = changed.map { r =>
-      val lits = r.items.collect { case Lit(w) => w.toLowerCase }
-      if (lits.isEmpty) lit(true)
-      else lits.map(w => lower(col("text")).contains(w)).reduce(_ && _)
+  /** Necessary-condition page filter: SOME changed rule has ALL its literal
+    * words contained in the page's EXTRACTED text — derived with the same
+    * [[graft.extract.TextExtractor.pageText]] the extractor itself reads
+    * (html-backed pages ignore the `text` column entirely, so a column
+    * predicate over `text` would miss them and leave stale buckets). A
+    * literal-free rule matches structurally anywhere → every page. */
+  def affectedPages(pages: Dataset[Page], changed: Seq[PatternRule]): Dataset[Page] = {
+    val litsPerRule: Seq[Seq[String]] =
+      changed.map(_.items.collect { case Lit(w) => w.toLowerCase })
+    if (litsPerRule.isEmpty) pages.limit(0)
+    else if (litsPerRule.exists(_.isEmpty)) pages
+    else pages.filter { p =>
+      val txt = graft.extract.TextExtractor.pageText(p.html, p.text).toLowerCase
+      litsPerRule.exists(lits => lits.forall(txt.contains))
     }
-    if (perRule.isEmpty) lit(false) else perRule.reduce(_ || _)
   }
 
   private def bucketCol(numBuckets: Int): Column =
@@ -74,7 +79,7 @@ object Incremental {
     val sameAsChanged = changed.exists(_.pred == "same_as")
     val touched: Set[Int] =
       if (sameAsChanged) (0 until numBuckets).toSet
-      else pages.filter(affectedPredicate(changed))
+      else affectedPages(pages, changed)
         .select(bucketCol(numBuckets).as("b")).distinct()
         .collect().map(_.getInt(0)).toSet
     if (touched.isEmpty) return Set.empty
@@ -97,8 +102,65 @@ object Incremental {
       TableIO.writeBucketed(t.components, s"$outDir/components", col("id"),
         Map("ruleDiffTouchedBuckets" -> touched.size.toLong), numBuckets)
     }
+    patchGraphTables(spark, t, outDir, sameAsChanged, touched.size.toLong, numBuckets)
     t.flat.unpersist(false)
     if (components.isEmpty) t.components.unpersist(false)
     touched
+  }
+
+  /** Patch the materialized graph tables (when present) so they stay
+    * consistent with the refreshed triples — the DDGDifference shape: drop
+    * the affected subgraph, add the recomputed one. Rule-derived graph
+    * content is exactly the Triple provenance nodes and their SUBJ/OBJ
+    * edges (mentions/links/hosts come from the gazetteer, SAME_AS from the
+    * mapping); `t` covers the re-extracted pages, so its Triple subgraph
+    * replaces theirs. nodes/edges are bucketed by id/src — affected rows
+    * scatter across every bucket, so the patch is a full-table REWRITE
+    * (snapshot-swap, crash-recoverable): O(|graph|) I/O but zero
+    * re-extraction CPU, still far below a rebuild. The triples table
+    * itself stays O(touched buckets). */
+  private def patchGraphTables(spark: SparkSession, t: Pipeline.Tables,
+                               outDir: String, fullRebuild: Boolean,
+                               touchedN: Long, numBuckets: Int): Unit = {
+    if (TableIO.readManifest(s"$outDir/nodes").isEmpty) return
+    val meta = Map("ruleDiffTouchedBuckets" -> touchedN)
+    val (newNodes, newEdges) =
+      if (fullRebuild) (t.nodes, t.edges)
+      else {
+        val oldNodes = TableIO.read(spark, s"$outDir/nodes")
+        val oldEdges = TableIO.read(spark, s"$outDir/edges")
+        // stale = Triple nodes of the re-extracted pages, by old content ids
+        val affectedPids = t.nodes.filter(col("kind") === "Page")
+          .select(col("pageId")).distinct()
+        val staleIds = oldNodes.filter(col("kind") === "Triple")
+          .join(affectedPids, Seq("pageId"), "left_semi")
+          .select(col("id")).localCheckpoint(true)
+        val pn = oldNodes.join(staleIds, Seq("id"), "left_anti")
+          .unionByName(t.nodes.filter(col("kind") === "Triple"))
+        // only SUBJ/OBJ edges have a Triple src, so one src anti-join drops
+        // exactly the stale provenance edges
+        val pe = oldEdges
+          .join(staleIds.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+          .unionByName(t.edges.filter(col("kind").isin("SUBJ", "OBJ")))
+        (pn, pe)
+      }
+    swapWrite(newNodes, s"$outDir/nodes", col("id"), meta, numBuckets)
+    swapWrite(newEdges, s"$outDir/edges", col("src"), meta, numBuckets)
+  }
+
+  /** Snapshot-swap rewrite (the tags-table pattern): stage into `.new`
+    * while the live table is still readable (the patched frame reads it
+    * lazily), then move live aside and the snapshot in — a crash between
+    * the renames leaves a recoverable copy rather than nothing. */
+  private def swapWrite(df: org.apache.spark.sql.DataFrame, path: String,
+                        key: Column, meta: Map[String, Long], numBuckets: Int): Unit = {
+    import java.nio.file.{Files, Paths}
+    TableIO.deleteRecursively(s"$path.new")
+    TableIO.writeBucketed(df, s"$path.new", key, meta, numBuckets)
+    TableIO.deleteRecursively(s"$path.old")
+    if (Files.exists(Paths.get(path)))
+      Files.move(Paths.get(path), Paths.get(s"$path.old"))
+    Files.move(Paths.get(s"$path.new"), Paths.get(path))
+    TableIO.deleteRecursively(s"$path.old")
   }
 }

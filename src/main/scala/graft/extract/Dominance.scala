@@ -83,7 +83,10 @@ object Dominance {
     val out = Vector.newBuilder[DomEdge]
     i = 1
     while (i < n) {
-      out += DomEdge(pid, sorted(idom(i))._2, sorted(i)._2, Dom)
+      // idom stays -1 for nodes unreachable from the entry — possible when
+      // the caller passes a pruned edge set (a slice's edges, a single
+      // kind). Unreachable nodes have no dominator; skip, don't crash.
+      if (idom(i) != -1) out += DomEdge(pid, sorted(idom(i))._2, sorted(i)._2, Dom)
       i += 1
     }
     // CONTROLS: for each edge (a,b), walk b's postdom chain down to (but
@@ -99,7 +102,10 @@ object Dominance {
         val stop = ipdomRev(a)
         var runner = b
         var steps = 0
-        while (runner != stop && steps <= n) {
+        // runner == -1: b (or an ancestor in its postdom chain) is
+        // unreachable from the exit under a pruned edge set — stop the
+        // walk instead of indexing sorted(-1)
+        while (runner != stop && runner != -1 && steps <= n) {
           if (seen.add((a, runner)))
             out += DomEdge(pid, sorted(a)._2, sorted(runner)._2, Controls)
           runner = ipdomRev(runner)

@@ -322,7 +322,12 @@ object Steps {
     nodes.join(pages, nodes("pageId") === pages("_pid"), "left")
       .withColumn("location",
         concat_ws(":", coalesce(col("_pageUrl"), lit("?")),
+          // "loc" is the extractor's span prop; "location" is the key
+          // RefCsvGraphSource stores the reference's own CodeLocation
+          // string under — imported stores must not fall through to the
+          // childNum degradation
           coalesce(try_element_at(col("props"), lit("loc")),
+            try_element_at(col("props"), lit("location")),
             col("childNum").cast("string"))))
       .drop("_pid", "_pageUrl")
   }

@@ -75,11 +75,14 @@ class CanonSpec extends AnyFunSuite with Matchers {
     try {
       ConnectedComponents.run(spark, edges.toDF("a", "b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe plain
-      // reliable snapshots were actually written (interval 2 fires on a
-      // >=2-iteration fixpoint; the 40-chain needs several rounds)
-      val wrote = new java.io.File(dir).listFiles()
-      wrote should not be null
-      wrote.length should be > 0
+      // reliable snapshots were ACTUALLY written: setCheckpointDir eagerly
+      // creates an empty UUID subdir, so listing the top level is vacuous —
+      // require checkpoint DATA files (rdd-*/part-*) somewhere below it
+      val dataFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.startsWith("part-"))
+        .count()
+      dataFiles should be > 0L
     } finally {
       spark.conf.set(graft.util.Materialize.IntervalKey, "0")
     }

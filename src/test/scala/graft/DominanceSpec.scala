@@ -30,6 +30,16 @@ class DominanceSpec extends AnyFunSuite with Matchers {
     out.filter(_.kind == Controls) shouldBe empty
   }
 
+  test("pruned edge set (unreachable mentions) degrades gracefully, no crash") {
+    // mentions 3,4 have no in-edges at all — idom stays -1 for them; the
+    // emit must skip them, not index sorted(-1)
+    val out = Dominance.computePage(1L, ms(5), es(0 -> 1, 1 -> 2)).toSeq
+    out.filter(_.kind == Dom).map(e => e.src -> e.dst) should
+      contain theSameElementsAs Seq(100L -> 101L, 101L -> 102L)
+    // fully disconnected except entry: nothing dominated, nothing controls
+    Dominance.computePage(2L, ms(3), Array.empty[(Long, Long, Long)]).toSeq shouldBe empty
+  }
+
   test("differential vs brute-force dominance on random discourse-shaped DAGs") {
     // brute force from the definition: d strictly dominates b iff b is not
     // reachable from the entry once d is removed — a different algorithm

@@ -60,9 +60,28 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
       .distinct().collect().map(_.getInt(0)).toSet
     agePages.subsetOf(touched) shouldBe true
 
+    // the graph tables were delta-patched in lockstep: Triple nodes and
+    // SUBJ/OBJ edges match a full rebuild's (no stale provenance subgraph)
+    sortedRows(TableIO.read(spark, s"$dir/nodes")) shouldBe sortedRows(t1.nodes)
+    sortedRows(TableIO.read(spark, s"$dir/edges")) shouldBe sortedRows(t1.edges)
+
     // a no-op diff touches nothing
     Incremental.applyRuleDiff(spark, pages, newRules, newRules, dir, cfg.nPersons) shouldBe empty
     TableIO.deleteRecursively(dir)
+  }
+
+  test("affected-page detection reads the EXTRACTED text (html-backed pages)") {
+    import spark.implicits._
+    val changed = Incremental.changedRules(PatternAutomaton.DefaultRules, newRules)
+    val ts = new java.sql.Timestamp(0L)
+    // the literals live ONLY in the html column; `text` is null
+    val html = "<html><body><p>Alice Zorn is 41 years old.</p></body></html>"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val pages = Seq(
+      graft.model.Page("http://h/x", ts, html, null, "en"),
+      graft.model.Page("http://h/y", ts, null, "nothing relevant here", "en")).toDS()
+    val hit = Incremental.affectedPages(pages, changed).collect().map(_.url)
+    hit shouldBe Array("http://h/x")
   }
 
   test("same_as rule diff falls back to a full rebuild (stale canonical map)") {
