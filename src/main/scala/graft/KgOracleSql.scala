@@ -311,6 +311,19 @@ object KgOracleSql {
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // coref expansion: seed mentions -> linked entities -> every mention of
     // those entities (the two-hop LINKS_TO walk, re-derived as one join)
+    // taken-branch hop: the seed (each page's first mention, in-sentence
+    // rank 1) follows its True-labeled SAME_SENTENCE edge = the rank-2
+    // mention of the same sentence
+    "kg_step_branch" ->
+      s"""WITH m AS (SELECT * FROM $M),
+         |ms AS (SELECT *, row_number() OVER (PARTITION BY pageId, sentIdx
+         |    ORDER BY mentionIdx) AS rk FROM m),
+         |seeds AS (SELECT * FROM ms WHERE mentionIdx = 0)
+         |SELECT b.mentionId AS id, 'Mention' AS kind, b.surface AS code,
+         |  b.pageId AS "pageId", b.mentionIdx AS "childNum"
+         |FROM seeds a JOIN ms b ON a.pageId = b.pageId AND a.sentIdx = b.sentIdx
+         |  AND b.rk = a.rk + 1
+         |ORDER BY id""".stripMargin,
     // siblings over MENTIONS = the other mentions of each seed's page,
     // one row per (seed, sibling) path — the join multiplicity IS the
     // duplicate-preserving pipe semantics

@@ -495,6 +495,17 @@ object Queries {
         .select("id", "kind", "code", "pageId", "childNum")
         .orderBy("id")
     }),
+    // taken-branch navigation over the labeled flow edges: each page's
+    // first mention hopped along its 'True' SAME_SENTENCE edge (= the
+    // immediate in-sentence successor; ≙ FLOWS_TO flowLabel filtering)
+    "kg_step_branch" -> ((s, d) => {
+      val kt = kg(s, d)
+      val seeds = kt.nodes.filter(col("kind") === "Mention" && col("childNum") === 0)
+      graft.query.Steps.outLabeled(seeds, kt.edges, kt.nodes,
+        graft.model.Schema.EdgeKinds.SameSentence, "True")
+        .select("id", "kind", "code", "pageId", "childNum")
+        .orderBy("id")
+    }),
     // ≙ siblings (`ast.groovy:53-62`): co-children of each seed's parent
     // over MENTIONS, origin excluded per path, duplicates preserved
     "kg_step_siblings" -> ((s, d) => {

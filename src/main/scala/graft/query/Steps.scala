@@ -55,6 +55,15 @@ object Steps {
       .select(col("src").as("id"))
       .join(nodes, "id")
 
+  /** Flow-label-filtered hop (≙ navigating FLOWS_TO by flowLabel — the
+    * reference's True/False branch selection, `CFGEdge.java:12-18`). */
+  def outLabeled(from: DataFrame, edges: DataFrame, nodes: DataFrame,
+                 kind: String, label: String): DataFrame =
+    from.select(col("id").as("src"))
+      .join(edges.filter(col("kind") === kind && col("label") === label), "src")
+      .select(col("dst").as("id"))
+      .join(nodes, "id")
+
   /** Edge-property-filtered hop (≙ In/Out with prop filter, `misc.groovy:8-41`). */
   def outVar(from: DataFrame, edges: DataFrame, nodes: DataFrame, kind: String,
              vars: Seq[String]): DataFrame =
