@@ -250,6 +250,40 @@ object KgOracleSql {
          |${nhashRound("l1", "x2", "l2")}
          |SELECT pageId AS "pageId", label, count(*) AS "count"
          |FROM l2 GROUP BY 1, 2""".stripMargin,
+    // the CLI knn path end-to-end: full-frame nhash bags (every node kind;
+    // pageId-0 globals dropped from the BAG, not the label frame) →
+    // feature-hashed 64-dim dense vectors (index = label mod 64, value =
+    // summed count) → cosine top-5 of the min-id page. Counts are small
+    // integers, exactly representable in float32, and both engines
+    // accumulate dot/norm in double in the same element order — so the
+    // ranks (ties broken by nn_id on both sides) agree exactly, and the
+    // float cosine itself never reaches the output
+    "e4_knn_kg" ->
+      s"""WITH $leaves,
+         |nodes AS ($nodesUnion),
+         |lmap AS (SELECT * FROM $L),
+         |l0 AS (SELECT n.id, n."pageId" AS pageId, lm.label
+         |  FROM nodes n JOIN lmap lm ON n.kind = lm.kind AND n.code = lm.code),
+         |e AS (SELECT pageId AS src, mentionId AS dst FROM m),
+         |${nhashRound("l0", "x1", "l1")},
+         |${nhashRound("l1", "x2", "l2")},
+         |bag AS (SELECT pageId, label, count(*) AS cnt FROM l2
+         |  WHERE pageId != 0 GROUP BY 1, 2),
+         |sums AS (SELECT pageId, label % 64 AS pos, CAST(sum(cnt) AS DOUBLE) AS v
+         |  FROM bag GROUP BY 1, 2),
+         |mp AS (SELECT pageId, map_from_entries(list(struct_pack(k := pos, v := v))) AS m2
+         |  FROM sums GROUP BY pageId),
+         |emb AS (SELECT pageId AS id, list_transform(range(0, 64),
+         |    i -> coalesce(map_extract(m2, i)[1], 0.0)) AS vec FROM mp),
+         |seed AS (SELECT min(pageId) AS id FROM p),
+         |sims AS (SELECT s.id AS query_id, c.id AS nn_id,
+         |    list_cosine_similarity(q.vec, c.vec) AS cs
+         |  FROM seed s JOIN emb q ON q.id = s.id
+         |  JOIN emb c ON c.id != s.id)
+         |SELECT query_id, rank, nn_id FROM (
+         |  SELECT query_id, nn_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, nn_id) AS rank
+         |  FROM sims) WHERE rank <= 5 ORDER BY rank""".stripMargin,
     // interval-column chain slice: first-mention seeds make the depth-5
     // slice a plain position filter
     "kg_step_chain_slice" ->

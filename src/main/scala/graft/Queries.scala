@@ -495,6 +495,20 @@ object Queries {
         .select("id", "kind", "code", "pageId", "childNum")
         .orderBy("id")
     }),
+    // the CLI knn path as a driver-checked entry (≙ scripts/ml/joern-knn):
+    // full-frame nhash bags → feature-hashed 64-dim embedding → exact
+    // cosine top-5 for the min-id page. bruteForceTopK broadcasts the
+    // corpus side and ranks via the bounded-heap aggregator
+    "e4_knn_kg" -> ((s, d) => {
+      val kt = kg(s, d)
+      val emb = graft.ops.Similarity.featureHashEmbedding(
+        graft.query.Steps.neighborhoodHashFeatures(kt.nodes, kt.edges,
+          graft.model.Schema.EdgeKinds.Mentions).filter(col("pageId") =!= 0))
+      val seed = kt.nodes.filter(col("kind") === "Page").agg(min(col("id")).as("id"))
+      graft.ops.Similarity.bruteForceTopK(emb.join(seed, "id"), emb, k = 5)
+        .select("query_id", "rank", "nn_id")
+        .orderBy("rank")
+    }),
     // taken-branch navigation over the labeled flow edges: each page's
     // first mention hopped along its 'True' SAME_SENTENCE edge (= the
     // immediate in-sentence successor; ≙ FLOWS_TO flowLabel filtering)
