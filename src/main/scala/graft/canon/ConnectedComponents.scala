@@ -47,12 +47,14 @@ object ConnectedComponents {
            cutover: Long = LocalCutover): DataFrame = {
     import spark.implicits._
     val e = edges.toDF("a", "b").filter($"a" =!= $"b")
-    // single probe job: pull at most cutover+1 rows; if we got them all,
-    // solve on the driver, else fall through to the distributed fixpoint
-    val probe = e.as[(Long, Long)].limit((cutover + 1).toInt).collect()
-    if (probe.length <= cutover) {
+    // bounded COUNT decides the strategy without shipping rows — collecting
+    // cutover+1 pairs (~32 MB) to the driver just to discard them on the
+    // distributed path coupled the cutover constant to driver memory; only
+    // the genuinely-small path pulls data (≤ cutover rows by the probe)
+    val probeCount = e.limit((cutover + 1).toInt).count()
+    if (probeCount <= cutover) {
       val uf = new LocalUnionFind
-      probe.foreach { case (a, b) => uf.union(a, b) }
+      e.as[(Long, Long)].collect().foreach { case (a, b) => uf.union(a, b) }
       uf.components.toSeq.toDF("id", "component")
     } else run(spark, edges)
   }
