@@ -109,4 +109,36 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan shouldNot include("SortMergeJoin")
     plan shouldNot include("BroadcastNestedLoopJoin")
   }
+
+  test("featureHashEmbedding: two partial-agg groupBys, no Window, no UDF") {
+    // any parquet-backed (id, label, count) shape drives the same plan
+    val bags = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("pageId"),
+        col("l_linenumber").cast("long").as("label"),
+        col("l_quantity").cast("long").as("count"))
+    val plan = physical(graft.ops.Similarity.featureHashEmbedding(bags))
+    plan shouldNot include("Window")
+    plan shouldNot include("BatchEvalPython")
+    plan should include("partial_sum")
+    plan shouldNot include("CartesianProduct")
+  }
+
+  test("outLabeled hop: label+kind filter sits on the edge side, real join") {
+    // parquet-backed frames so the filter is visible (local relations fold)
+    val dir = java.nio.file.Files.createTempDirectory("planspec-lbl").toString
+    import spark.implicits._
+    Seq((1L, "Mention", "a", 1L, 0)).toDF("id", "kind", "code", "pageId", "childNum")
+      .write.parquet(s"$dir/nodes")
+    Seq((1L, 2L, "SAME_SENTENCE", null.asInstanceOf[String], "True"))
+      .toDF("src", "dst", "kind", "variable", "label").write.parquet(s"$dir/edges")
+    val nodes = spark.read.parquet(s"$dir/nodes")
+    val edges = spark.read.parquet(s"$dir/edges")
+    val plan = physical(graft.query.Steps.outLabeled(
+      nodes, edges, nodes, "SAME_SENTENCE", "True"))
+    // both predicates pushed into the edges parquet scan, no cartesian
+    plan should include("EqualTo(kind,SAME_SENTENCE)")
+    plan should include("EqualTo(label,True)")
+    plan shouldNot include("CartesianProduct")
+    graft.store.TableIO.deleteRecursively(dir)
+  }
 }
