@@ -555,7 +555,16 @@ object Queries {
         kinds = Seq(graft.model.Schema.EdgeKinds.NextMention,
           graft.model.Schema.EdgeKinds.SameSentence), depth = 3)
         .orderBy("pageId")
-    })
+    }),
+
+    // ---------------- Structured Streaming entries (oracled) ----------------
+    // Real streaming runs (MemoryStream fed in ts-ordered micro-batches →
+    // EventStream op → memory sink); oracle = the equivalent batch SQL over
+    // the same events parquet. See streaming/StreamEntries.scala.
+    "st1_stream_window" -> ((s, d) => graft.streaming.StreamEntries.streamWindow(s, d)),
+    "st2_stream_sessionize" -> ((s, d) => graft.streaming.StreamEntries.streamSessionize(s, d)),
+    "st3_stream_dedup" -> ((s, d) => graft.streaming.StreamEntries.streamDedup(s, d)),
+    "st4_stream_join" -> ((s, d) => graft.streaming.StreamEntries.streamJoin(s, d))
   )
 
   /** Synthetic-media row count for the mm entries (shared with
@@ -824,7 +833,40 @@ object Queries {
         |                           CAST(y.embedding AS DOUBLE[])) AS cs
         |  FROM both_v x JOIN both_v y ON x.vec_id < y.vec_id)
         |SELECT a, b, round(cs, 4) AS cosine FROM scored
-        |WHERE cs >= 0.999 ORDER BY a, b""".stripMargin
+        |WHERE cs >= 0.999 ORDER BY a, b""".stripMargin,
+
+    // ---- streaming ≡ batch: the streaming runs above vs plain batch SQL ----
+    "st1_stream_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start_s,
+        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "st2_stream_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, epoch_us(min(ts)) AS start_us, count(*) AS n_events,
+        |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, start_us""".stripMargin,
+    "st3_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "st4_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        | p.user_id, p.value
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1800 SECOND
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** DuckDB twin of [[graft.ops.TextAnalysis.langId]], generated from the

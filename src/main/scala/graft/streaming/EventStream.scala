@@ -56,11 +56,20 @@ object EventStream {
     * determinism-under-replay invariant — and closed sessions are final: an
     * event that could still touch one (ts ≤ end + gap ≤ watermark) is by
     * definition behind the watermark and already dropped. State is bounded:
-    * intervals die as soon as the watermark passes them. */
+    * intervals die as soon as the watermark passes them.
+    *
+    * Interval arithmetic is MICROSECOND-exact (the q20 lesson: the event
+    * timestamps carry micros, and comparing gaps at ms resolution flips
+    * session boundaries for gaps within 1 ms of the threshold — which is
+    * exactly the kind of divergence the batch-oracle gate would catch). */
   def sessionize(events: Dataset[Event], gapSec: Long = 1800,
                  watermark: String = "30 minutes"): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // java.sql.Timestamp: getTime is floor-to-ms, getNanos the FULL
+    // fractional second — micros = floor(ms/1000)·1e6 + nanos/1000
+    def us(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -69,9 +78,9 @@ object EventStream {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           // ONE body for both data batches and timeouts (rows is empty on
           // timeout): merge, close what the watermark has passed, keep the rest
-          val gapMs = gapSec * 1000
+          val gapUs = gapSec * 1000000L
           val intervals = (state.getOption.map(_.intervals).getOrElse(Nil) ++
-            rows.map(e => (e.ts.getTime, e.ts.getTime, 1))).sortBy(iv => (iv._1, iv._2))
+            rows.map(e => (us(e.ts), us(e.ts), 1))).sortBy(iv => (iv._1, iv._2))
           // uniform interval merge: stored intervals plus each event (a point
           // interval), merged when within the gap — stragglers chaining with
           // each other, interior events and backward extension all fall out
@@ -79,22 +88,26 @@ object EventStream {
           val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
           intervals.foreach { iv =>
             merged.lastOption match {
-              case Some(m) if iv._1 <= m._2 + gapMs =>
+              case Some(m) if iv._1 <= m._2 + gapUs =>
                 merged(merged.length - 1) = (m._1, math.max(m._2, iv._2), m._3 + iv._3)
               case _ => merged += iv
             }
           }
-          val wm = state.getCurrentWatermarkMs()
-          val (closed, open) = merged.partition(iv => iv._2 + gapMs <= wm)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = merged.partition(iv => iv._2 + gapUs <= wmUs)
           if (open.isEmpty) state.remove()
           else {
             state.update(SessionState(open.toList))
-            // wake exactly when the earliest open interval becomes closable
-            // (> wm by construction of `open`, as setTimeoutTimestamp requires)
-            state.setTimeoutTimestamp(open.map(_._2).min + gapMs)
+            // wake when the earliest open interval becomes closable; timeout
+            // timestamps are ms — floor+1 stays strictly > wm (as
+            // setTimeoutTimestamp requires) and fires ≤1 ms past closable
+            state.setTimeoutTimestamp(
+              Math.floorDiv(open.map(_._2).min + gapUs, 1000L) + 1L)
           }
-          closed.iterator.map { case (st, en, n) =>
-            SessionOut(userId, new Timestamp(st), n, (en - st) / 1000)
+          closed.iterator.map { case (stUs, enUs, n) =>
+            val t = new Timestamp(Math.floorDiv(stUs, 1000000L) * 1000L)
+            t.setNanos((Math.floorMod(stUs, 1000000L) * 1000L).toInt)
+            SessionOut(userId, t, n, (enUs - stUs) / 1000000L)
           }
       }
   }
