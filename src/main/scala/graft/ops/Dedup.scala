@@ -130,10 +130,24 @@ object Dedup {
     val rows = numHashes / bands
     val spark = docs.sparkSession
     import spark.implicits._
+    // band keys are computed IN the same fused pass as the signature: a
+    // numeric mix-chain over each signature slice. Any injective function of
+    // the slice gives the same buckets (the oracle re-derives them from the
+    // slice VALUES), and the previous column-expression version
+    // (xxhash64 ∘ concat_ws ∘ transform/slice HOFs) was interpreted, not
+    // codegen'd — one string build per (doc, band) dominated GC at the
+    // 8M-doc skew probe scale
     val sig = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        (id, minhashSignatureLocal(text, shingleN, numHashes, 42L))
-      }).toDF("doc_id", "sig")
+        val s = minhashSignatureLocal(text, shingleN, numHashes, 42L)
+        val bk = Array.tabulate(bands) { b =>
+          var h = 0x9e3779b97f4a7c15L
+          var j = b * rows
+          while (j < (b + 1) * rows) { h = graft.model.Ids.mix(h ^ s(j)); j += 1 }
+          h
+        }
+        (id, s, bk)
+      }).toDF("doc_id", "sig", "bandKeys")
       // eager localCheckpoint, not persist: the signatures must be shared by
       // the l/r join branches of the LAZY result — an in-function unpersist
       // ran before any action and silently recomputed them, while never
@@ -145,19 +159,24 @@ object Dedup {
     // with map-side partial aggregation (graft.functions.MinKAgg), so a
     // degenerate band (empty/boilerplate docs sharing one signature) shrinks
     // inside every map task instead of being window-sorted in one reducer.
-    val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        bnd => xxhash64(concat_ws(",", transform(
-          slice(col("sig"), bnd * rows + lit(1), lit(rows)), _.cast("string")))))))
+    val banded = sig.select(col("doc_id"), posexplode(col("bandKeys")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
     val buckets = banded.groupBy("band", "bandHash")
       .agg(graft.functions.MinKAgg.minK(maxBucket)(col("doc_id")).as("ids"))
     // per-bucket pair expansion runs over ≤ maxBucket capped ids; signatures
-    // re-attach by doc_id equi-join only for surviving candidate pairs
-    val cand = buckets
+    // re-attach by doc_id equi-join only for surviving candidate pairs.
+    // The pair list is materialized EAGERLY before those joins: size
+    // estimates through explode-over-agg are inflated, so without exact
+    // stats the planner sort-merge-joins — shuffling the full signature
+    // table twice. With exact stats a small pair list broadcasts (measured
+    // 78s → 16s on the 8M-identical-docs skew probe); a genuinely large one
+    // correctly stays a shuffle join.
+    val pairs = buckets
       .select(explode(graft.functions.MinKAgg.pairCombos(col("ids"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .dropDuplicates("a", "b")
+      .localCheckpoint(true)
+    val cand = pairs
       .join(sig.select(col("doc_id").as("a"), col("sig").as("sigA")), Seq("a"))
       .join(sig.select(col("doc_id").as("b"), col("sig").as("sigB")), Seq("b"))
     cand.withColumn("estJaccard",
@@ -206,10 +225,14 @@ object Dedup {
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunkVal")
     val buckets = chunked.groupBy("chunk", "chunkVal")
       .agg(graft.functions.MinKAgg.minK(maxBucket)(col("doc_id")).as("ids"))
+    // eager pair materialization before the re-attach joins — same
+    // exact-stats reasoning as minhashLSH (explode-over-agg size estimates
+    // would otherwise force sort-merge plans on the full sh table)
     val cand = buckets
       .select(explode(graft.functions.MinKAgg.pairCombos(col("ids"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .dropDuplicates("a", "b")
+      .localCheckpoint(true)
       .join(sh.select(col("doc_id").as("a"), col("sh").as("shA")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sh").as("shB")), Seq("b"))
     cand.withColumn("hamming", bit_count(col("shA").bitwiseXOR(col("shB"))).cast("long"))
@@ -233,6 +256,8 @@ object Dedup {
       .select(explode(graft.functions.MinKAgg.pairCombos(col("ids"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .dropDuplicates("a", "b")
+      // eager pair materialization — exact-stats join planning, see minhashLSH
+      .localCheckpoint(true)
       .join(embs.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
       .join(embs.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
       .withColumn("cosine", Similarity.cosine(col("ea"), col("eb")))

@@ -98,9 +98,23 @@ class PlanSpec extends AnyFunSuite with Matchers {
       val plan = physical(Queries.all(q)(spark, sfDir))
       withClue(s"$q plan:") {
         plan shouldNot include("Window")
-        plan should include("Aggregate")
+        // d3/d4/e3 materialize the capped pair list eagerly (exact-stats
+        // join planning), so the cap agg runs BEFORE the returned plan; the
+        // visible property is the re-attach joins broadcasting the small
+        // pair side instead of shuffling the full signature table
+        if (q == "d2_ngram_jaccard") plan should include("Aggregate")
+        else plan should include("BroadcastHashJoin")
       }
     }
+    // the cap aggregation itself (now upstream of the checkpoint): bounded
+    // min-k heap as a partial (map-side) object hash aggregate, never a
+    // per-bucket window sort
+    val capPlan = physical(
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .groupBy("event_type")
+        .agg(graft.functions.MinKAgg.minK(50)(col("event_id")).as("ids")))
+    capPlan shouldNot include("Window")
+    capPlan should include("ObjectHashAggregate")
   }
 
   test("asof join is one keyed window over a union, no join at all") {
