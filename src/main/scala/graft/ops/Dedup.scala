@@ -120,6 +120,30 @@ object Dedup {
     sig
   }
 
+  /** Bounded per-bucket candidate pairs — the shared skeleton of all three
+    * banded near-dup ops: groupBy(bucket key) → min-k id heap (bounded,
+    * map-side partial aggregation via graft.functions.MinKAgg — NEVER a
+    * per-bucket window sort, which would funnel a hot bucket through one
+    * task) → per-bucket pair expansion over ≤ maxBucket ids → global pair
+    * dedup. The result is materialized EAGERLY (localCheckpoint) before the
+    * callers' payload re-attach joins: size estimates through
+    * explode-over-agg are inflated, so without exact stats the planner
+    * sort-merge-joins — shuffling the full signature table twice. With
+    * exact stats a small pair list broadcasts (measured 78 s → 28.6 s on
+    * the 8M-identical-docs DedupSkewProbe); a genuinely large one correctly
+    * stays a shuffle join. Tests pass materialize = false to assert the
+    * cap's own physical plan (PlanSpec). */
+  private[graft] def cappedPairs(keyed: DataFrame, keyCols: Seq[String],
+                                 idCol: String, maxBucket: Int,
+                                 materialize: Boolean = true): DataFrame = {
+    val pairs = keyed.groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.MinKAgg.minK(maxBucket)(col(idCol)).as("ids"))
+      .select(explode(graft.functions.MinKAgg.pairCombos(col("ids"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .dropDuplicates("a", "b")
+    if (materialize) pairs.localCheckpoint(true) else pairs
+  }
+
   /** MinHash + LSH banding: signature → bands → bucket-join on
     * (band, bandHash) → candidate pairs verified by signature agreement.
     * One shuffle (the band-key groupBy); no cross join anywhere. */
@@ -161,22 +185,10 @@ object Dedup {
     // inside every map task instead of being window-sorted in one reducer.
     val banded = sig.select(col("doc_id"), posexplode(col("bandKeys")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
-    val buckets = banded.groupBy("band", "bandHash")
-      .agg(graft.functions.MinKAgg.minK(maxBucket)(col("doc_id")).as("ids"))
-    // per-bucket pair expansion runs over ≤ maxBucket capped ids; signatures
-    // re-attach by doc_id equi-join only for surviving candidate pairs.
-    // The pair list is materialized EAGERLY before those joins: size
-    // estimates through explode-over-agg are inflated, so without exact
-    // stats the planner sort-merge-joins — shuffling the full signature
-    // table twice. With exact stats a small pair list broadcasts (measured
-    // 78s → 16s on the 8M-identical-docs skew probe); a genuinely large one
-    // correctly stays a shuffle join.
-    val pairs = buckets
-      .select(explode(graft.functions.MinKAgg.pairCombos(col("ids"))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .dropDuplicates("a", "b")
-      .localCheckpoint(true)
-    val cand = pairs
+    // bounded cap + pair expansion + exact-stats materialization: see
+    // cappedPairs; signatures re-attach by doc_id equi-join only for
+    // surviving candidate pairs
+    val cand = cappedPairs(banded, Seq("band", "bandHash"), "doc_id", maxBucket)
       .join(sig.select(col("doc_id").as("a"), col("sig").as("sigA")), Seq("a"))
       .join(sig.select(col("doc_id").as("b"), col("sig").as("sigB")), Seq("b"))
     cand.withColumn("estJaccard",
@@ -223,16 +235,7 @@ object Dedup {
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sh"), c * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunkVal")
-    val buckets = chunked.groupBy("chunk", "chunkVal")
-      .agg(graft.functions.MinKAgg.minK(maxBucket)(col("doc_id")).as("ids"))
-    // eager pair materialization before the re-attach joins — same
-    // exact-stats reasoning as minhashLSH (explode-over-agg size estimates
-    // would otherwise force sort-merge plans on the full sh table)
-    val cand = buckets
-      .select(explode(graft.functions.MinKAgg.pairCombos(col("ids"))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .dropDuplicates("a", "b")
-      .localCheckpoint(true)
+    val cand = cappedPairs(chunked, Seq("chunk", "chunkVal"), "doc_id", maxBucket)
       .join(sh.select(col("doc_id").as("a"), col("sh").as("shA")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sh").as("shB")), Seq("b"))
     cand.withColumn("hamming", bit_count(col("shA").bitwiseXOR(col("shB"))).cast("long"))
@@ -250,14 +253,7 @@ object Dedup {
     // MinKAgg); embeddings re-attach by vec_id only for candidate pairs, so
     // neither the bucket shuffle nor a hot bucket ever carries the vectors
     val sig = embs.select(col("vec_id"), sigCol.as("bucket"))
-    val buckets = sig.groupBy("bucket")
-      .agg(graft.functions.MinKAgg.minK(maxBucket)(col("vec_id")).as("ids"))
-    buckets
-      .select(explode(graft.functions.MinKAgg.pairCombos(col("ids"))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .dropDuplicates("a", "b")
-      // eager pair materialization — exact-stats join planning, see minhashLSH
-      .localCheckpoint(true)
+    cappedPairs(sig, Seq("bucket"), "vec_id", maxBucket)
       .join(embs.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
       .join(embs.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
       .withColumn("cosine", Similarity.cosine(col("ea"), col("eb")))

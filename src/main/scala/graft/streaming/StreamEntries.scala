@@ -69,7 +69,12 @@ object StreamEntries {
         mem.addData(Event(-1L, far, -1L, "sentinel", 0.0))
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // the memory sink holds the results; the checkpoint state is dead
+      // once the query stops — don't leak it into /tmp on every run
+      graft.store.TableIO.deleteRecursively(ckpt)
+    }
     spark.table(sinkName)
   }
 

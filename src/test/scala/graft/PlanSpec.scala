@@ -106,15 +106,19 @@ class PlanSpec extends AnyFunSuite with Matchers {
         else plan should include("BroadcastHashJoin")
       }
     }
-    // the cap aggregation itself (now upstream of the checkpoint): bounded
-    // min-k heap as a partial (map-side) object hash aggregate, never a
-    // per-bucket window sort
-    val capPlan = physical(
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .groupBy("event_type")
-        .agg(graft.functions.MinKAgg.minK(50)(col("event_id")).as("ids")))
+    // the cap itself now runs upstream of the eager checkpoint, so assert
+    // on the REAL code path pre-materialization (materialize = false):
+    // bounded min-k heap as a partial (map-side) object hash aggregate,
+    // never a per-bucket window sort — this is the exact function all three
+    // banded ops call, so a regression back to row_number-over-Window in
+    // the cap cannot hide inside the checkpoint
+    val capPlan = physical(graft.ops.Dedup.cappedPairs(
+      spark.read.parquet(s"$sfDir/events.parquet"),
+      Seq("event_type"), "event_id", 50, materialize = false))
     capPlan shouldNot include("Window")
     capPlan should include("ObjectHashAggregate")
+    // partial-mode marker: map-side combine before the bucket-key shuffle
+    capPlan should include("partial_")
   }
 
   test("asof join is one keyed window over a union, no join at all") {
