@@ -12,12 +12,17 @@ import org.apache.spark.sql.functions._
   * any single bucket. Expected pairs = C(maxBucket, 2) (identical docs: all
   * bands keep the same capped id set).
   *
-  *   runMain graft.tools.DedupSkewProbe [nDocs] [cores]
+  * The same battery runs all three cappedPairs callers: minhash (bands),
+  * simhash (chunk values — all four chunks identical across docs), and
+  * embedding hyperplane LSH (identical vectors → one bucket).
+  *
+  *   runMain graft.tools.DedupSkewProbe [nDocs] [cores] [minhash|simhash|embed|all]
   */
 object DedupSkewProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 2000000L
     val cores = if (args.length > 1) args(1).toInt else 32
+    val op = if (args.length > 2) args(2) else "minhash"
     val spark = SparkSession.builder()
       .master(s"local[$cores]").appName("graft-dedup-skew-probe")
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -28,11 +33,22 @@ object DedupSkewProbe {
     try {
       val docs = spark.range(n).select(col("id").as("doc_id"),
         lit("the quick brown fox jumps over the lazy dog again and again").as("text"))
-      val t0 = System.nanoTime()
-      val pairs = graft.ops.Dedup.minhashLSH(docs).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(String.format(java.util.Locale.ROOT,
-        "[skewprobe] nDocs=%d pairs=%d sec=%.2f", n, pairs, sec))
+      def run(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val pairs = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(String.format(java.util.Locale.ROOT,
+          "[skewprobe] op=%s nDocs=%d pairs=%d sec=%.2f", label, n, pairs, sec))
+      }
+      if (op == "minhash" || op == "all")
+        run("minhash")(graft.ops.Dedup.minhashLSH(docs).count())
+      if (op == "simhash" || op == "all")
+        run("simhash")(graft.ops.Dedup.simhashNearDup(docs).count())
+      if (op == "embed" || op == "all") {
+        val embs = spark.range(n).select(col("id").as("vec_id"),
+          array((0 until 16).map(i => lit((i % 7 + 1).toFloat)): _*).as("embedding"))
+        run("embed")(graft.ops.Dedup.embeddingNearDup(embs).count())
+      }
     } finally spark.stop()
   }
 }
