@@ -320,6 +320,22 @@ object Queries {
     "d8_fingerprint" -> ((s, d) => graft.ops.TextAnalysis.fingerprint(t(s, d, "documents"))
       .select(col("doc_id"), element_at(col("fingerprint"), 1).as("fp0"))
       .orderBy("doc_id")),
+    // the composed training-data user story — one flow, three ops: exact
+    // dedup (keep side) -> language gate -> token-count quality gate ->
+    // per-source corpus stats. One shuffle per stage boundary, all partial
+    // aggregation; this is the shape a 100-TB corpus-prep job actually has
+    "d11_corpus_prep" -> ((s, d) => {
+      val kept = graft.ops.Dedup.exactKeep(t(s, d, "documents"))
+      val lid = graft.ops.TextAnalysis.langId(kept)
+        .filter(col("pred_lang") === "en" && col("n_toks") >= 5)
+        .select("doc_id", "n_toks")
+      kept.join(lid, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_toks").as("total_tokens"),
+          sum("n_chars").as("total_chars"))
+        .orderBy("source")
+    }),
 
     // ---------------- similarity search: embeddings ----------------
     "e1_ann_bruteforce" -> ((s, d) => graft.ops.Similarity.bruteForceTopK(
@@ -807,6 +823,7 @@ object Queries {
         |JOIN k ON md5(b.text) = k.h AND b.doc_id = k.doc_id
         |ORDER BY b.doc_id""".stripMargin,
     "d7_langid" -> langIdOracleSql,
+    "d11_corpus_prep" -> corpusPrepOracleSql,
     // e2 runs with nProbe == nCentroids (exhaustive probing — see the query
     // comment), so the IVF plumbing must reproduce exact brute force
     "e2_ann_ivf" ->
@@ -869,10 +886,10 @@ object Queries {
         |ORDER BY 1, 2""".stripMargin
   )
 
-  /** DuckDB twin of [[graft.ops.TextAnalysis.langId]], generated from the
-    * SAME stopword lists (one source of truth; integer argmax, lang-ascending
-    * tie-break, zero hits -> 'unk'). */
-  private def langIdOracleSql: String = {
+  /** The shared lexicon-derived SQL fragments of the langId oracles:
+    * (per-language hit-count columns, greatest-expression, argmax CASE arms)
+    * — generated from the SAME stopword lists the Spark op uses. */
+  private def langIdSqlParts: (String, String, String) = {
     val langs = graft.ops.TextAnalysis.stopWords.toSeq.sortBy(_._1)
     val hitCols = langs.map { case (lang, words) =>
       val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -880,6 +897,45 @@ object Queries {
     }.mkString(",\n    ")
     val g = langs.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
     val cases = langs.map { case (l, _) => s"WHEN h_$l = $g THEN '$l'" }.mkString("\n    ")
+    (hitCols, g, cases)
+  }
+
+  /** DuckDB twin of the composed d11 corpus-prep flow: exact-dedup keep →
+    * en-language + token-count gates → per-source stats. Integer sums CAST
+    * to BIGINT (DuckDB types them HUGEINT, which the driver's arrow path
+    * can't hash-match). */
+  private def corpusPrepOracleSql: String = {
+    val (hitCols, g, cases) = langIdSqlParts
+    s"""WITH keep AS (
+       |  SELECT d.* FROM documents d
+       |  JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
+       |        FROM documents GROUP BY 1) k
+       |    ON md5(d.text) = k.h AND d.doc_id = k.doc_id),
+       |toks AS (
+       |  SELECT doc_id, source, n_chars,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+       |  FROM keep),
+       |h AS (
+       |  SELECT doc_id, source, n_chars, len(t) AS n_toks,
+       |    $hitCols
+       |  FROM toks),
+       |lab AS (
+       |  SELECT *, CASE WHEN $g = 0 THEN 'unk'
+       |    $cases
+       |    END AS pred_lang
+       |  FROM h)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM lab WHERE pred_lang = 'en' AND n_toks >= 5
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.ops.TextAnalysis.langId]], generated from the
+    * SAME stopword lists (one source of truth; integer argmax, lang-ascending
+    * tie-break, zero hits -> 'unk'). */
+  private def langIdOracleSql: String = {
+    val (hitCols, g, cases) = langIdSqlParts
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
        |  FROM documents),
