@@ -81,9 +81,15 @@ object Pipeline {
       .select($"subj".as("a"), $"obj".as("b")).distinct()
 
     // 4: global fixpoint (adaptive: driver union-find under the cutover,
-    // salted distributed label propagation above it — identical results)
+    // salted distributed label propagation above it — identical results).
+    // The distinct pair set is eagerly materialized ONCE (localCheckpoint):
+    // auto's strategy probe and the chosen path each act on sameAs, and
+    // without the checkpoint each action re-ran the flat scan + distinct
+    // shuffle — core-count-invariant serial drag on every bench leg. Inside
+    // getOrElse so a precomputed mapping (rule-diff incremental) never
+    // forces extraction just to build an unused edge set.
     val components = precomputedComponents.getOrElse(
-      ConnectedComponents.auto(spark, sameAs)
+      ConnectedComponents.auto(spark, sameAs.localCheckpoint(true))
         .persist(StorageLevel.MEMORY_AND_DISK))
 
     // 5: canonicalize triples. The mapping is bounded by the entity universe
@@ -239,19 +245,26 @@ object Pipeline {
     // manifest counters come from the MATERIALIZED rows, not accumulators:
     // Spark only guarantees exactly-once accumulator updates inside actions,
     // so task retries / cache-eviction recomputes would over-count the
-    // transformation-side metrics (those remain useful live telemetry)
-    val c = t.flat.groupBy("rowKind").agg(
-      cnt(lit(1)).as("n"),
-      sm(when(col("error").isNotNull, 1L).otherwise(0L)).as("nErr"),
-      sm(coalesce(col("nSentences"), lit(0))).as("nSent"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    def of(k: String): (Long, Long, Long) = c.getOrElse(k, (0L, 0L, 0L))
-    val counters = Map(
-      "pagesIn" -> of("p")._1,
-      "pagesErrored" -> of("p")._2,
-      "sentences" -> of("p")._3,
-      "mentions" -> of("m")._1,
-      "triples" -> of("t")._1)
+    // transformation-side metrics (those remain useful live telemetry).
+    // Computed CONCURRENTLY with the table writes (it is a fifth job over
+    // the same flat cache) — each write only blocks on it at manifest-commit
+    // time, after its data files are out, so the counter scan's wall time
+    // fully overlaps the writes instead of serially preceding them
+    val countersF = Future {
+      val c = t.flat.groupBy("rowKind").agg(
+        cnt(lit(1)).as("n"),
+        sm(when(col("error").isNotNull, 1L).otherwise(0L)).as("nErr"),
+        sm(coalesce(col("nSentences"), lit(0))).as("nSent"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      def of(k: String): (Long, Long, Long) = c.getOrElse(k, (0L, 0L, 0L))
+      Map(
+        "pagesIn" -> of("p")._1,
+        "pagesErrored" -> of("p")._2,
+        "sentences" -> of("p")._3,
+        "mentions" -> of("m")._1,
+        "triples" -> of("t")._1)
+    }
+    def counters: Map[String, Long] = Await.result(countersF, Duration.Inf)
     val writes = Seq(
       Future(TableIO.writeBucketed(t.triples, s"$outDir/triples", col("url"), counters)),
       Future(TableIO.writeBucketed(t.nodes, s"$outDir/nodes", col("id"), counters)),

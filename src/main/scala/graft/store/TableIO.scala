@@ -102,7 +102,10 @@ object TableIO {
       df: DataFrame,
       dir: String,
       bucketKey: org.apache.spark.sql.Column,
-      counters: Map[String, Long] = Map.empty,
+      // by-name: evaluated only at manifest-commit time, so a caller may pass
+      // an Await on a concurrently-computing counter job (Pipeline.materialize)
+      // and the counter scan overlaps the data write instead of preceding it
+      counters: => Map[String, Long] = Map.empty,
       numBuckets: Int = NumBuckets,
       onlyBuckets: Option[Set[Int]] = None): Manifest = {
     val prior = readManifest(dir)
@@ -117,9 +120,15 @@ object TableIO {
       pmod(xxhash64(bucketKey), lit(numBuckets)).cast("int"))
 
     // schema stamp on first write: an empty table produces no data files at
-    // all, so the reader needs somewhere to get the schema from
-    if (prior.isEmpty)
-      withBucket.limit(0).write.mode("overwrite").parquet(s"$dir/_schema")
+    // all, so the reader needs somewhere to get the schema from. Written
+    // driver-side as schema JSON — the old limit(0) parquet write was a full
+    // Spark job + committer round per table, pure fixed overhead that the
+    // high-core bench legs (and a real cluster's driver) pay 4× per snapshot
+    if (prior.isEmpty) {
+      Files.createDirectories(Paths.get(dir))
+      Files.write(Paths.get(dir, "_schema.json"),
+        withBucket.schema.json.getBytes(StandardCharsets.UTF_8))
+    }
 
     val wanted: Set[Int] = {
       val all = (0 until numBuckets).toSet -- committed.keySet
@@ -147,17 +156,27 @@ object TableIO {
     val pending = withBucket.filter(col("bucket").isin(wanted.toSeq: _*))
       .repartition(numBuckets, element_at(typedLit(keys.toSeq), col("bucket") + 1))
     pending.write.mode("append").partitionBy("bucket").parquet(s"$dir/data")
-    // lineage counters from parquet footers — metadata-only, no recompute
-    // (persist + pre-count here used to double the whole write's work).
-    // An EMPTY table writes no parquet files at all (only _SUCCESS), which
-    // spark.read cannot infer a schema from — commit zero counts instead
-    val spark = df.sparkSession
-    val countsByBucket: Map[Int, Long] =
-      if (!hasDataFiles(dir)) Map.empty
-      else spark.read.parquet(s"$dir/data")
-        .filter(col("bucket").isin(wanted.toSeq: _*))
-        .groupBy("bucket").count()
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // lineage counters from parquet footers — metadata-only, no recompute.
+    // Read driver-side (java.nio walk + footer row counts): this module's
+    // whole snapshot protocol already assumes a POSIX-visible table dir (the
+    // manifest moves are java.nio), and a footer read is a few KB per file —
+    // the previous empty-schema Spark scan was a whole extra job (+32
+    // scheduled tasks) per table, fixed overhead the high-core legs can't
+    // amortize. At catalog scale (thousands of buckets on object storage)
+    // this becomes the catalog's snapshot statistics, not a driver loop.
+    val countsByBucket: Map[Int, Long] = wanted.toSeq.flatMap { b =>
+      val bd = Paths.get(dir, "data", s"bucket=$b")
+      if (!Files.exists(bd)) None
+      else {
+        val ls = Files.list(bd)
+        val n =
+          try ls.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(parquetRowCount).sum
+          finally ls.close()
+        Some(b -> n)
+      }
+    }.toMap
 
     val newBuckets = committed ++ wanted.map(b => b -> countsByBucket.getOrElse(b, 0L))
     val m = Manifest(System.currentTimeMillis(), newBuckets, counters, numBuckets)
@@ -197,13 +216,37 @@ object TableIO {
   }
 
   /** Read a committed table: only buckets listed in the manifest are visible.
-    * An empty snapshot reads back as an empty frame with the stamped schema. */
+    * An empty snapshot reads back as an empty frame with the stamped schema
+    * (`_schema.json`; pre-round-3 tables stamped a parquet `_schema` dir —
+    * still honored). */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val m = readManifest(dir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $dir"))
-    val df = if (hasDataFiles(dir)) spark.read.parquet(s"$dir/data")
-             else spark.read.parquet(s"$dir/_schema")
+    val df =
+      if (hasDataFiles(dir)) spark.read.parquet(s"$dir/data")
+      else {
+        val js = Paths.get(dir, "_schema.json")
+        if (Files.exists(js)) {
+          val schema = org.apache.spark.sql.types.DataType
+            .fromJson(new String(Files.readAllBytes(js), StandardCharsets.UTF_8))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        } else spark.read.parquet(s"$dir/_schema")
+      }
     df.filter(col("bucket").isin(m.buckets.keySet.toSeq: _*)).drop("bucket")
+  }
+
+  // one Configuration for all footer reads — construction parses the
+  // hadoop config XMLs (tens of ms), which would dominate a 32-file loop
+  private lazy val footerConf = new org.apache.hadoop.conf.Configuration()
+
+  /** Row count from a parquet footer (driver-side, metadata-only). */
+  private def parquetRowCount(p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri), footerConf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
   }
 
   /** Buckets still missing from the snapshot (what a resume will compute). */

@@ -1,0 +1,114 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Pipeline
+import graft.model.PageGen
+import graft.store.TableIO
+
+/** Dev probe: per-phase wall time of the benched pipeline at several core
+  * counts in ONE warmed JVM (the Bench protocol), to localize the phase that
+  * drags the N→4N scaling efficiency. Not a driver surface.
+  *
+  * Usage: runMain graft.tools.ScalingProfile [pages] [cores...]
+  */
+object ScalingProfile {
+  private def newSession(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nPages = if (args.nonEmpty) args(0).toInt else 40000
+    val levels = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(8, 2, 8)
+    val pagesDir = "/dev/shm/graft-scaling-pages"
+    val outDir = "/dev/shm/graft-scaling-out"
+
+    locally {
+      val s = newSession(32)
+      try {
+        TableIO.deleteRecursively(pagesDir)
+        PageGen.pages(s, PageGen.Config(nPages = nPages, sentMin = 40, sentMax = 80))
+          .write.mode("overwrite").parquet(pagesDir)
+      } finally s.stop()
+    }
+
+    levels.foreach { cores =>
+      val spark = newSession(cores)
+      try {
+        import spark.implicits._
+        TableIO.deleteRecursively(outDir)
+        val tAll = System.nanoTime()
+        var last = tAll
+        def lap(name: String): Unit = {
+          val now = System.nanoTime()
+          println(f"SCALING cores=$cores phase=$name%-16s ${(now - last) / 1e9}%7.2f s")
+          last = now
+        }
+        val pages = spark.read.parquet(pagesDir).as[graft.model.Page]
+        val gaz = spark.sparkContext.broadcast(Pipeline.defaultGazetteer(500))
+        val auto = spark.sparkContext.broadcast(
+          graft.extract.PatternAutomaton.compile(graft.extract.PatternAutomaton.DefaultRules))
+        val metrics = new graft.extract.ExtractMetrics(spark)
+        val flat = graft.extract.TripleExtractor
+          .extractFlat(pages.filter($"lang" === "en"), gaz, auto, metrics)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        flat.count()
+        lap("extract_cache")
+        val sameAs = flat.filter($"rowKind" === "t" && $"pred" === "same_as" && $"obj" >= 0)
+          .select($"subj".as("a"), $"obj".as("b")).distinct()
+        val components = graft.canon.ConnectedComponents.auto(spark, sameAs)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nComp = components.count()
+        lap("cc")
+        val rawTriples = flat.filter($"rowKind" === "t" && $"pred" =!= "same_as")
+          .select($"subj", $"pred", $"obj", $"objValue", $"url", $"conf")
+        val canonMap =
+          if (nComp <= Pipeline.CanonBroadcastCutover) broadcast(components) else components
+        val triples = rawTriples
+          .join(canonMap.withColumnRenamed("id", "subj").withColumnRenamed("component", "subjCanon"),
+            Seq("subj"), "left")
+          .join(canonMap.withColumnRenamed("id", "obj").withColumnRenamed("component", "objCanon"),
+            Seq("obj"), "left")
+          .select(coalesce($"subjCanon", $"subj").as("subj"), $"pred",
+            coalesce($"objCanon", $"obj").as("obj"), $"objValue", $"url", $"conf")
+          .dropDuplicates("subj", "pred", "obj", "objValue", "url")
+        val (nodes, edges) = Pipeline.graphTables(spark, flat, components)
+        lap("plan_build")
+        // counters agg (the collect in materialize)
+        val c = flat.groupBy("rowKind").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("nErr"),
+          sum(coalesce(col("nSentences"), lit(0))).as("nSent")).collect()
+        lap("counters")
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val writes = Seq(
+          "triples" -> Future(TableIO.writeBucketed(triples, s"$outDir/triples", col("url"))),
+          "nodes" -> Future(TableIO.writeBucketed(nodes, s"$outDir/nodes", col("id"))),
+          "edges" -> Future(TableIO.writeBucketed(edges, s"$outDir/edges", col("src"))),
+          "components" -> Future(TableIO.writeBucketed(components, s"$outDir/components", col("id"))))
+        writes.foreach { case (_, f) => Await.result(f, Duration.Inf) }
+        lap("writes")
+        println(f"SCALING cores=$cores phase=TOTAL            ${(System.nanoTime() - tAll) / 1e9}%7.2f s  (c=${c.length}%d)")
+        flat.unpersist(false)
+        components.unpersist(false)
+        TableIO.deleteRecursively(outDir)
+      } finally spark.stop()
+    }
+    TableIO.deleteRecursively(pagesDir)
+  }
+}
