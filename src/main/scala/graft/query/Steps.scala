@@ -597,23 +597,36 @@ object Steps {
     val initial = frame.select(col("id"), col("pageId"),
       (abs(when(col("code").rlike("^[0-9]+$"), xxhash64(lit("A_NUMBER")))
         .otherwise(xxhash64(col("kind"), col("code")))) % 65536).as("label"))
+    // edge frame shuffled onto its join key ONCE — the per-round join then
+    // only moves the (much narrower) label frame; the checkpoint preserves
+    // the partitioning, so no round re-exchanges the edges
     val e = edges.filter(col("kind") === edgeKind).select("src", "dst")
+      .repartition(col("dst"))
       .localCheckpoint(true)
     // each round references `labeled` twice (child xor + self rotate) and the
     // next round references the result again — checkpoint per round or the
     // lineage re-executes the whole chain at every reuse
     var labeled = initial.localCheckpoint(true)
     (0 until iterations).foreach { it =>
-      // bit_xor is a declarative aggregate (partial map-side combine, codegen)
-      // — collect_list + interpreted fold built a per-group array for nothing
-      val childXor = e.join(labeled.withColumnRenamed("id", "dst").select("dst", "label"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(expr("bit_xor(label)").as("childXor"))
       val rot1 = (shiftleft(col("label"), 1).bitwiseAND(lit(0xffffL)))
         .bitwiseOR(shiftright(col("label"), 15))
-      labeled = labeled.join(childXor, Seq("id"), "left")
-        .select(col("id"), col("pageId"),
-          (rot1.bitwiseXOR(coalesce(col("childXor"), lit(0L))) % 65536).as("label"))
+      // one round = one aggregation: the self-rotation and the child labels
+      // are unioned as xor CONTRIBUTIONS keyed by the receiving node, then a
+      // single bit_xor groupBy (declarative agg: map-side partial, codegen)
+      // folds both — identical algebra to the old join+groupBy+left-join
+      // round (newLabel = rot1(label) XOR xor(childLabels)) with one shuffle
+      // less per round. A src outside the label frame has no self row →
+      // its pageId aggregates to null → dropped, matching the old inner
+      // re-join against `labeled` (frame pageIds are never null).
+      val self = labeled.select(col("id"), col("pageId"), rot1.as("contrib"))
+      val fromChildren = e
+        .join(labeled.withColumnRenamed("id", "dst").select("dst", "label"), "dst")
+        .select(col("src").as("id"), lit(null).cast("long").as("pageId"),
+          col("label").as("contrib"))
+      labeled = self.unionByName(fromChildren)
+        .groupBy("id")
+        .agg(max("pageId").as("pageId"), (expr("bit_xor(contrib)") % 65536).as("label"))
+        .filter(col("pageId").isNotNull)
         .transform(graft.util.Materialize.iterate(_, it))
     }
     labeled.groupBy("pageId", "label").count()

@@ -29,6 +29,18 @@ class StoreSpec extends AnyFunSuite with Matchers {
     back.agg(sum("value")).collect()(0).getLong(0) shouldBe (0 until 1000).map(_.toLong).sum
   }
 
+  test("manifest lineage counts: per-bucket footer sums equal actual rows") {
+    // the counts are read driver-side from parquet footers — this pins them
+    // to the ground truth a full scan computes, per bucket, so a footer-path
+    // regression (or a parquet library change) fails loudly
+    val dir = freshDir()
+    val m = TableIO.writeBucketed(sample(), dir, col("key"), numBuckets = 8)
+    val actual = spark.read.parquet(s"$dir/data")
+      .groupBy("bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    m.buckets shouldBe actual
+  }
+
   test("resume after simulated crash: only missing buckets recomputed, no dupes") {
     val dir = freshDir()
     val df = sample()
