@@ -172,7 +172,12 @@ object Bench {
     val childMode = sys.env.get("SPARK_GRAFT_CHILD_JVM").contains("1")
     val warmPagesDir = if (childMode) s"$shm-pages-warm" else "-"
     materializeCorpus(cpus, benchPages, pagesDir)
-    if (childMode) materializeCorpus(cpus, math.max(benchPages / 20, 200), warmPagesDir)
+    // child-JVM warmup size is tunable: 1/20 corpus leaves C2 half-cold at
+    // the short high-core walls (measured 2-3x); a 1/4-corpus warmup is
+    // enough compilation work to make the timed run steady-state
+    val warmPages = sys.env.getOrElse("SPARK_GRAFT_CHILD_WARM_PAGES",
+      math.max(benchPages / 20, 200).toString).toInt
+    if (childMode) materializeCorpus(cpus, warmPages, warmPagesDir)
     else runPipelineInProcess(cpus, pagesDir, s"$shm-warm")
 
     // INTERLEAVED best-of-N: host slowdowns come in multi-minute bursts, so
