@@ -32,7 +32,11 @@ object ScalingProfile {
 
   def main(args: Array[String]): Unit = {
     val nPages = if (args.nonEmpty) args(0).toInt else 40000
-    val levels = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(8, 2, 8)
+    // "P<cores>" = parquet-spill flat cache variant at that level
+    val rawLevels = if (args.length > 1) args.drop(1).toSeq else Seq("8", "2", "8")
+    val levels = rawLevels.map { s =>
+      if (s.startsWith("P")) (s.drop(1).toInt, true) else (s.toInt, false)
+    }
     val pagesDir = "/dev/shm/graft-scaling-pages"
     val outDir = "/dev/shm/graft-scaling-out"
 
@@ -45,7 +49,7 @@ object ScalingProfile {
       } finally s.stop()
     }
 
-    levels.foreach { cores =>
+    levels.foreach { case (cores, parquetCache) =>
       val spark = newSession(cores)
       try {
         import spark.implicits._
@@ -54,7 +58,7 @@ object ScalingProfile {
         var last = tAll
         def lap(name: String): Unit = {
           val now = System.nanoTime()
-          println(f"SCALING cores=$cores phase=$name%-16s ${(now - last) / 1e9}%7.2f s")
+          println(f"SCALING cores=$cores pq=$parquetCache phase=$name%-16s ${(now - last) / 1e9}%7.2f s")
           last = now
         }
         val pages = spark.read.parquet(pagesDir).as[graft.model.Page]
@@ -62,10 +66,19 @@ object ScalingProfile {
         val auto = spark.sparkContext.broadcast(
           graft.extract.PatternAutomaton.compile(graft.extract.PatternAutomaton.DefaultRules))
         val metrics = new graft.extract.ExtractMetrics(spark)
-        val flat = graft.extract.TripleExtractor
+        val flatRaw = graft.extract.TripleExtractor
           .extractFlat(pages.filter($"lang" === "en"), gaz, auto, metrics)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        flat.count()
+        val flat =
+          if (parquetCache) {
+            val d = "/dev/shm/graft-scaling-flat"
+            TableIO.deleteRecursively(d)
+            flatRaw.write.parquet(d)
+            spark.read.parquet(d).as[graft.extract.FlatRow]
+          } else {
+            val f = flatRaw.persist(StorageLevel.MEMORY_AND_DISK)
+            f.count()
+            f
+          }
         lap("extract_cache")
         val sameAs = flat.filter($"rowKind" === "t" && $"pred" === "same_as" && $"obj" >= 0)
           .select($"subj".as("a"), $"obj".as("b")).distinct()
@@ -104,9 +117,10 @@ object ScalingProfile {
         writes.foreach { case (_, f) => Await.result(f, Duration.Inf) }
         lap("writes")
         println(f"SCALING cores=$cores phase=TOTAL            ${(System.nanoTime() - tAll) / 1e9}%7.2f s  (c=${c.length}%d)")
-        flat.unpersist(false)
+        if (!parquetCache) flat.unpersist(false)
         components.unpersist(false)
         TableIO.deleteRecursively(outDir)
+        TableIO.deleteRecursively("/dev/shm/graft-scaling-flat")
       } finally spark.stop()
     }
     TableIO.deleteRecursively(pagesDir)
