@@ -172,11 +172,12 @@ object Bench {
     val childMode = sys.env.get("SPARK_GRAFT_CHILD_JVM").contains("1")
     val warmPagesDir = if (childMode) s"$shm-pages-warm" else "-"
     materializeCorpus(cpus, benchPages, pagesDir)
-    // child-JVM warmup size is tunable: 1/20 corpus leaves C2 half-cold at
-    // the short high-core walls (measured 2-3x); a 1/4-corpus warmup is
-    // enough compilation work to make the timed run steady-state
+    // child-JVM warmup DEFAULTS to 1/4 corpus: the old 1/20 left C2
+    // half-cold at the short high-core walls (measured 2-3x slow, per-level
+    // spread ±100%); at 1/4 the spread collapses to ±5% — the default must
+    // be the protocol that works, not an env var the operator must remember
     val warmPages = sys.env.getOrElse("SPARK_GRAFT_CHILD_WARM_PAGES",
-      math.max(benchPages / 20, 200).toString).toInt
+      math.max(benchPages / 4, 200).toString).toInt
     if (childMode) materializeCorpus(cpus, warmPages, warmPagesDir)
     else runPipelineInProcess(cpus, pagesDir, s"$shm-warm")
 

@@ -594,13 +594,22 @@ object Steps {
       case Some(ks) => nodes.filter(col("kind").isin(ks: _*))
       case None => nodes
     }
+    // one label row per node IDENTITY: the nodes table may carry duplicate
+    // rows for one id (e.g. the same url ingested twice → one Page id), and
+    // without the dedup two self rows of one id would XOR-cancel their
+    // rotation contributions inside the per-round aggregation below
     val initial = frame.select(col("id"), col("pageId"),
       (abs(when(col("code").rlike("^[0-9]+$"), xxhash64(lit("A_NUMBER")))
         .otherwise(xxhash64(col("kind"), col("code")))) % 65536).as("label"))
+      .dropDuplicates("id")
     // edge frame shuffled onto its join key ONCE — the per-round join then
     // only moves the (much narrower) label frame; the checkpoint preserves
     // the partitioning, so no round re-exchanges the edges
     val e = edges.filter(col("kind") === edgeKind).select("src", "dst")
+      // same identity argument for edges: a duplicated (src,dst) row would
+      // XOR-cancel the child's contribution (this predates the union form —
+      // the old per-round bit_xor had the identical blind spot)
+      .dropDuplicates("src", "dst")
       .repartition(col("dst"))
       .localCheckpoint(true)
     // each round references `labeled` twice (child xor + self rotate) and the

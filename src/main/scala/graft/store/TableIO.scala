@@ -189,7 +189,7 @@ object TableIO {
     * Spark's own Murmur3_x86_32 so repartition(n, key) places bucket b's
     * rows in exactly reduce task b (bijective, no empty/doubled writers). */
   private val partKeyCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Int]]()
-  private[store] def partKeys(n: Int): Array[Int] =
+  private[graft] def partKeys(n: Int): Array[Int] =
     partKeyCache.computeIfAbsent(n, { n =>
       val keys = new Array[Int](n)
       val found = new Array[Boolean](n)

@@ -31,10 +31,13 @@ object EncodeProbe {
     val t = graft.Pipeline.run(spark, spark.read.parquet(pagesDir).as[graft.model.Page], 500)
     t.flat.count(); t.components.count()
 
-    val keys = (0 until 32).map(b => TableIO.bucketOfSpark(spark, b.toString)).toArray
+    // the SAME bijective bucket→task remap as writeBucketed (a plain
+    // repartition(32, bucket) murmur-hashes the bucket id and skews the
+    // writers — that would inflate the encode split with a straggler tail)
+    val keys = TableIO.partKeys(32)
     def shaped(df: org.apache.spark.sql.DataFrame, key: org.apache.spark.sql.Column) =
       df.withColumn("bucket", pmod(xxhash64(key), lit(32)).cast("int"))
-        .repartition(32, col("bucket"))
+        .repartition(32, element_at(typedLit(keys.toSeq), col("bucket") + 1))
     val out = "/dev/shm/graft-encodeprobe-out"
     (1 to reps).foreach { rep =>
       Seq(("edges", t.edges, col("src")), ("nodes", t.nodes, col("id"))).foreach {

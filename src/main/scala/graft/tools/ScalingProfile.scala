@@ -80,8 +80,10 @@ object ScalingProfile {
             f
           }
         lap("extract_cache")
+        // mirrors Pipeline.run: the pair set is checkpointed once so the CC
+        // probe + chosen path do not re-run the flat scan + distinct
         val sameAs = flat.filter($"rowKind" === "t" && $"pred" === "same_as" && $"obj" >= 0)
-          .select($"subj".as("a"), $"obj".as("b")).distinct()
+          .select($"subj".as("a"), $"obj".as("b")).distinct().localCheckpoint(true)
         val components = graft.canon.ConnectedComponents.auto(spark, sameAs)
           .persist(StorageLevel.MEMORY_AND_DISK)
         val nComp = components.count()
@@ -100,22 +102,26 @@ object ScalingProfile {
           .dropDuplicates("subj", "pred", "obj", "objValue", "url")
         val (nodes, edges) = Pipeline.graphTables(spark, flat, components)
         lap("plan_build")
-        // counters agg (the collect in materialize)
-        val c = flat.groupBy("rowKind").agg(
-          count(lit(1)).as("n"),
-          sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("nErr"),
-          sum(coalesce(col("nSentences"), lit(0))).as("nSent")).collect()
-        lap("counters")
+        // mirrors Pipeline.materialize: the counter scan runs as a FIFTH
+        // concurrent job overlapped with the writes (measuring it serially
+        // here would profile a pipeline shape that no longer ships)
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
+        val countersF = Future {
+          flat.groupBy("rowKind").agg(
+            count(lit(1)).as("n"),
+            sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("nErr"),
+            sum(coalesce(col("nSentences"), lit(0))).as("nSent")).collect()
+        }
         val writes = Seq(
           "triples" -> Future(TableIO.writeBucketed(triples, s"$outDir/triples", col("url"))),
           "nodes" -> Future(TableIO.writeBucketed(nodes, s"$outDir/nodes", col("id"))),
           "edges" -> Future(TableIO.writeBucketed(edges, s"$outDir/edges", col("src"))),
           "components" -> Future(TableIO.writeBucketed(components, s"$outDir/components", col("id"))))
         writes.foreach { case (_, f) => Await.result(f, Duration.Inf) }
-        lap("writes")
+        val c = Await.result(countersF, Duration.Inf)
+        lap("writes+counters")
         println(f"SCALING cores=$cores phase=TOTAL            ${(System.nanoTime() - tAll) / 1e9}%7.2f s  (c=${c.length}%d)")
         if (!parquetCache) flat.unpersist(false)
         components.unpersist(false)

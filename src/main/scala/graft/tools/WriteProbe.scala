@@ -31,10 +31,12 @@ object WriteProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    // always regenerate: a stale dir from a previous run with a DIFFERENT
+    // page count would silently be measured as this run's corpus
     val pagesDir = "/dev/shm/graft-writeprobe-pages"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(pagesDir)))
-      PageGen.pages(spark, PageGen.Config(nPages = nPages, sentMin = 40, sentMax = 80))
-        .write.mode("overwrite").parquet(pagesDir)
+    TableIO.deleteRecursively(pagesDir)
+    PageGen.pages(spark, PageGen.Config(nPages = nPages, sentMin = 40, sentMax = 80))
+      .write.mode("overwrite").parquet(pagesDir)
 
     val t = Pipeline.run(spark, spark.read.parquet(pagesDir).as[graft.model.Page], 500)
     t.flat.count()
@@ -68,6 +70,7 @@ object WriteProbe {
         }
       }
     }
+    TableIO.deleteRecursively(pagesDir)
     spark.stop()
   }
 }

@@ -180,6 +180,28 @@ class StepsSpec extends AnyFunSuite with Matchers {
     restricted.count() should be < full.count()
   }
 
+  test("nhash: duplicate node/edge rows are one identity, not an XOR-cancel") {
+    import spark.implicits._
+    // one parent (id 10) with one child (id 20) on page 1 — and the same
+    // rows again (the same-url-ingested-twice shape). Without the identity
+    // dedup the two self rows of id 10 cancel each other's rotation inside
+    // the per-round aggregation, and the duplicated edge cancels the
+    // child's contribution.
+    val n1 = Seq((10L, "Page", "u", 1L, 0), (20L, "Mention", "m", 1L, 0))
+      .toDF("id", "kind", "code", "pageId", "childNum")
+      .withColumn("props", map())
+    val nodesDup = n1.unionByName(n1)
+    val e1 = Seq((10L, 20L, "MENTIONS")).toDF("src", "dst", "kind")
+      .withColumn("variable", lit(null).cast("string"))
+      .withColumn("label", lit(null).cast("string"))
+    val edgesDup = e1.unionByName(e1)
+    val clean = Steps.neighborhoodHashFeatures(n1, e1, "MENTIONS")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val duped = Steps.neighborhoodHashFeatures(nodesDup, edgesDup, "MENTIONS")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    duped shouldBe clean
+  }
+
   test("unsanitizedPairs: kill nodes, depth cap, endpoints exempt") {
     import spark.implicits._
     // handcrafted page 1: chain 1->2->3->4->5, branch 2->6->4 (bypass)
