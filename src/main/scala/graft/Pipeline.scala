@@ -142,12 +142,10 @@ object Pipeline {
     val pageNodes = asNodes($"pageId", NK.Page, $"url", $"pageId", lit(0),
       map(lit("host"), $"host", lit("nSentences"), $"nSentences".cast("string")))(p.toDF())
 
-    val hostNodes = asNodes($"hostId", NK.Host, $"host", lit(0L), lit(0),
-      map(lit("host"), $"host"))(p.select("hostId", "host").distinct())
-
     // domain level of the hierarchy (≙ Directory above File, C8
     // `DirectoryTreeImporter.java:9-45`): registrable domain = last two
-    // host labels; derived with pure column exprs from the distinct hosts
+    // host labels; derived with pure column exprs from the distinct hosts.
+    // hostNodes reuses THIS distinct (one host dedup, not two)
     val hostDomain = p.select("hostId", "host").distinct()
       .withColumn("labels", split($"host", "\\."))
       // dotless hosts (intranet names) are their own domain — slice(-2) on a
@@ -157,6 +155,8 @@ object Pipeline {
         .otherwise(array_join(slice($"labels", -2, 2), ".")))
       .drop("labels")
       .withColumn("domainId", xxhash64(lit("Domain"), $"domain"))
+    val hostNodes = asNodes($"hostId", NK.Host, $"host", lit(0L), lit(0),
+      map(lit("host"), $"host"))(hostDomain.select("hostId", "host"))
     val domainNodes = asNodes($"domainId", NK.Domain, $"domain", lit(0L), lit(0),
       map(lit("domain"), $"domain"))(hostDomain.select("domainId", "domain").distinct())
 
@@ -212,17 +212,24 @@ object Pipeline {
 
     // triple-provenance subgraph (≙ CSVDDGExporter.java:18-45 carrying `var`
     // on every REACHES edge): one Triple node per extraction occurrence,
-    // SUBJ/OBJ edges back to the mentions that filled its slots. distinct()
-    // dedups re-derivations of the same occurrence (two rules, same slots).
+    // SUBJ/OBJ edges back to the mentions that filled its slots. ONE dedup
+    // on the occurrence id replaces the previous three per-projection
+    // distinct()s: tripleNodeId is a hash of exactly (subjMentionId, pred,
+    // objMentionId|objValue), and the mention ids encode the page/sentence
+    // position, so every projected column is determined by the id —
+    // re-derivations of the same occurrence (two rules, same slots) are
+    // identical rows. The two edge projections share the SAME dedup
+    // exchange inside the edges job (ReuseExchange), so the write path pays
+    // one 7-column shuffle instead of three.
     val tprov = flat.filter($"rowKind" === "t" && $"tripleNodeId" =!= 0L)
+      .select("tripleNodeId", "pred", "pageId", "sentIdx", "objValue",
+        "subjMentionId", "objMentionId")
+      .dropDuplicates("tripleNodeId")
     val tripleNodes = asNodes($"tripleNodeId", NK.TripleN, $"pred", $"pageId", $"sentIdx",
-      map(lit("objValue"), coalesce($"objValue", lit(""))))(
-      tprov.select("tripleNodeId", "pred", "pageId", "sentIdx", "objValue").distinct())
-    val subjE = asEdges($"tripleNodeId", $"subjMentionId", EK.Subject, $"pred")(
-      tprov.select("tripleNodeId", "subjMentionId", "pred").distinct())
+      map(lit("objValue"), coalesce($"objValue", lit(""))))(tprov.toDF())
+    val subjE = asEdges($"tripleNodeId", $"subjMentionId", EK.Subject, $"pred")(tprov.toDF())
     val objE = asEdges($"tripleNodeId", $"objMentionId", EK.Object, $"pred")(
-      tprov.filter($"objMentionId" =!= 0L)
-        .select("tripleNodeId", "objMentionId", "pred").distinct())
+      tprov.filter($"objMentionId" =!= 0L))
 
     val nodes = pageNodes.unionByName(hostNodes).unionByName(domainNodes)
       .unionByName(mentionNodes).unionByName(entityNodes).unionByName(tripleNodes)
