@@ -36,6 +36,14 @@ object Queries {
       val cur = kgSlot.get()
       if (cur != null && cur._1 == key) cur._2
       else {
+        // evict the replaced pipeline's persisted frames: in a long-lived
+        // JVM serving several sfDirs/sessions the stale cache entries would
+        // otherwise pin executor memory forever (best-effort — the old
+        // session may already be stopped)
+        if (cur != null) try {
+          cur._2.flat.unpersist(false)
+          cur._2.components.unpersist(false)
+        } catch { case _: Throwable => () }
         val cfg = PageGen.Config(nPages = kgPages(sfDir))
         val t = Pipeline.run(spark, PageGen.pages(spark, cfg), cfg.nPersons)
         kgSlot.set((key, t))

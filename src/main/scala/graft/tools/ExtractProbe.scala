@@ -5,6 +5,9 @@ object ExtractProbe {
     val cores = args(0).toInt; val nPages = args(1).toInt; val persist = args(2).toBoolean
     val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      .config("spark.sql.inMemoryColumnarStorage.batchSize",
+        sys.env.getOrElse("GRAFT_PROBE_BATCH", "10000"))
       .config("spark.ui.enabled", "false").config("spark.driver.host", "localhost")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
