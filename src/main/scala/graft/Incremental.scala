@@ -1,10 +1,12 @@
 package graft
 
-import org.apache.spark.sql.{Column, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
-import graft.extract.{Lit, PatternRule}
-import graft.model.Page
+import graft.canon.ConnectedComponents
+import graft.extract.{ExtractMetrics, Lit, PatternAutomaton, PatternRule, TripleExtractor}
+import graft.model.{GraphEdge, Ids, Page, Schema}
 import graft.store.TableIO
 
 /** Rule-diff incremental recompute — the full G3 shape (≙ joern's
@@ -162,5 +164,254 @@ object Incremental {
       Files.move(Paths.get(path), Paths.get(s"$path.old"))
     Files.move(Paths.get(s"$path.new"), Paths.get(path))
     TableIO.deleteRecursively(s"$path.old")
+  }
+
+  final case class AppendStats(
+      pages: Long,              // batch pages ingested (after lang filter)
+      newMappingRows: Long,     // canonical-mapping rows added by the batch
+      remappedIds: Long,        // old canonical ids whose root changed (merges)
+      tripleBucketsRewritten: Int,
+      edgeBucketsRewritten: Int,
+      skippedTables: Seq[String]) // tables that already had the batch (resume)
+
+  /** Corpus-growth ingest — the production increment for a crawl pipeline:
+    * a batch of NEW pages (new urls) joins an already-materialized build at
+    * `outDir`, for O(|batch|) extraction work plus an O(merge-fallout) patch.
+    *
+    * The interesting part is canonicalization. New pages can carry same_as
+    * evidence that MERGES previously-distinct entity components, which
+    * retroactively changes canonical ids in already-committed rows. The old
+    * mapping (id → root) is itself a spanning forest of the old same-as
+    * graph, so CC over (old mapping rows ∪ batch pairs) — an entity-sized
+    * input, independent of corpus size — yields exactly the full-corpus
+    * mapping (roots are min-ids on both CC paths, so they are corpus-order
+    * independent). The fallout is then applied as deltas:
+    *
+    *   - triples: rows whose subj/obj canonical id changed are found by a
+    *     broadcast semi-join (remap is merge-sized), and ONLY their buckets
+    *     are rewritten via [[TableIO.rewriteBuckets]] — the Iceberg
+    *     overwrite: new files commit in the manifest before stale files
+    *     drop, so no caller-side materialization is needed and a crash at
+    *     any point loses nothing. The triple dedup key includes `url` and
+    *     `url` determines the bucket, so bucket-local dropDuplicates after
+    *     remapping equals the full rebuild's global dedup.
+    *   - edges: only SAME_AS rows reference roots (entity/mention/page rows
+    *     carry raw ids); stale ones (dst ∈ remapped roots) get the same
+    *     bucket-subset rewrite; mapping rows new in the merged mapping
+    *     append as fresh SAME_AS edges.
+    *   - nodes: never reference roots — page-scoped rows (Page / Mention /
+    *     Triple) append blindly; corpus-global rows (Host / Domain / Entity,
+    *     the dimension tables of the graph) are deduped by an anti-join
+    *     against only the buckets the batch's ids hash into.
+    *   - components: the merged mapping replaces the table via snapshot-swap
+    *     — LAST, which makes a crashed append resumable (see below).
+    *
+    * Crash/retry: each table's append commits atomically (one manifest
+    * swap), and a retry detects per table whether the batch is already in
+    * (all-or-nothing key overlap) and skips it. Because the components swap
+    * happens last, a retry recomputes the SAME merged mapping and remap set
+    * from the unchanged old mapping (CC is deterministic), and the bucket
+    * rewrites no-op once applied (no stale rows match). A batch that mixes
+    * new and already-ingested urls is rejected — a re-crawled url is an
+    * UPDATE (invalidate + rewrite its bucket), not an append.
+    *
+    * Scale shape: extraction, linking and canonical join are O(|batch|);
+    * the CC input is O(|entities|); the dedup/overlap probes read only the
+    * O(|batch|) buckets their keys hash into (driver-side file pruning);
+    * merge fallout rewrites only the buckets holding affected rows. Nothing
+    * scans the corpus. */
+  def appendPages(spark: SparkSession, newPages: Dataset[Page], outDir: String,
+                  nPersons: Int = 500, targetLang: String = "en",
+                  rules: Seq[PatternRule] = PatternAutomaton.DefaultRules,
+                  canonBroadcastCutover: Long = Pipeline.CanonBroadcastCutover,
+                  numBuckets: Int = TableIO.NumBuckets): AppendStats = {
+    import spark.implicits._
+    import Schema.{EdgeKinds => EK, NodeKinds => NK}
+    Seq("triples", "nodes", "edges", "components").foreach { t =>
+      require(TableIO.readManifest(s"$outDir/$t").isDefined,
+        s"appendPages requires a fully materialized build at $outDir (missing $t)")
+    }
+    def bucketsOf(df: DataFrame, c: String): Set[Int] =
+      df.select(pmod(xxhash64(col(c)), lit(numBuckets)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+
+    // ---- extract the batch (O(|batch|), the same stage-2 as a full run) ----
+    val gaz = spark.sparkContext.broadcast(Pipeline.defaultGazetteer(nPersons))
+    val auto = spark.sparkContext.broadcast(PatternAutomaton.compile(rules))
+    val metrics = new ExtractMetrics(spark)
+    val flatB = TripleExtractor
+      .extractFlat(newPages.filter($"lang" === targetLang), gaz, auto, metrics)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val batchCounters = Pipeline.flatCounters(flatB)
+    val nBatch = batchCounters("pagesIn")
+    if (nBatch == 0L) { flatB.unpersist(false); return AppendStats(0, 0, 0, 0, 0, Nil) }
+
+    val pageIds = flatB.filter($"rowKind" === "p")
+      .select($"pageId".as("id")).localCheckpoint(true)
+
+    // ---- merged canonical mapping (entity-sized CC, corpus-independent) ----
+    val oldComponents = TableIO.read(spark, s"$outDir/components")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newPairs = flatB.filter($"rowKind" === "t" && $"pred" === "same_as" && $"obj" >= 0)
+      .select($"subj".as("a"), $"obj".as("b")).distinct()
+    val havePairs = newPairs.limit(1).count() > 0
+    val components2 =
+      if (!havePairs) oldComponents
+      else ConnectedComponents.auto(spark,
+        oldComponents.select($"id".as("a"), $"component".as("b")).unionByName(newPairs)
+          .localCheckpoint(true))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    // remap: old canonical value (root, or the raw id of a previously
+    // unmapped singleton) → new root, where they differ. Merge-sized.
+    val remap =
+      if (!havePairs) Seq.empty[(Long, Long)].toDF("from", "to")
+      else components2
+        .join(oldComponents.withColumnRenamed("component", "oldC"), Seq("id"), "left")
+        .select(coalesce($"oldC", $"id").as("from"), $"component".as("to"))
+        .filter($"from" =!= $"to").distinct().localCheckpoint(true)
+    val remapN = remap.count()
+    val newMappingRows =
+      if (!havePairs) 0L
+      else components2.join(oldComponents.select("id"), Seq("id"), "left_anti").count()
+
+    // ---- triples: rewrite merge-stale buckets, then append the batch ----
+    val triplesDir = s"$outDir/triples"
+    val triplesB = Pipeline.canonicalizeTriples(flatB, components2, canonBroadcastCutover)
+    val batchUrls = triplesB.select($"url").distinct().localCheckpoint(true)
+    val nUrls = batchUrls.count()
+    val urlBuckets = bucketsOf(batchUrls, "url")
+    val tripOverlap =
+      if (nUrls == 0) 0L
+      else TableIO.read(spark, triplesDir, Some(urlBuckets))
+        .join(batchUrls, Seq("url"), "left_semi").select("url").distinct().count()
+    require(tripOverlap == 0 || tripOverlap == nUrls,
+      s"batch mixes new and already-ingested urls ($tripOverlap of $nUrls present in $triplesDir)")
+    val tripApplied = nUrls > 0 && tripOverlap == nUrls
+
+    val tripleBucketsRewritten: Set[Int] = if (remapN == 0) Set.empty else {
+      val keys = broadcast(remap.select($"from"))
+      val old = TableIO.read(spark, triplesDir)
+      val tb = pmod(xxhash64(col("url")), lit(numBuckets)).cast("int").as("b")
+      val stale = old.join(keys, col("subj") === col("from"), "left_semi").select(tb)
+        .union(old.join(keys, col("obj") === col("from"), "left_semi").select(tb))
+        .distinct().collect().map(_.getInt(0)).toSet
+      if (stale.nonEmpty) {
+        val rewritten = TableIO.read(spark, triplesDir, Some(stale))
+          .join(broadcast(remap.withColumnRenamed("from", "subj")
+            .withColumnRenamed("to", "subjTo")), Seq("subj"), "left")
+          .join(broadcast(remap.withColumnRenamed("from", "obj")
+            .withColumnRenamed("to", "objTo")), Seq("obj"), "left")
+          .select(
+            coalesce($"subjTo", $"subj").as("subj"), $"pred",
+            coalesce($"objTo", $"obj").as("obj"),
+            $"objValue", $"url", $"conf")
+          .dropDuplicates("subj", "pred", "obj", "objValue", "url")
+        TableIO.rewriteBuckets(rewritten, triplesDir, col("url"), stale,
+          numBuckets = numBuckets)
+      }
+      stale
+    }
+    if (!tripApplied)
+      TableIO.appendBucketed(triplesB, triplesDir, col("url"), batchCounters, numBuckets)
+
+    // ---- graph tables: batch subgraph + SAME_AS delta ----
+    // empty mapping here: graphTables derives only its SAME_AS rows from the
+    // mapping, and those are handled as an explicit delta below
+    val emptyComp = Seq.empty[(Long, Long)].toDF("id", "component")
+    val (nodesB, edgesB) = Pipeline.graphTables(spark, flatB, emptyComp)
+
+    val edgesDir = s"$outDir/edges"
+    val hostBuckets = bucketsOf(
+      flatB.filter($"rowKind" === "p").select($"hostId".as("h")).distinct(), "h")
+    val edgeOverlap = TableIO.read(spark, edgesDir, Some(hostBuckets))
+      .filter(col("kind") === EK.IsPageOf)
+      .join(pageIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .select("dst").distinct().count()
+    require(edgeOverlap == 0 || edgeOverlap == nBatch,
+      s"batch mixes new and already-ingested pages ($edgeOverlap of $nBatch present in $edgesDir)")
+    val edgesApplied = edgeOverlap == nBatch
+
+    val edgeBucketsRewritten: Set[Int] = if (remapN == 0) Set.empty else {
+      val remapNode = remap.as[(Long, Long)]
+        .map { case (f, t) => (Ids.entityNodeId(f), Ids.entityNodeId(t)) }
+        .toDF("oldDst", "newDst").localCheckpoint(true)
+      val stale = TableIO.read(spark, edgesDir)
+        .filter(col("kind") === EK.SameAs)
+        .join(broadcast(remapNode), col("dst") === col("oldDst"), "left_semi")
+        .select(pmod(xxhash64(col("src")), lit(numBuckets)).cast("int"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      if (stale.nonEmpty) {
+        val rewritten = TableIO.read(spark, edgesDir, Some(stale))
+          .join(broadcast(remapNode),
+            col("dst") === col("oldDst") && col("kind") === EK.SameAs, "left")
+          .select(col("src"), coalesce(col("newDst"), col("dst")).as("dst"),
+            col("kind"), col("variable"), col("label"))
+        TableIO.rewriteBuckets(rewritten, edgesDir, col("src"), stale,
+          numBuckets = numBuckets)
+      }
+      stale
+    }
+    if (!edgesApplied) {
+      val freshSameAs =
+        (if (havePairs)
+          components2.join(oldComponents.select("id"), Seq("id"), "left_anti")
+        else emptyComp)
+          .as[(Long, Long)]
+          .map { case (id, comp) =>
+            GraphEdge(Ids.entityNodeId(id), Ids.entityNodeId(comp), EK.SameAs, null) }
+          .toDF().select(col("src"), col("dst"), col("kind"), col("variable"), col("label"))
+      // IS_PARENT_HOST rows are dimension edges (one per distinct host) —
+      // like the dimension nodes, dedup against the buckets they hash into;
+      // every other batch edge is page-scoped and cannot pre-exist
+      val ph = edgesB.filter(col("kind") === EK.IsParentHost).localCheckpoint(true)
+      val phExisting = TableIO.read(spark, edgesDir,
+        Some(bucketsOf(ph.select(col("src").as("s")), "s")))
+        .filter(col("kind") === EK.IsParentHost).select("src", "dst")
+      val novelPh = ph.join(phExisting, Seq("src", "dst"), "left_anti")
+      TableIO.appendBucketed(
+        edgesB.filter(col("kind") =!= EK.IsParentHost)
+          .unionByName(novelPh).unionByName(freshSameAs),
+        edgesDir, col("src"), batchCounters, numBuckets)
+    }
+
+    val nodesDir = s"$outDir/nodes"
+    val nodeBuckets = bucketsOf(pageIds, "id")
+    val nodeOverlap = TableIO.read(spark, nodesDir, Some(nodeBuckets))
+      .filter(col("kind") === NK.Page)
+      .join(pageIds, Seq("id"), "left_semi").count()
+    require(nodeOverlap == 0 || nodeOverlap == nBatch,
+      s"batch mixes new and already-ingested urls ($nodeOverlap of $nBatch present in $nodesDir)")
+    val nodesApplied = nodeOverlap == nBatch
+    if (!nodesApplied) {
+      val pageScoped = nodesB.filter(col("kind").isin(NK.Page, NK.Mention, NK.TripleN))
+      // dimension rows (host/domain/entity universe ≪ corpus): dedup against
+      // only the buckets the batch's ids hash into
+      val globals = nodesB.filter(col("kind").isin(NK.Host, NK.Domain, NK.Entity))
+        .localCheckpoint(true)
+      val gBuckets = bucketsOf(globals, "id")
+      val existing = TableIO.read(spark, nodesDir, Some(gBuckets))
+        .filter(col("kind").isin(NK.Host, NK.Domain, NK.Entity)).select("id")
+      val novel = globals.join(existing, Seq("id"), "left_anti")
+      TableIO.appendBucketed(pageScoped.unionByName(novel), nodesDir, col("id"),
+        batchCounters, numBuckets)
+    }
+
+    // ---- components: snapshot-swap LAST (the retry-convergence anchor) ----
+    if (havePairs) {
+      val priorC = TableIO.readManifest(s"$outDir/components").get.counters
+      val mergedC = (priorC.keySet ++ batchCounters.keySet).map { k =>
+        k -> (priorC.getOrElse(k, 0L) + batchCounters.getOrElse(k, 0L)) }.toMap
+      swapWrite(components2.toDF(), s"$outDir/components", col("id"), mergedC, numBuckets)
+    }
+
+    val skipped = Seq(
+      if (tripApplied) Some("triples") else None,
+      if (edgesApplied) Some("edges") else None,
+      if (nodesApplied) Some("nodes") else None).flatten
+    flatB.unpersist(false)
+    oldComponents.unpersist(false)
+    if (havePairs) components2.unpersist(false)
+    AppendStats(nBatch, newMappingRows, remapN,
+      tripleBucketsRewritten.size, edgeBucketsRewritten.size, skipped)
   }
 }

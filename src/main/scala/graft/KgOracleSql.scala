@@ -81,6 +81,16 @@ object KgOracleSql {
        |    xor((($prev.label << 1) & 65535) | ($prev.label >> 15), coalesce($xo.cx, 0)) % 65536 AS label
        |  FROM $prev LEFT JOIN $xo ON $prev.id = $xo.id)""".stripMargin
 
+  // canonical mapping re-derived relationally: left-join the component map
+  // on both slots, coalesce, dedup — the same logical op as Pipeline's
+  // (broadcast or shuffle) canonical join
+  private def canonicalTriplesSql: String =
+    s"""WITH rt AS (SELECT * FROM $RT), c AS (SELECT id, component FROM $C)
+       |SELECT DISTINCT coalesce(cs.component, rt.subj) AS subj, rt.pred AS pred,
+       |  coalesce(co.component, rt.obj) AS obj,
+       |  rt.objValue AS "objValue", rt.url AS url, CAST(1.0 AS DOUBLE) AS conf
+       |FROM rt LEFT JOIN c cs ON rt.subj = cs.id LEFT JOIN c co ON rt.obj = co.id""".stripMargin
+
   def map: Map[String, String] = Map(
     "kg_pages" ->
       s"""SELECT pageId AS "pageId", url, host, nSentences AS "nSentences", error
@@ -90,15 +100,10 @@ object KgOracleSql {
          |  entityId AS "entityId"
          |FROM $M""".stripMargin,
     "kg_components" -> s"SELECT id, component FROM $C",
-    // canonical mapping re-derived relationally: left-join the component map
-    // on both slots, coalesce, dedup — the same logical op as Pipeline's
-    // (broadcast or shuffle) canonical join
-    "kg_triples" ->
-      s"""WITH rt AS (SELECT * FROM $RT), c AS (SELECT id, component FROM $C)
-         |SELECT DISTINCT coalesce(cs.component, rt.subj) AS subj, rt.pred AS pred,
-         |  coalesce(co.component, rt.obj) AS obj,
-         |  rt.objValue AS "objValue", rt.url AS url, CAST(1.0 AS DOUBLE) AS conf
-         |FROM rt LEFT JOIN c cs ON rt.subj = cs.id LEFT JOIN c co ON rt.obj = co.id""".stripMargin,
+    "kg_triples" -> canonicalTriplesSql,
+    // the corpus-growth append entry must equal the FULL-corpus rebuild —
+    // same oracle SQL, so the driver gate hash-checks the equivalence
+    "kg_append_triples" -> canonicalTriplesSql,
     "kg_nodes" ->
       s"""WITH $leaves
          |$nodesUnion""".stripMargin,

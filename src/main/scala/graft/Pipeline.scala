@@ -92,19 +92,31 @@ object Pipeline {
       ConnectedComponents.auto(spark, sameAs.localCheckpoint(true))
         .persist(StorageLevel.MEMORY_AND_DISK))
 
-    // 5: canonicalize triples. The mapping is bounded by the entity universe
-    // (≪ triple count) → broadcast map-side join while it fits; past the
-    // cutover the broadcast hint is DROPPED and the join shuffles on the
-    // entity key (AQE handles residual skew) — the mapping-outgrows-broadcast
-    // failure mode at 10^12 docs is handled, not hoped away. The count is one
-    // cheap job over the already-persisted (id, component) frame.
+    val triples = canonicalizeTriples(flat, components, canonBroadcastCutover)
+
+    // 6: property-graph tables (SURVEY.md §1.4) — all pure column ops over
+    // the flat cache (≙ nodes.csv / edges.csv emission)
+    val (nodes, edges) = graphTables(spark, flat, components)
+
+    Tables(flat, components, triples, nodes, edges, metrics)
+  }
+
+  /** Canonicalize the extracted triples with a (id, component) mapping —
+    * stage 5. The mapping is bounded by the entity universe (≪ triple count)
+    * → broadcast map-side join while it fits; past the cutover the broadcast
+    * hint is DROPPED and the join shuffles on the entity key (AQE handles
+    * residual skew) — the mapping-outgrows-broadcast failure mode at 10^12
+    * docs is handled, not hoped away. The count is one cheap job over the
+    * already-persisted (id, component) frame. */
+  def canonicalizeTriples(flat: Dataset[FlatRow], components: DataFrame,
+                          canonBroadcastCutover: Long = CanonBroadcastCutover): DataFrame = {
+    import flat.sparkSession.implicits._
     val rawTriples = flat.filter($"rowKind" === "t" && $"pred" =!= "same_as")
       .select($"subj", $"pred", $"obj", $"objValue", $"url", $"conf")
-
     val canonMap =
       if (components.count() <= canonBroadcastCutover) broadcast(components)
       else components
-    val triples = rawTriples
+    rawTriples
       .join(canonMap.withColumnRenamed("id", "subj").withColumnRenamed("component", "subjCanon"),
         Seq("subj"), "left")
       .join(canonMap.withColumnRenamed("id", "obj").withColumnRenamed("component", "objCanon"),
@@ -115,12 +127,6 @@ object Pipeline {
         coalesce($"objCanon", $"obj").as("obj"),
         $"objValue", $"url", $"conf")
       .dropDuplicates("subj", "pred", "obj", "objValue", "url")
-
-    // 6: property-graph tables (SURVEY.md §1.4) — all pure column ops over
-    // the flat cache (≙ nodes.csv / edges.csv emission)
-    val (nodes, edges) = graphTables(spark, flat, components)
-
-    Tables(flat, components, triples, nodes, edges, metrics)
   }
 
   /** Build the nodes/edges tables from the flat frame — column exprs only. */
@@ -248,7 +254,6 @@ object Pipeline {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    import org.apache.spark.sql.functions.{count => cnt, sum => sm}
     // manifest counters come from the MATERIALIZED rows, not accumulators:
     // Spark only guarantees exactly-once accumulator updates inside actions,
     // so task retries / cache-eviction recomputes would over-count the
@@ -257,20 +262,7 @@ object Pipeline {
     // the same flat cache) — each write only blocks on it at manifest-commit
     // time, after its data files are out, so the counter scan's wall time
     // fully overlaps the writes instead of serially preceding them
-    val countersF = Future {
-      val c = t.flat.groupBy("rowKind").agg(
-        cnt(lit(1)).as("n"),
-        sm(when(col("error").isNotNull, 1L).otherwise(0L)).as("nErr"),
-        sm(coalesce(col("nSentences"), lit(0))).as("nSent"))
-        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-      def of(k: String): (Long, Long, Long) = c.getOrElse(k, (0L, 0L, 0L))
-      Map(
-        "pagesIn" -> of("p")._1,
-        "pagesErrored" -> of("p")._2,
-        "sentences" -> of("p")._3,
-        "mentions" -> of("m")._1,
-        "triples" -> of("t")._1)
-    }
+    val countersF = Future(flatCounters(t.flat))
     def counters: Map[String, Long] = Await.result(countersF, Duration.Inf)
     val writes = Seq(
       Future(TableIO.writeBucketed(t.triples, s"$outDir/triples", col("url"), counters)),
@@ -283,5 +275,22 @@ object Pipeline {
       Future(TableIO.writeBucketed(t.components, s"$outDir/components", col("id"), counters)))
     writes.foreach(Await.result(_, Duration.Inf))
     counters
+  }
+
+  /** Lineage counters from the flat extraction frame (one aggregation job). */
+  def flatCounters(flat: Dataset[FlatRow]): Map[String, Long] = {
+    import org.apache.spark.sql.functions.{count => cnt, sum => sm}
+    val c = flat.groupBy("rowKind").agg(
+      cnt(lit(1)).as("n"),
+      sm(when(col("error").isNotNull, 1L).otherwise(0L)).as("nErr"),
+      sm(coalesce(col("nSentences"), lit(0))).as("nSent"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def of(k: String): (Long, Long, Long) = c.getOrElse(k, (0L, 0L, 0L))
+    Map(
+      "pagesIn" -> of("p")._1,
+      "pagesErrored" -> of("p")._2,
+      "sentences" -> of("p")._3,
+      "mentions" -> of("m")._1,
+      "triples" -> of("t")._1)
   }
 }

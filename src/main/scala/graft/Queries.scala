@@ -63,6 +63,22 @@ object Queries {
     "kg_pages" -> ((s, d) => kg(s, d).flat
       .filter(col("rowKind") === "p")
       .select("pageId", "url", "host", "nSentences", "error")),
+    // corpus-growth ingest (Incremental.appendPages): build the first 80% of
+    // the corpus, append the rest as a crawl batch, read the committed table
+    // back. Oracled with kg_triples' FULL-corpus SQL — the driver gate checks
+    // append ≡ rebuild (including retroactive entity merges) hash-exactly
+    "kg_append_triples" -> ((s, d) => {
+      val c = PageGen.Config(nPages = kgPages(d))
+      val split = (c.nPages * 4L) / 5L
+      val dir = java.nio.file.Files.createTempDirectory("graft-kg-append").toString
+      import s.implicits._
+      val t0 = Pipeline.run(s, s.range(0L, split).map(i => PageGen.page(c, i)), c.nPersons)
+      Pipeline.materialize(s, t0, dir)
+      t0.flat.unpersist(false); t0.components.unpersist(false)
+      Incremental.appendPages(s,
+        s.range(split, c.nPages.toLong).map(i => PageGen.page(c, i)), dir, c.nPersons)
+      graft.store.TableIO.read(s, s"$dir/triples")
+    }),
 
     // ---------------- relational operator coverage (oracled) ----------------
     "q1_agg" -> ((s, d) => t(s, d, "lineitem")

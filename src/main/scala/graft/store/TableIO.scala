@@ -31,7 +31,13 @@ object TableIO {
       snapshotId: Long,
       buckets: Map[Int, Long], // bucket -> row count (lineage counters)
       counters: Map[String, Long],
-      numBuckets: Int = NumBuckets) // the hash modulus — resume MUST match
+      numBuckets: Int = NumBuckets, // the hash modulus — resume MUST match
+      // bucket -> data file names belonging to THIS snapshot (the Iceberg
+      // manifest-file semantic): readers open exactly these files, so rows
+      // a crashed append left behind are invisible until a manifest commit
+      // claims them. Empty = legacy snapshot (pre-append format): every
+      // file in the bucket dir is the snapshot's.
+      files: Map[Int, Seq[String]] = Map.empty)
 
   private def manifestPath(dir: String): Path = Paths.get(dir, "_manifest.json")
 
@@ -50,7 +56,14 @@ object TableIO {
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val c = m.counters.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    s"""{"snapshotId":${m.snapshotId},"numBuckets":${m.numBuckets},"buckets":$b,"counters":$c}"""
+    // rendered LAST; values are flat arrays of Spark-generated part names
+    // (no quotes/braces/commas inside a name), so the buckets/counters
+    // index-scan parser above never crosses into this section
+    val f = m.files.toSeq.sortBy(_._1)
+      .map { case (k, fs) =>
+        s""""$k":${fs.sorted.map(n => "\"" + n + "\"").mkString("[", ",", "]")}""" }
+      .mkString("{", ",", "}")
+    s"""{"snapshotId":${m.snapshotId},"numBuckets":${m.numBuckets},"buckets":$b,"counters":$c,"files":$f}"""
   }
 
   private def parseManifest(s: String): Manifest = {
@@ -78,8 +91,24 @@ object TableIO {
       if (i < 0) NumBuckets
       else s.substring(i + 13).takeWhile(_.isDigit).toInt
     }
+    // files section: one brace level, values are bracketed name arrays
+    val files: Map[Int, Seq[String]] = {
+      val i = s.indexOf("\"files\":{")
+      if (i < 0) Map.empty
+      else {
+        val start = s.indexOf('{', i)
+        val end = s.indexOf('}', start) // arrays contain no braces
+        val body = s.substring(start + 1, end)
+        "\"(\\d+)\":\\[([^\\]]*)\\]".r.findAllMatchIn(body).map { m =>
+          val names =
+            if (m.group(2).trim.isEmpty) Seq.empty[String]
+            else m.group(2).split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          m.group(1).toInt -> names
+        }.toMap
+      }
+    }
     Manifest(sid, section("buckets").map { case (k, v) => k.toInt -> v },
-      section("counters"), nb)
+      section("counters"), nb, files)
   }
 
   private def writeManifestAtomic(dir: String, m: Manifest): Unit = {
@@ -135,7 +164,8 @@ object TableIO {
       onlyBuckets.map(all.intersect).getOrElse(all)
     }
     if (wanted.isEmpty) {
-      val m = Manifest(System.currentTimeMillis(), committed, counters, numBuckets)
+      val m = Manifest(System.currentTimeMillis(), committed, counters, numBuckets,
+        prior.map(m0 => backfillFiles(dir, m0)).map(_.files).getOrElse(Map.empty))
       writeManifestAtomic(dir, m)
       return m
     }
@@ -164,25 +194,164 @@ object TableIO {
     // scheduled tasks) per table, fixed overhead the high-core legs can't
     // amortize. At catalog scale (thousands of buckets on object storage)
     // this becomes the catalog's snapshot statistics, not a driver loop.
-    val countsByBucket: Map[Int, Long] = wanted.toSeq.flatMap { b =>
-      val bd = Paths.get(dir, "data", s"bucket=$b")
-      if (!Files.exists(bd)) None
-      else {
-        val ls = Files.list(bd)
-        val n =
-          try ls.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .map(parquetRowCount).sum
-          finally ls.close()
-        Some(b -> n)
-      }
+    val written: Map[Int, (Long, Seq[String])] = wanted.toSeq.flatMap { b =>
+      val fs = bucketFiles(dir, b)
+      if (fs.isEmpty) None
+      else Some(b -> (fs.map(f => parquetRowCount(bucketFilePath(dir, b, f))).sum, fs))
     }.toMap
 
-    val newBuckets = committed ++ wanted.map(b => b -> countsByBucket.getOrElse(b, 0L))
-    val m = Manifest(System.currentTimeMillis(), newBuckets, counters, numBuckets)
+    val newBuckets = committed ++ wanted.map(b => b -> written.get(b).map(_._1).getOrElse(0L))
+    // file lists: this write's files for the wanted buckets, the prior
+    // snapshot's (backfilled for legacy priors) for the already-committed
+    val priorFiles = prior.map(m0 => backfillFiles(dir, m0).files).getOrElse(Map.empty)
+    val newFiles = priorFiles ++ wanted.map(b => b -> written.get(b).map(_._2).getOrElse(Seq.empty))
+    val m = Manifest(System.currentTimeMillis(), newBuckets, counters, numBuckets, newFiles)
     writeManifestAtomic(dir, m)
     m
   }
+
+  /** Append `df`'s rows to an already fully-committed bucketed table as a
+    * NEW SNAPSHOT — the Iceberg append: new data files land in the bucket
+    * dirs, and only the atomic manifest swap makes them (and their lineage
+    * counts) visible. O(|df|) work — committed files are never rewritten or
+    * even opened. Orphan files from a crashed previous append (present on
+    * disk, absent from the manifest) are deleted first, so a retry never
+    * double-counts. `counters` are summed into the prior snapshot's. */
+  def appendBucketed(
+      df: DataFrame,
+      dir: String,
+      bucketKey: org.apache.spark.sql.Column,
+      counters: => Map[String, Long] = Map.empty,
+      numBuckets: Int = NumBuckets): Manifest = {
+    val prior0 = readManifest(dir).getOrElse(
+      return writeBucketed(df, dir, bucketKey, counters, numBuckets))
+    require(prior0.numBuckets == numBuckets,
+      s"bucket-count mismatch: table at $dir has ${prior0.numBuckets} buckets, append uses $numBuckets")
+    require(prior0.buckets.keySet == (0 until numBuckets).toSet,
+      s"append to $dir requires a fully-committed snapshot; missing buckets " +
+        s"${(0 until numBuckets).toSet -- prior0.buckets.keySet}")
+    val prior = backfillFiles(dir, prior0)
+    // a legacy prior adopted its on-disk files just now — persist that BEFORE
+    // any new data file can land, otherwise a crash mid-append leaves orphans
+    // that the next retry's backfill would adopt as committed (visible rows
+    // with no lineage count)
+    if (prior0.files.isEmpty && prior.files.nonEmpty) writeManifestAtomic(dir, prior)
+    // wipe orphans of a crashed append (on disk but not in the manifest)
+    (0 until numBuckets).foreach { b =>
+      val claimed = prior.files.getOrElse(b, Seq.empty).toSet
+      bucketFiles(dir, b).filterNot(claimed).foreach { f =>
+        Files.deleteIfExists(bucketFilePath(dir, b, f))
+      }
+    }
+    val withBucket = df.withColumn("bucket",
+      pmod(xxhash64(bucketKey), lit(numBuckets)).cast("int"))
+    val keys = partKeys(numBuckets)
+    withBucket.repartition(numBuckets, element_at(typedLit(keys.toSeq), col("bucket") + 1))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/data")
+    val appended: Map[Int, (Long, Seq[String])] = (0 until numBuckets).flatMap { b =>
+      val fresh = bucketFiles(dir, b).filterNot(prior.files.getOrElse(b, Seq.empty).toSet)
+      if (fresh.isEmpty) None
+      else Some(b -> (fresh.map(f => parquetRowCount(bucketFilePath(dir, b, f))).sum, fresh))
+    }.toMap
+    val addCounters = counters
+    val mergedCounters = (prior.counters.keySet ++ addCounters.keySet).map { k =>
+      k -> (prior.counters.getOrElse(k, 0L) + addCounters.getOrElse(k, 0L))
+    }.toMap
+    val m = Manifest(
+      System.currentTimeMillis(),
+      prior.buckets.map { case (b, n) => b -> (n + appended.get(b).map(_._1).getOrElse(0L)) },
+      mergedCounters,
+      numBuckets,
+      prior.files.map { case (b, fs) => b -> (fs ++ appended.get(b).map(_._2).getOrElse(Seq.empty)) })
+    writeManifestAtomic(dir, m)
+    m
+  }
+
+  /** Rewrite the CONTENT of a committed bucket subset as a new snapshot —
+    * the Iceberg overwrite: `df`'s rows (which must hash into `buckets`)
+    * replace those buckets' rows. Crash-safe without any caller-side
+    * materialization: the new data files are written FIRST, the manifest
+    * swap atomically points the touched buckets at them, and only then are
+    * the replaced files deleted — at no instant is a committed row only in
+    * memory. A crash before the swap leaves invisible orphans (wiped by the
+    * next write); after it, the stale files are invisible and wiped later.
+    * `df` may read the table itself (the usual case: a small-delta update
+    * joined against the current snapshot) — reads resolve the manifest's
+    * file list eagerly, so the self-overwrite never sees its own output.
+    * Counters: `addCounters` is summed into the prior snapshot's. */
+  def rewriteBuckets(
+      df: DataFrame,
+      dir: String,
+      bucketKey: org.apache.spark.sql.Column,
+      buckets: Set[Int],
+      addCounters: Map[String, Long] = Map.empty,
+      numBuckets: Int = NumBuckets): Manifest = {
+    val prior0 = readManifest(dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    require(prior0.numBuckets == numBuckets,
+      s"bucket-count mismatch: table at $dir has ${prior0.numBuckets} buckets, rewrite uses $numBuckets")
+    require(buckets.subsetOf(prior0.buckets.keySet),
+      s"rewrite targets must be committed buckets; uncommitted: ${buckets -- prior0.buckets.keySet}")
+    if (buckets.isEmpty) return prior0
+    val prior = backfillFiles(dir, prior0)
+    if (prior0.files.isEmpty && prior.files.nonEmpty) writeManifestAtomic(dir, prior)
+    // wipe orphans of a crashed previous append/rewrite
+    (0 until numBuckets).foreach { b =>
+      val claimed = prior.files.getOrElse(b, Seq.empty).toSet
+      bucketFiles(dir, b).filterNot(claimed).foreach { f =>
+        Files.deleteIfExists(bucketFilePath(dir, b, f))
+      }
+    }
+    val withBucket = df.withColumn("bucket",
+      pmod(xxhash64(bucketKey), lit(numBuckets)).cast("int"))
+      .filter(col("bucket").isin(buckets.toSeq: _*))
+    val keys = partKeys(numBuckets)
+    withBucket.repartition(numBuckets, element_at(typedLit(keys.toSeq), col("bucket") + 1))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/data")
+    // a rewritten bucket may legitimately end up EMPTY (all rows deduped
+    // away) — map over the full target set, not just buckets that got files
+    val fresh: Map[Int, (Long, Seq[String])] = buckets.toSeq.map { b =>
+      val fs = bucketFiles(dir, b).filterNot(prior.files.getOrElse(b, Seq.empty).toSet)
+      b -> (fs.map(f => parquetRowCount(bucketFilePath(dir, b, f))).sum, fs)
+    }.toMap
+    val mergedCounters = (prior.counters.keySet ++ addCounters.keySet).map { k =>
+      k -> (prior.counters.getOrElse(k, 0L) + addCounters.getOrElse(k, 0L))
+    }.toMap
+    val m = Manifest(
+      System.currentTimeMillis(),
+      prior.buckets ++ fresh.map { case (b, (n, _)) => b -> n },
+      mergedCounters,
+      numBuckets,
+      prior.files ++ fresh.map { case (b, (_, fs)) => b -> fs })
+    writeManifestAtomic(dir, m)
+    // the replaced files are invisible now — reclaim the space
+    buckets.foreach { b =>
+      prior.files.getOrElse(b, Seq.empty).foreach { f =>
+        Files.deleteIfExists(bucketFilePath(dir, b, f))
+      }
+    }
+    m
+  }
+
+  private def bucketFilePath(dir: String, b: Int, name: String): Path =
+    Paths.get(dir, "data", s"bucket=$b", name)
+
+  private def bucketFiles(dir: String, b: Int): Seq[String] = {
+    val bd = Paths.get(dir, "data", s"bucket=$b")
+    if (!Files.exists(bd)) Seq.empty
+    else {
+      val ls = Files.list(bd)
+      try ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally ls.close()
+    }
+  }
+
+  /** Legacy snapshots carry no file lists — adopt every on-disk file of the
+    * committed buckets (single-writer; committed dirs are stable). */
+  private def backfillFiles(dir: String, m: Manifest): Manifest =
+    if (m.files.nonEmpty || m.buckets.isEmpty) m
+    else m.copy(files = m.buckets.keySet.map(b => b -> bucketFiles(dir, b)).toMap)
 
   /** For each bucket b in [0, n): an int whose Spark murmur3 (seed 42, the
     * HashPartitioning hash) lands in partition b of n — computed with
@@ -219,11 +388,32 @@ object TableIO {
     * An empty snapshot reads back as an empty frame with the stamped schema
     * (`_schema.json`; pre-round-3 tables stamped a parquet `_schema` dir —
     * still honored). */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  def read(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, None)
+
+  /** As [[read]], restricted to a bucket subset: with file-list manifests the
+    * pruning happens driver-side (only the wanted buckets' files are even
+    * listed to Spark); legacy tables fall back to partition-column pruning.
+    * This is the key-restricted point read — callers that know which buckets
+    * a key set hashes into (xxhash64 pmod, [[bucketsOfSpark]]) touch
+    * O(wanted) files, not the table. */
+  def read(spark: SparkSession, dir: String, onlyBuckets: Option[Set[Int]]): DataFrame = {
     val m = readManifest(dir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $dir"))
+    val visible = onlyBuckets match {
+      case Some(bs) => m.buckets.keySet.intersect(bs)
+      case None     => m.buckets.keySet
+    }
+    // snapshot-exact read: open ONLY the manifest-listed files, so data a
+    // crashed append left on disk is invisible (legacy manifests without
+    // file lists fall back to the whole-directory read)
+    val listed: Seq[String] =
+      m.files.toSeq.filter { case (b, _) => visible.contains(b) }
+        .flatMap { case (b, fs) => fs.map(f => bucketFilePath(dir, b, f).toString) }
     val df =
-      if (hasDataFiles(dir)) spark.read.parquet(s"$dir/data")
+      if (listed.nonEmpty)
+        spark.read.option("basePath", s"$dir/data").parquet(listed: _*)
+      else if (m.files.isEmpty && hasDataFiles(dir)) spark.read.parquet(s"$dir/data")
       else {
         val js = Paths.get(dir, "_schema.json")
         if (Files.exists(js)) {
@@ -234,7 +424,7 @@ object TableIO {
             new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
         } else spark.read.parquet(s"$dir/_schema")
       }
-    df.filter(col("bucket").isin(m.buckets.keySet.toSeq: _*)).drop("bucket")
+    df.filter(col("bucket").isin(visible.toSeq: _*)).drop("bucket")
   }
 
   // one Configuration for all footer reads — construction parses the

@@ -84,6 +84,54 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
     hit shouldBe Array("http://h/x")
   }
 
+  test("appendPages: corpus growth equals a full rebuild, including entity merges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-append").toString
+    val c = PageGen.Config(nPages = 90)
+    def range(lo: Long, hi: Long) = spark.range(lo, hi).map(i => PageGen.page(c, i))
+
+    // initial build over pages [0, 60)
+    val t0 = Pipeline.run(spark, range(0, 60), c.nPersons)
+    Pipeline.materialize(spark, t0, dir)
+    t0.flat.unpersist(false); t0.components.unpersist(false)
+
+    // the monthly crawl batch: pages [60, 90)
+    val stats = Incremental.appendPages(spark, range(60, 90), dir, c.nPersons)
+    stats.pages should be > 0L
+    stats.skippedTables shouldBe empty
+    // the batch's same_as evidence merges previously-distinct components —
+    // the retroactive-canonicalization path is actually exercised
+    stats.remappedIds should be > 0L
+    stats.tripleBucketsRewritten should be > 0
+
+    // ground truth: a from-scratch rebuild over all 90 pages
+    val t1 = Pipeline.run(spark, range(0, 90), c.nPersons)
+    val wantTriples = sortedRows(t1.triples)
+    val wantNodes = sortedRows(t1.nodes)
+    val wantEdges = sortedRows(t1.edges)
+    val wantComponents = sortedRows(t1.components.toDF())
+    t1.flat.unpersist(false); t1.components.unpersist(false)
+    sortedRows(TableIO.read(spark, s"$dir/triples")) shouldBe wantTriples
+    sortedRows(TableIO.read(spark, s"$dir/nodes")) shouldBe wantNodes
+    sortedRows(TableIO.read(spark, s"$dir/edges")) shouldBe wantEdges
+    sortedRows(TableIO.read(spark, s"$dir/components")) shouldBe wantComponents
+
+    // crash/retry convergence: re-sending the SAME batch is detected per
+    // table (all-or-nothing key overlap) and skipped; nothing changes
+    val again = Incremental.appendPages(spark, range(60, 90), dir, c.nPersons)
+    again.skippedTables.toSet shouldBe Set("triples", "edges", "nodes")
+    again.remappedIds shouldBe 0L
+    sortedRows(TableIO.read(spark, s"$dir/triples")) shouldBe wantTriples
+    sortedRows(TableIO.read(spark, s"$dir/edges")) shouldBe wantEdges
+
+    // a batch mixing new and already-ingested urls is a misuse, not an append
+    // (and not a resume — that is an ALL-ingested batch, tested above)
+    intercept[IllegalArgumentException] {
+      Incremental.appendPages(spark, range(85, 95), dir, c.nPersons)
+    }
+    TableIO.deleteRecursively(dir)
+  }
+
   test("same_as rule diff falls back to a full rebuild (stale canonical map)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-incr-sa").toString
     val pages = PageGen.pages(spark, cfg)

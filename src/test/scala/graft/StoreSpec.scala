@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
@@ -111,6 +112,92 @@ class StoreSpec extends AnyFunSuite with Matchers {
     // resuming with the RIGHT count works
     TableIO.writeBucketed(sample(), dir, col("key"), numBuckets = 8)
     TableIO.read(spark, dir).count() shouldBe 1000L
+  }
+
+  test("appendBucketed: new snapshot sums counts and counters, never rewrites committed files") {
+    import spark.implicits._
+    val dir = freshDir()
+    TableIO.writeBucketed(sample(), dir, col("key"), Map("rows" -> 1000L), numBuckets = 8)
+    val before = TableIO.readManifest(dir).get
+    before.files should not be empty
+    val batch = (1000 until 1300).map(i => (s"k$i", i.toLong)).toDF("key", "value")
+    val m2 = TableIO.appendBucketed(batch, dir, col("key"), Map("rows" -> 300L), numBuckets = 8)
+    m2.buckets.values.sum shouldBe 1300L
+    m2.counters("rows") shouldBe 1300L
+    val back = TableIO.read(spark, dir)
+    back.count() shouldBe 1300L
+    back.select("key").distinct().count() shouldBe 1300L
+    // Iceberg semantics: the prior snapshot's files are all still claimed
+    before.files.foreach { case (b, fs) => m2.files(b) should contain allElementsOf fs }
+  }
+
+  test("crashed append is invisible and wiped by the retry") {
+    import spark.implicits._
+    val dir = freshDir()
+    TableIO.writeBucketed(sample(), dir, col("key"), numBuckets = 8)
+    // simulate a crashed append: a REAL parquet data file on disk that no
+    // manifest commit ever claimed (copy of a committed file, new name)
+    val bd = java.nio.file.Paths.get(dir, "data", "bucket=0")
+    val ls = Files.list(bd)
+    val committedFile =
+      try ls.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+    val orphan = bd.resolve("part-crashed-append.parquet")
+    Files.copy(committedFile, orphan)
+    // snapshot-exact read: the orphan's rows are NOT visible
+    TableIO.read(spark, dir).count() shouldBe 1000L
+    // the retry wipes the orphan before writing, so nothing double-counts
+    val batch = (1000 until 1100).map(i => (s"k$i", i.toLong)).toDF("key", "value")
+    TableIO.appendBucketed(batch, dir, col("key"), numBuckets = 8)
+    Files.exists(orphan) shouldBe false
+    val back = TableIO.read(spark, dir)
+    back.count() shouldBe 1100L
+    back.select("key").distinct().count() shouldBe 1100L
+  }
+
+  test("rewriteBuckets: bucket-subset overwrite, stale files dropped after commit") {
+    val dir = freshDir()
+    TableIO.writeBucketed(sample(), dir, col("key"), Map("rows" -> 1000L), numBuckets = 8)
+    val b = TableIO.bucketOfSpark(spark, "k7", 8)
+    val staleFiles = TableIO.readManifest(dir).get.files(b)
+    // self-referential overwrite: the rewritten frame READS the live table
+    val bucketExpr = pmod(xxhash64(col("key")), lit(8)).cast("int")
+    val rewritten = TableIO.read(spark, dir).filter(bucketExpr === b)
+      .withColumn("value", when(col("key") === "k7", lit(9999L)).otherwise(col("value")))
+    val m = TableIO.rewriteBuckets(rewritten, dir, col("key"), Set(b),
+      Map("rewrites" -> 1L), numBuckets = 8)
+    m.counters("rows") shouldBe 1000L
+    m.counters("rewrites") shouldBe 1L
+    val back = TableIO.read(spark, dir)
+    back.count() shouldBe 1000L
+    back.filter(col("key") === "k7").head().getLong(1) shouldBe 9999L
+    back.select("key").distinct().count() shouldBe 1000L
+    // the replaced files are physically gone; the new ones differ
+    val after = TableIO.readManifest(dir).get.files(b)
+    after.toSet.intersect(staleFiles.toSet) shouldBe empty
+    staleFiles.foreach { f =>
+      Files.exists(java.nio.file.Paths.get(dir, "data", s"bucket=$b", f)) shouldBe false
+    }
+  }
+
+  test("legacy manifest (no file lists) is backfilled by the first append") {
+    import spark.implicits._
+    val dir = freshDir()
+    TableIO.writeBucketed(sample(), dir, col("key"), Map("rows" -> 1000L), numBuckets = 8)
+    // strip the files section: the pre-append manifest format
+    val mp = java.nio.file.Paths.get(dir, "_manifest.json")
+    val txt = new String(Files.readAllBytes(mp), java.nio.charset.StandardCharsets.UTF_8)
+    val legacy = txt.substring(0, txt.indexOf(",\"files\":")) + "}"
+    Files.write(mp, legacy.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    TableIO.readManifest(dir).get.files shouldBe empty
+    TableIO.read(spark, dir).count() shouldBe 1000L // whole-dir fallback
+    val batch = (1000 until 1100).map(i => (s"k$i", i.toLong)).toDF("key", "value")
+    val m2 = TableIO.appendBucketed(batch, dir, col("key"), Map("rows" -> 100L), numBuckets = 8)
+    m2.files should not be empty
+    m2.counters("rows") shouldBe 1100L
+    val back = TableIO.read(spark, dir)
+    back.count() shouldBe 1100L
+    back.select("key").distinct().count() shouldBe 1100L
   }
 
   test("manifest json round-trips") {
