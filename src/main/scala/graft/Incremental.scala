@@ -274,8 +274,17 @@ object Incremental {
       if (!havePairs) 0L
       else components2.join(oldComponents.select("id"), Seq("id"), "left_anti").count()
 
+    // ---- the three data tables are INDEPENDENT — patch them as concurrent
+    // jobs (the materialize precedent): the append path is dominated by
+    // driver-synchronized round trips, and on a real cluster three output
+    // pipelines sharing the executor pool beat a serial walk just the same
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+
     // ---- triples: rewrite merge-stale buckets, then append the batch ----
     val triplesDir = s"$outDir/triples"
+    val triplesF = Future {
     val triplesB = Pipeline.canonicalizeTriples(flatB, components2, canonBroadcastCutover)
     val batchUrls = triplesB.select($"url").distinct().localCheckpoint(true)
     val nUrls = batchUrls.count()
@@ -289,12 +298,21 @@ object Incremental {
     val tripApplied = nUrls > 0 && tripOverlap == nUrls
 
     val tripleBucketsRewritten: Set[Int] = if (remapN == 0) Set.empty else {
-      val keys = broadcast(remap.select($"from"))
       val old = TableIO.read(spark, triplesDir)
       val tb = pmod(xxhash64(col("url")), lit(numBuckets)).cast("int").as("b")
-      val stale = old.join(keys, col("subj") === col("from"), "left_semi").select(tb)
-        .union(old.join(keys, col("obj") === col("from"), "left_semi").select(tb))
-        .distinct().collect().map(_.getInt(0)).toSet
+      // merges are usually few: below the literal threshold the stale-row
+      // probe is ONE scan with an isin predicate that pushes into parquet
+      // (row-group stats skip clean files); past it, two broadcast-semi
+      // column scans. Either way only (subj|obj, url) columns are read.
+      val stale =
+        (if (remapN <= 256) {
+          val ks = remap.select($"from").as[Long].collect().toSeq
+          old.filter(col("subj").isin(ks: _*) || col("obj").isin(ks: _*)).select(tb)
+        } else {
+          val keys = broadcast(remap.select($"from"))
+          old.join(keys, col("subj") === col("from"), "left_semi").select(tb)
+            .union(old.join(keys, col("obj") === col("from"), "left_semi").select(tb))
+        }).distinct().collect().map(_.getInt(0)).toSet
       if (stale.nonEmpty) {
         val rewritten = TableIO.read(spark, triplesDir, Some(stale))
           .join(broadcast(remap.withColumnRenamed("from", "subj")
@@ -313,6 +331,8 @@ object Incremental {
     }
     if (!tripApplied)
       TableIO.appendBucketed(triplesB, triplesDir, col("url"), batchCounters, numBuckets)
+    (tripApplied, tripleBucketsRewritten)
+    }
 
     // ---- graph tables: batch subgraph + SAME_AS delta ----
     // empty mapping here: graphTables derives only its SAME_AS rows from the
@@ -321,6 +341,7 @@ object Incremental {
     val (nodesB, edgesB) = Pipeline.graphTables(spark, flatB, emptyComp)
 
     val edgesDir = s"$outDir/edges"
+    val edgesF = Future {
     val hostBuckets = bucketsOf(
       flatB.filter($"rowKind" === "p").select($"hostId".as("h")).distinct(), "h")
     val edgeOverlap = TableIO.read(spark, edgesDir, Some(hostBuckets))
@@ -373,8 +394,11 @@ object Incremental {
           .unionByName(novelPh).unionByName(freshSameAs),
         edgesDir, col("src"), batchCounters, numBuckets)
     }
+    (edgesApplied, edgeBucketsRewritten)
+    }
 
     val nodesDir = s"$outDir/nodes"
+    val nodesF = Future {
     val nodeBuckets = bucketsOf(pageIds, "id")
     val nodeOverlap = TableIO.read(spark, nodesDir, Some(nodeBuckets))
       .filter(col("kind") === NK.Page)
@@ -395,6 +419,12 @@ object Incremental {
       TableIO.appendBucketed(pageScoped.unionByName(novel), nodesDir, col("id"),
         batchCounters, numBuckets)
     }
+    nodesApplied
+    }
+
+    val (tripApplied, tripleBucketsRewritten) = Await.result(triplesF, Duration.Inf)
+    val (edgesApplied, edgeBucketsRewritten) = Await.result(edgesF, Duration.Inf)
+    val nodesApplied = Await.result(nodesF, Duration.Inf)
 
     // ---- components: snapshot-swap LAST (the retry-convergence anchor) ----
     if (havePairs) {

@@ -333,6 +333,28 @@ object TableIO {
     m
   }
 
+  /** Compact an append-fragmented table: every bucket holding more than
+    * `maxFilesPerBucket` data files is rewritten into one file (the write is
+    * one task per bucket), through the same commit-before-delete overwrite
+    * as [[rewriteBuckets]] — crash-safe, readers never see a partial state.
+    * Content is unchanged; only the file layout is. This is the steady-state
+    * answer to append-heavy tables' small-files problem: scan cost tracks
+    * file count, so periodic compaction keeps reads O(buckets), not
+    * O(appends). Returns the compacted bucket set. */
+  def compact(spark: SparkSession, dir: String,
+              bucketKey: org.apache.spark.sql.Column,
+              maxFilesPerBucket: Int = 1,
+              numBuckets: Int = NumBuckets): Set[Int] = {
+    val m0 = readManifest(dir).getOrElse(return Set.empty)
+    val m = backfillFiles(dir, m0)
+    val targets = m.files.filter(_._2.size > maxFilesPerBucket).keySet
+      .intersect(m.buckets.keySet)
+    if (targets.isEmpty) return Set.empty
+    rewriteBuckets(read(spark, dir, Some(targets)), dir, bucketKey, targets,
+      numBuckets = numBuckets)
+    targets
+  }
+
   private def bucketFilePath(dir: String, b: Int, name: String): Path =
     Paths.get(dir, "data", s"bucket=$b", name)
 

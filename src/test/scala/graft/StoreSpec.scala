@@ -180,6 +180,29 @@ class StoreSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("compact: append-fragmented buckets collapse to one file, content unchanged") {
+    import spark.implicits._
+    val dir = freshDir()
+    TableIO.writeBucketed(sample(), dir, col("key"), Map("rows" -> 1000L), numBuckets = 8)
+    TableIO.appendBucketed((1000 until 1200).map(i => (s"k$i", i.toLong)).toDF("key", "value"),
+      dir, col("key"), Map("rows" -> 200L), numBuckets = 8)
+    TableIO.appendBucketed((1200 until 1400).map(i => (s"k$i", i.toLong)).toDF("key", "value"),
+      dir, col("key"), Map("rows" -> 200L), numBuckets = 8)
+    val frag = TableIO.readManifest(dir).get
+    frag.files.values.map(_.size).max should be > 1
+    val compacted = TableIO.compact(spark, dir, col("key"), numBuckets = 8)
+    compacted should not be empty
+    val m = TableIO.readManifest(dir).get
+    m.files.values.foreach(_.size should be <= 1)
+    m.buckets shouldBe frag.buckets // per-bucket lineage counts unchanged
+    m.counters("rows") shouldBe 1400L
+    val back = TableIO.read(spark, dir)
+    back.count() shouldBe 1400L
+    back.select("key").distinct().count() shouldBe 1400L
+    // idempotent: nothing left over the threshold
+    TableIO.compact(spark, dir, col("key"), numBuckets = 8) shouldBe empty
+  }
+
   test("legacy manifest (no file lists) is backfilled by the first append") {
     import spark.implicits._
     val dir = freshDir()
