@@ -233,8 +233,19 @@ object TripleExtractor {
     catch {
       case e: Throwable =>
         val safeUrl = if (p == null || p.url == null) "" else p.url
+        // VM-implicit exceptions (NPE/AIOOBE/...) lose their message once
+        // the throw site goes hot (fast-throw preallocates message-less
+        // instances), so including it would make the error column — and the
+        // byte-identity gate — JIT-state-dependent. Explicitly-constructed
+        // exceptions carry deterministic messages; keep those.
+        val msg = e match {
+          case _: NullPointerException | _: ArrayIndexOutOfBoundsException |
+               _: ArithmeticException | _: ClassCastException |
+               _: ArrayStoreException => ""
+          case _ => s": ${String.valueOf(e.getMessage).take(200)}"
+        }
         PageExtract(Ids.pageId(safeUrl), safeUrl, hostOf(safeUrl), 0, Nil, Nil,
-          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          s"${e.getClass.getSimpleName}$msg")
     }
 
   private def extractPageUnsafe(p: Page, gaz: Gazetteer, auto: PatternAutomaton): PageExtract = {

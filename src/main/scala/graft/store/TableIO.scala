@@ -113,10 +113,51 @@ object TableIO {
 
   private def writeManifestAtomic(dir: String, m: Manifest): Unit = {
     Files.createDirectories(Paths.get(dir))
+    val hist = Paths.get(dir, "_snapshots")
+    Files.createDirectories(hist)
+    // heal: if the OUTGOING head never got its history entry (crash between
+    // head swap and history write), record it now — history must only ever
+    // contain snapshots that actually were the head
+    readManifest(dir).foreach { prev =>
+      val hp = hist.resolve(s"${prev.snapshotId}.json")
+      if (!Files.exists(hp))
+        Files.write(hp, renderManifest(prev).getBytes(StandardCharsets.UTF_8))
+    }
     val tmp = Paths.get(dir, s"_manifest.json.tmp${m.snapshotId}")
-    Files.write(tmp, renderManifest(m).getBytes(StandardCharsets.UTF_8))
+    val bytes = renderManifest(m).getBytes(StandardCharsets.UTF_8)
+    Files.write(tmp, bytes)
     Files.move(tmp, manifestPath(dir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // history entry AFTER the swap — a crash here is healed above / served
+    // by readManifestAt's live-head fallback
+    Files.write(hist.resolve(s"${m.snapshotId}.json"), bytes)
+  }
+
+  /** Monotonic snapshot id: wall clock, bumped past the prior head so two
+    * commits in the same millisecond (or a clock step back) never collide
+    * in the history directory. */
+  private def nextSnapshotId(prior: Option[Manifest]): Long =
+    math.max(System.currentTimeMillis(), prior.map(_.snapshotId + 1).getOrElse(Long.MinValue))
+
+  /** Snapshot ids servable by [[readAt]], ascending (history + live head). */
+  def snapshots(dir: String): Seq[Long] = {
+    val hist = Paths.get(dir, "_snapshots")
+    val listed =
+      if (!Files.exists(hist)) Seq.empty[Long]
+      else {
+        val ls = Files.list(hist)
+        try ls.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".json")).map(_.stripSuffix(".json").toLong).toSeq
+        finally ls.close()
+      }
+    (listed ++ readManifest(dir).map(_.snapshotId)).distinct.sorted
+  }
+
+  def readManifestAt(dir: String, snapshotId: Long): Option[Manifest] = {
+    val p = Paths.get(dir, "_snapshots", s"$snapshotId.json")
+    if (Files.exists(p))
+      Some(parseManifest(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+    else readManifest(dir).filter(_.snapshotId == snapshotId)
   }
 
   /** Write `df` bucketed by hash of `bucketKeyCol` into `dir`, resuming from
@@ -164,7 +205,7 @@ object TableIO {
       onlyBuckets.map(all.intersect).getOrElse(all)
     }
     if (wanted.isEmpty) {
-      val m = Manifest(System.currentTimeMillis(), committed, counters, numBuckets,
+      val m = Manifest(nextSnapshotId(prior), committed, counters, numBuckets,
         prior.map(m0 => backfillFiles(dir, m0)).map(_.files).getOrElse(Map.empty))
       writeManifestAtomic(dir, m)
       return m
@@ -205,8 +246,11 @@ object TableIO {
     // snapshot's (backfilled for legacy priors) for the already-committed
     val priorFiles = prior.map(m0 => backfillFiles(dir, m0).files).getOrElse(Map.empty)
     val newFiles = priorFiles ++ wanted.map(b => b -> written.get(b).map(_._2).getOrElse(Seq.empty))
-    val m = Manifest(System.currentTimeMillis(), newBuckets, counters, numBuckets, newFiles)
+    val m = Manifest(nextSnapshotId(prior), newBuckets, counters, numBuckets, newFiles)
     writeManifestAtomic(dir, m)
+    // writeBucketed is the DESTRUCTIVE path (fresh build / invalidated-bucket
+    // recompute wipes bucket dirs): drop history entries it made unreadable
+    pruneHistoryExcept(dir, m.snapshotId, keepReadable = true)
     m
   }
 
@@ -236,10 +280,11 @@ object TableIO {
     // that the next retry's backfill would adopt as committed (visible rows
     // with no lineage count)
     if (prior0.files.isEmpty && prior.files.nonEmpty) writeManifestAtomic(dir, prior)
-    // wipe orphans of a crashed append (on disk but not in the manifest)
+    // wipe orphans of a crashed append: on disk but claimed by NO snapshot
+    // (the history union keeps retained-but-replaced files time-travelable)
+    val claimed = claimedFiles(dir, prior)
     (0 until numBuckets).foreach { b =>
-      val claimed = prior.files.getOrElse(b, Seq.empty).toSet
-      bucketFiles(dir, b).filterNot(claimed).foreach { f =>
+      bucketFiles(dir, b).filterNot(claimed.getOrElse(b, Set.empty)).foreach { f =>
         Files.deleteIfExists(bucketFilePath(dir, b, f))
       }
     }
@@ -249,7 +294,9 @@ object TableIO {
     withBucket.repartition(numBuckets, element_at(typedLit(keys.toSeq), col("bucket") + 1))
       .write.mode("append").partitionBy("bucket").parquet(s"$dir/data")
     val appended: Map[Int, (Long, Seq[String])] = (0 until numBuckets).flatMap { b =>
-      val fresh = bucketFiles(dir, b).filterNot(prior.files.getOrElse(b, Seq.empty).toSet)
+      val fresh = bucketFiles(dir, b)
+        .filterNot(prior.files.getOrElse(b, Seq.empty).toSet)
+        .filterNot(claimed.getOrElse(b, Set.empty))
       if (fresh.isEmpty) None
       else Some(b -> (fresh.map(f => parquetRowCount(bucketFilePath(dir, b, f))).sum, fresh))
     }.toMap
@@ -258,7 +305,7 @@ object TableIO {
       k -> (prior.counters.getOrElse(k, 0L) + addCounters.getOrElse(k, 0L))
     }.toMap
     val m = Manifest(
-      System.currentTimeMillis(),
+      nextSnapshotId(Some(prior)),
       prior.buckets.map { case (b, n) => b -> (n + appended.get(b).map(_._1).getOrElse(0L)) },
       mergedCounters,
       numBuckets,
@@ -278,14 +325,17 @@ object TableIO {
     * `df` may read the table itself (the usual case: a small-delta update
     * joined against the current snapshot) — reads resolve the manifest's
     * file list eagerly, so the self-overwrite never sees its own output.
-    * Counters: `addCounters` is summed into the prior snapshot's. */
+    * Counters: `addCounters` is summed into the prior snapshot's.
+    * `vacuum=false` keeps the replaced files on disk so the prior snapshot
+    * stays time-travelable ([[readAt]]); [[expireSnapshots]] reclaims. */
   def rewriteBuckets(
       df: DataFrame,
       dir: String,
       bucketKey: org.apache.spark.sql.Column,
       buckets: Set[Int],
       addCounters: Map[String, Long] = Map.empty,
-      numBuckets: Int = NumBuckets): Manifest = {
+      numBuckets: Int = NumBuckets,
+      vacuum: Boolean = true): Manifest = {
     val prior0 = readManifest(dir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $dir"))
     require(prior0.numBuckets == numBuckets,
@@ -295,10 +345,11 @@ object TableIO {
     if (buckets.isEmpty) return prior0
     val prior = backfillFiles(dir, prior0)
     if (prior0.files.isEmpty && prior.files.nonEmpty) writeManifestAtomic(dir, prior)
-    // wipe orphans of a crashed previous append/rewrite
+    // wipe orphans of a crashed previous append/rewrite (claimed by NO
+    // snapshot — current or retained history)
+    val claimed = claimedFiles(dir, prior)
     (0 until numBuckets).foreach { b =>
-      val claimed = prior.files.getOrElse(b, Seq.empty).toSet
-      bucketFiles(dir, b).filterNot(claimed).foreach { f =>
+      bucketFiles(dir, b).filterNot(claimed.getOrElse(b, Set.empty)).foreach { f =>
         Files.deleteIfExists(bucketFilePath(dir, b, f))
       }
     }
@@ -311,26 +362,75 @@ object TableIO {
     // a rewritten bucket may legitimately end up EMPTY (all rows deduped
     // away) — map over the full target set, not just buckets that got files
     val fresh: Map[Int, (Long, Seq[String])] = buckets.toSeq.map { b =>
-      val fs = bucketFiles(dir, b).filterNot(prior.files.getOrElse(b, Seq.empty).toSet)
+      val fs = bucketFiles(dir, b)
+        .filterNot(prior.files.getOrElse(b, Seq.empty).toSet)
+        .filterNot(claimed.getOrElse(b, Set.empty))
       b -> (fs.map(f => parquetRowCount(bucketFilePath(dir, b, f))).sum, fs)
     }.toMap
     val mergedCounters = (prior.counters.keySet ++ addCounters.keySet).map { k =>
       k -> (prior.counters.getOrElse(k, 0L) + addCounters.getOrElse(k, 0L))
     }.toMap
     val m = Manifest(
-      System.currentTimeMillis(),
+      nextSnapshotId(Some(prior)),
       prior.buckets ++ fresh.map { case (b, (n, _)) => b -> n },
       mergedCounters,
       numBuckets,
       prior.files ++ fresh.map { case (b, (_, fs)) => b -> fs })
     writeManifestAtomic(dir, m)
-    // the replaced files are invisible now — reclaim the space
-    buckets.foreach { b =>
-      prior.files.getOrElse(b, Seq.empty).foreach { f =>
+    if (vacuum) {
+      // the replaced files are invisible to the head now — reclaim the space
+      // (this dangles any history snapshot still referencing them: readAt
+      // of such a snapshot fails loudly on the missing file; keep
+      // vacuum=false + expireSnapshots for a time-travelable rewrite chain)
+      buckets.foreach { b =>
+        prior.files.getOrElse(b, Seq.empty).foreach { f =>
+          Files.deleteIfExists(bucketFilePath(dir, b, f))
+        }
+      }
+      pruneHistoryExcept(dir, m.snapshotId, keepReadable = true)
+    }
+    m
+  }
+
+  /** Every data file any retained snapshot (head or history) claims. */
+  private def claimedFiles(dir: String, head: Manifest): Map[Int, Set[String]] = {
+    val all = (head +: snapshots(dir).flatMap(readManifestAt(dir, _)))
+      .flatMap(_.files.toSeq)
+    all.groupBy(_._1).map { case (b, fs) => b -> fs.flatMap(_._2).toSet }
+  }
+
+  /** Drop history entries whose file set is no longer fully on disk (they
+    * became unreadable through a vacuuming rewrite) — keeps `snapshots()`
+    * an honest "what can readAt serve" listing. */
+  private def pruneHistoryExcept(dir: String, keepId: Long, keepReadable: Boolean): Unit =
+    snapshots(dir).filterNot(_ == keepId).foreach { sid =>
+      readManifestAt(dir, sid).foreach { sm =>
+        val readable = sm.files.forall { case (b, fs) =>
+          fs.forall(f => Files.exists(bucketFilePath(dir, b, f)))
+        }
+        if (!(keepReadable && readable))
+          Files.deleteIfExists(Paths.get(dir, "_snapshots", s"$sid.json"))
+      }
+    }
+
+  /** Retention: keep the head plus the most recent `keepLast` READABLE
+    * history snapshots; everything older is dropped from the history and
+    * any data file referenced only by dropped snapshots is deleted.
+    * History entries are removed FIRST, so a crash mid-delete leaves
+    * harmless orphan files (wiped by the next append/rewrite), never a
+    * listed-but-unreadable snapshot. */
+  def expireSnapshots(dir: String, keepLast: Int): Unit = {
+    val head = readManifest(dir).getOrElse(return)
+    val ids = snapshots(dir).filterNot(_ == head.snapshotId)
+    val drop = ids.dropRight(math.max(keepLast, 0))
+    if (drop.isEmpty) return
+    drop.foreach(sid => Files.deleteIfExists(Paths.get(dir, "_snapshots", s"$sid.json")))
+    val keep = claimedFiles(dir, head)
+    (0 until head.numBuckets).foreach { b =>
+      bucketFiles(dir, b).filterNot(keep.getOrElse(b, Set.empty)).foreach { f =>
         Files.deleteIfExists(bucketFilePath(dir, b, f))
       }
     }
-    m
   }
 
   /** Compact an append-fragmented table: every bucket holding more than
@@ -344,14 +444,15 @@ object TableIO {
   def compact(spark: SparkSession, dir: String,
               bucketKey: org.apache.spark.sql.Column,
               maxFilesPerBucket: Int = 1,
-              numBuckets: Int = NumBuckets): Set[Int] = {
+              numBuckets: Int = NumBuckets,
+              vacuum: Boolean = true): Set[Int] = {
     val m0 = readManifest(dir).getOrElse(return Set.empty)
     val m = backfillFiles(dir, m0)
     val targets = m.files.filter(_._2.size > maxFilesPerBucket).keySet
       .intersect(m.buckets.keySet)
     if (targets.isEmpty) return Set.empty
     rewriteBuckets(read(spark, dir, Some(targets)), dir, bucketKey, targets,
-      numBuckets = numBuckets)
+      numBuckets = numBuckets, vacuum = vacuum)
     targets
   }
 
@@ -422,6 +523,21 @@ object TableIO {
   def read(spark: SparkSession, dir: String, onlyBuckets: Option[Set[Int]]): DataFrame = {
     val m = readManifest(dir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $dir"))
+    frameFor(spark, dir, m, onlyBuckets)
+  }
+
+  /** Time travel: read the table AS OF a history snapshot ([[snapshots]]
+    * lists what is servable). Append chains keep every snapshot readable by
+    * construction (committed files are never touched); a vacuuming rewrite
+    * drops replaced snapshots from the history. */
+  def readAt(spark: SparkSession, dir: String, snapshotId: Long): DataFrame = {
+    val m = readManifestAt(dir, snapshotId).getOrElse(
+      throw new IllegalStateException(s"no snapshot $snapshotId in $dir/_snapshots"))
+    frameFor(spark, dir, m, None)
+  }
+
+  private def frameFor(spark: SparkSession, dir: String, m: Manifest,
+                       onlyBuckets: Option[Set[Int]]): DataFrame = {
     val visible = onlyBuckets match {
       case Some(bs) => m.buckets.keySet.intersect(bs)
       case None     => m.buckets.keySet
@@ -491,7 +607,7 @@ object TableIO {
       // immediately); orphaned data dirs are cleared lazily by the next
       // writeBucketed, which always wipes uncommitted bucket dirs
       writeManifestAtomic(dir,
-        m.copy(snapshotId = m.snapshotId + 1, buckets = m.buckets -- buckets))
+        m.copy(snapshotId = nextSnapshotId(Some(m)), buckets = m.buckets -- buckets))
       buckets.foreach(b => deleteRecursively(s"$dir/data/bucket=$b"))
     }
   }

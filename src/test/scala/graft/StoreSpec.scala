@@ -203,6 +203,59 @@ class StoreSpec extends AnyFunSuite with Matchers {
     TableIO.compact(spark, dir, col("key"), numBuckets = 8) shouldBe empty
   }
 
+  test("time travel: append chain keeps every snapshot readable; expire reclaims") {
+    import spark.implicits._
+    val dir = freshDir()
+    TableIO.writeBucketed(sample(), dir, col("key"), numBuckets = 8)
+    TableIO.appendBucketed((1000 until 1200).map(i => (s"k$i", i.toLong)).toDF("key", "value"),
+      dir, col("key"), numBuckets = 8)
+    TableIO.appendBucketed((1200 until 1500).map(i => (s"k$i", i.toLong)).toDF("key", "value"),
+      dir, col("key"), numBuckets = 8)
+    val ids = TableIO.snapshots(dir)
+    ids.size should be >= 3
+    ids shouldBe ids.sorted
+    // as-of reads see exactly the corpus at each commit
+    TableIO.readAt(spark, dir, ids.head).count() shouldBe 1000L
+    TableIO.readAt(spark, dir, ids.last).count() shouldBe 1500L
+    ids.sliding(2).foreach { case Seq(a, b) =>
+      TableIO.readAt(spark, dir, a).count() should be <= TableIO.readAt(spark, dir, b).count()
+    }
+    // retention: keep head only — older snapshots drop from the listing
+    TableIO.expireSnapshots(dir, keepLast = 0)
+    TableIO.snapshots(dir) shouldBe Seq(ids.last)
+    TableIO.read(spark, dir).count() shouldBe 1500L
+    TableIO.deleteRecursively(dir)
+  }
+
+  test("time travel across a rewrite: vacuum=false retains, vacuum prunes honestly") {
+    val dir = freshDir()
+    TableIO.writeBucketed(sample(), dir, col("key"), numBuckets = 8)
+    val s0 = TableIO.readManifest(dir).get.snapshotId
+    val b = TableIO.bucketOfSpark(spark, "k7", 8)
+    val bucketExpr = pmod(xxhash64(col("key")), lit(8)).cast("int")
+    def bumpK7(v: Long) = TableIO.read(spark, dir).filter(bucketExpr === b)
+      .withColumn("value", when(col("key") === "k7", lit(v)).otherwise(col("value")))
+    // retained rewrite: the pre-rewrite snapshot stays servable
+    val s1 = TableIO.rewriteBuckets(bumpK7(7777L), dir, col("key"), Set(b), numBuckets = 8,
+      vacuum = false).snapshotId
+    TableIO.readAt(spark, dir, s0).filter(col("key") === "k7").head().getLong(1) shouldBe 7L
+    TableIO.read(spark, dir).filter(col("key") === "k7").head().getLong(1) shouldBe 7777L
+    // vacuuming rewrite: it deletes exactly the files IT replaced (the 7777
+    // generation) — that snapshot drops from the listing instead of
+    // dangling, while s0 (whose files the retained rewrite kept) still
+    // serves its original content
+    TableIO.rewriteBuckets(bumpK7(9999L), dir, col("key"), Set(b), numBuckets = 8)
+    val left = TableIO.snapshots(dir)
+    left should not contain s1
+    left should contain(s0)
+    TableIO.readAt(spark, dir, s0).filter(col("key") === "k7").head().getLong(1) shouldBe 7L
+    left.foreach { sid => noException should be thrownBy
+      TableIO.readAt(spark, dir, sid).count() }
+    TableIO.read(spark, dir).filter(col("key") === "k7").head().getLong(1) shouldBe 9999L
+    TableIO.read(spark, dir).count() shouldBe 1000L
+    TableIO.deleteRecursively(dir)
+  }
+
   test("legacy manifest (no file lists) is backfilled by the first append") {
     import spark.implicits._
     val dir = freshDir()
