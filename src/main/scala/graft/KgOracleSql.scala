@@ -101,9 +101,11 @@ object KgOracleSql {
          |FROM $M""".stripMargin,
     "kg_components" -> s"SELECT id, component FROM $C",
     "kg_triples" -> canonicalTriplesSql,
-    // the corpus-growth append entry must equal the FULL-corpus rebuild —
+    // the corpus-growth append entries must equal the FULL-corpus rebuild —
     // same oracle SQL, so the driver gate hash-checks the equivalence
+    // (batch append, and the streaming foreachBatch ingest with redelivery)
     "kg_append_triples" -> canonicalTriplesSql,
+    "st5_stream_ingest" -> canonicalTriplesSql,
     "kg_nodes" ->
       s"""WITH $leaves
          |$nodesUnion""".stripMargin,

@@ -604,7 +604,10 @@ object Queries {
     "st1_stream_window" -> ((s, d) => graft.streaming.StreamEntries.streamWindow(s, d)),
     "st2_stream_sessionize" -> ((s, d) => graft.streaming.StreamEntries.streamSessionize(s, d)),
     "st3_stream_dedup" -> ((s, d) => graft.streaming.StreamEntries.streamDedup(s, d)),
-    "st4_stream_join" -> ((s, d) => graft.streaming.StreamEntries.streamJoin(s, d))
+    "st4_stream_join" -> ((s, d) => graft.streaming.StreamEntries.streamJoin(s, d)),
+    // continuous-crawl ingest: streaming foreachBatch -> appendPages with
+    // redelivered micro-batches; result must equal the full-rebuild oracle
+    "st5_stream_ingest" -> ((s, d) => graft.streaming.StreamEntries.streamIngest(s, d))
   )
 
   /** Synthetic-media row count for the mm entries (shared with

@@ -103,4 +103,14 @@ class StreamEntriesSpec extends AnyFunSuite with Matchers {
       .orderBy("purchase_id", "click_id").collect()
     stream should contain theSameElementsInOrderAs batch
   }
+
+  test("st5 continuous ingest with redelivered micro-batches == full rebuild") {
+    val stream = StreamEntries.streamIngest(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val cfg = graft.model.PageGen.Config(nPages = graft.Queries.kgPages(dir))
+    val t = Pipeline.run(spark, graft.model.PageGen.pages(spark, cfg), cfg.nPersons)
+    val batch = t.triples.collect().map(_.toString).sorted.toSeq
+    t.flat.unpersist(false); t.components.unpersist(false)
+    stream shouldBe batch
+  }
 }
