@@ -236,11 +236,21 @@ object Incremental {
         .distinct().collect().map(_.getInt(0)).toSet
 
     // ---- extract the batch (O(|batch|), the same stage-2 as a full run) ----
+    // a crawl micro-batch may carry the same url twice (re-fetch inside the
+    // batch window) — resolve to ONE row per url deterministically (latest
+    // warc_ts, content-hash tie-break) so the batch is a set of pages and
+    // the per-table resume guards agree with each other
+    val dedupPages = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("url")
+        .orderBy(col("warc_ts").desc, xxhash64(col("text")), xxhash64(col("html")))
+      newPages.toDF().withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn").as[Page]
+    }
     val gaz = spark.sparkContext.broadcast(Pipeline.defaultGazetteer(nPersons))
     val auto = spark.sparkContext.broadcast(PatternAutomaton.compile(rules))
     val metrics = new ExtractMetrics(spark)
     val flatB = TripleExtractor
-      .extractFlat(newPages.filter($"lang" === targetLang), gaz, auto, metrics)
+      .extractFlat(dedupPages.filter($"lang" === targetLang), gaz, auto, metrics)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val batchCounters = Pipeline.flatCounters(flatB)
     val nBatch = batchCounters("pagesIn")
@@ -248,6 +258,19 @@ object Incremental {
 
     val pageIds = flatB.filter($"rowKind" === "p")
       .select($"pageId".as("id")).localCheckpoint(true)
+
+    // ---- the AUTHORITATIVE batch-vs-corpus check, BEFORE anything commits:
+    // Page nodes cover every ingested page (triple-url overlap would miss
+    // zero-triple pages and could let one table commit while another
+    // rejects — a permanent split). All-or-nothing: all present = resume,
+    // none = fresh append, a mix = misuse, rejected atomically.
+    val nodesDir = s"$outDir/nodes"
+    val pageOverlap = TableIO.read(spark, nodesDir, Some(bucketsOf(pageIds, "id")))
+      .filter(col("kind") === Schema.NodeKinds.Page)
+      .join(pageIds, Seq("id"), "left_semi").count()
+    require(pageOverlap == 0 || pageOverlap == nBatch,
+      s"batch mixes new and already-ingested urls ($pageOverlap of $nBatch " +
+        s"already in $nodesDir) — a re-crawled url is an update, not an append")
 
     // ---- merged canonical mapping (entity-sized CC, corpus-independent) ----
     val oldComponents = TableIO.read(spark, s"$outDir/components")
@@ -270,9 +293,13 @@ object Incremental {
         .select(coalesce($"oldC", $"id").as("from"), $"component".as("to"))
         .filter($"from" =!= $"to").distinct().localCheckpoint(true)
     val remapN = remap.count()
-    val newMappingRows =
-      if (!havePairs) 0L
-      else components2.join(oldComponents.select("id"), Seq("id"), "left_anti").count()
+    // mapping rows the batch introduces — computed ONCE (stat + the fresh
+    // SAME_AS edge source share it)
+    val freshMapping =
+      if (!havePairs) Seq.empty[(Long, Long)].toDF("id", "component")
+      else components2.join(oldComponents.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+    val newMappingRows = if (!havePairs) 0L else freshMapping.count()
 
     // ---- the three data tables are INDEPENDENT — patch them as concurrent
     // jobs (the materialize precedent): the append path is dominated by
@@ -289,12 +316,15 @@ object Incremental {
     val batchUrls = triplesB.select($"url").distinct().localCheckpoint(true)
     val nUrls = batchUrls.count()
     val urlBuckets = bucketsOf(batchUrls, "url")
+    // per-table resume detection (mixed batches were already rejected by the
+    // authoritative page-node check; a partial overlap here can only mean a
+    // corrupted table — appendBucketed commits are all-or-nothing)
     val tripOverlap =
       if (nUrls == 0) 0L
       else TableIO.read(spark, triplesDir, Some(urlBuckets))
         .join(batchUrls, Seq("url"), "left_semi").select("url").distinct().count()
-    require(tripOverlap == 0 || tripOverlap == nUrls,
-      s"batch mixes new and already-ingested urls ($tripOverlap of $nUrls present in $triplesDir)")
+    assert(tripOverlap == 0 || tripOverlap == nUrls,
+      s"triples table at $triplesDir holds a partial batch ($tripOverlap of $nUrls urls)")
     val tripApplied = nUrls > 0 && tripOverlap == nUrls
 
     val tripleBucketsRewritten: Set[Int] = if (remapN == 0) Set.empty else {
@@ -348,8 +378,8 @@ object Incremental {
       .filter(col("kind") === EK.IsPageOf)
       .join(pageIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
       .select("dst").distinct().count()
-    require(edgeOverlap == 0 || edgeOverlap == nBatch,
-      s"batch mixes new and already-ingested pages ($edgeOverlap of $nBatch present in $edgesDir)")
+    assert(edgeOverlap == 0 || edgeOverlap == nBatch,
+      s"edges table at $edgesDir holds a partial batch ($edgeOverlap of $nBatch pages)")
     val edgesApplied = edgeOverlap == nBatch
 
     val edgeBucketsRewritten: Set[Int] = if (remapN == 0) Set.empty else {
@@ -374,9 +404,7 @@ object Incremental {
     }
     if (!edgesApplied) {
       val freshSameAs =
-        (if (havePairs)
-          components2.join(oldComponents.select("id"), Seq("id"), "left_anti")
-        else emptyComp)
+        freshMapping
           .as[(Long, Long)]
           .map { case (id, comp) =>
             GraphEdge(Ids.entityNodeId(id), Ids.entityNodeId(comp), EK.SameAs, null) }
@@ -397,15 +425,9 @@ object Incremental {
     (edgesApplied, edgeBucketsRewritten)
     }
 
-    val nodesDir = s"$outDir/nodes"
     val nodesF = Future {
-    val nodeBuckets = bucketsOf(pageIds, "id")
-    val nodeOverlap = TableIO.read(spark, nodesDir, Some(nodeBuckets))
-      .filter(col("kind") === NK.Page)
-      .join(pageIds, Seq("id"), "left_semi").count()
-    require(nodeOverlap == 0 || nodeOverlap == nBatch,
-      s"batch mixes new and already-ingested urls ($nodeOverlap of $nBatch present in $nodesDir)")
-    val nodesApplied = nodeOverlap == nBatch
+    // the authoritative pre-check already counted this table's Page rows
+    val nodesApplied = pageOverlap == nBatch
     if (!nodesApplied) {
       val pageScoped = nodesB.filter(col("kind").isin(NK.Page, NK.Mention, NK.TripleN))
       // dimension rows (host/domain/entity universe ≪ corpus): dedup against
@@ -426,8 +448,15 @@ object Incremental {
     val (edgesApplied, edgeBucketsRewritten) = Await.result(edgesF, Duration.Inf)
     val nodesApplied = Await.result(nodesF, Duration.Inf)
 
-    // ---- components: snapshot-swap LAST (the retry-convergence anchor) ----
-    if (havePairs) {
+    // ---- components: snapshot-swap LAST (the retry-convergence anchor).
+    // Swap only when the batch actually CHANGED the mapping (merges or new
+    // rows): a redelivered batch computes components2 from the already-
+    // swapped table, both deltas are zero, and re-swapping would both pay a
+    // pointless O(|mapping|) rewrite and double-add the batch counters. A
+    // retry after a crash-before-swap still sees nonzero deltas (the old
+    // table is unchanged) and completes the swap — with the counters added
+    // exactly once, since the crashed run never got here.
+    if (havePairs && (remapN > 0 || newMappingRows > 0)) {
       val priorC = TableIO.readManifest(s"$outDir/components").get.counters
       val mergedC = (priorC.keySet ++ batchCounters.keySet).map { k =>
         k -> (priorC.getOrElse(k, 0L) + batchCounters.getOrElse(k, 0L)) }.toMap

@@ -77,7 +77,11 @@ object Queries {
       t0.flat.unpersist(false); t0.components.unpersist(false)
       Incremental.appendPages(s,
         s.range(split, c.nPages.toLong).map(i => PageGen.page(c, i)), dir, c.nPersons)
-      graft.store.TableIO.read(s, s"$dir/triples")
+      // detach the result from the temp build (blocks, not files) so the
+      // whole throwaway table can be reclaimed NOW, not on tmp cleanup
+      val out = graft.store.TableIO.read(s, s"$dir/triples").localCheckpoint(true)
+      graft.store.TableIO.deleteRecursively(dir)
+      out
     }),
 
     // ---------------- relational operator coverage (oracled) ----------------

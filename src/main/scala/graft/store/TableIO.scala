@@ -250,7 +250,7 @@ object TableIO {
     writeManifestAtomic(dir, m)
     // writeBucketed is the DESTRUCTIVE path (fresh build / invalidated-bucket
     // recompute wipes bucket dirs): drop history entries it made unreadable
-    pruneHistoryExcept(dir, m.snapshotId, keepReadable = true)
+    pruneHistoryExcept(dir, m.snapshotId)
     m
   }
 
@@ -387,7 +387,7 @@ object TableIO {
           Files.deleteIfExists(bucketFilePath(dir, b, f))
         }
       }
-      pruneHistoryExcept(dir, m.snapshotId, keepReadable = true)
+      pruneHistoryExcept(dir, m.snapshotId)
     }
     m
   }
@@ -399,16 +399,17 @@ object TableIO {
     all.groupBy(_._1).map { case (b, fs) => b -> fs.flatMap(_._2).toSet }
   }
 
-  /** Drop history entries whose file set is no longer fully on disk (they
-    * became unreadable through a vacuuming rewrite) — keeps `snapshots()`
-    * an honest "what can readAt serve" listing. */
-  private def pruneHistoryExcept(dir: String, keepId: Long, keepReadable: Boolean): Unit =
+  /** Drop history entries [[readAt]] could no longer serve honestly — files
+    * missing (vacuumed / destructively recomputed) or a legacy no-file-list
+    * shape — keeping `snapshots()` an honest "what readAt can serve". */
+  private def pruneHistoryExcept(dir: String, keepId: Long): Unit =
     snapshots(dir).filterNot(_ == keepId).foreach { sid =>
       readManifestAt(dir, sid).foreach { sm =>
-        val readable = sm.files.forall { case (b, fs) =>
-          fs.forall(f => Files.exists(bucketFilePath(dir, b, f)))
-        }
-        if (!(keepReadable && readable))
+        val readable = (sm.files.nonEmpty || sm.buckets.isEmpty) &&
+          sm.files.forall { case (b, fs) =>
+            fs.forall(f => Files.exists(bucketFilePath(dir, b, f)))
+          }
+        if (!readable)
           Files.deleteIfExists(Paths.get(dir, "_snapshots", s"$sid.json"))
       }
     }
@@ -421,6 +422,8 @@ object TableIO {
     * listed-but-unreadable snapshot. */
   def expireSnapshots(dir: String, keepLast: Int): Unit = {
     val head = readManifest(dir).getOrElse(return)
+    // unreadable entries must not count against the retention budget
+    pruneHistoryExcept(dir, head.snapshotId)
     val ids = snapshots(dir).filterNot(_ == head.snapshotId)
     val drop = ids.dropRight(math.max(keepLast, 0))
     if (drop.isEmpty) return
@@ -533,6 +536,13 @@ object TableIO {
   def readAt(spark: SparkSession, dir: String, snapshotId: Long): DataFrame = {
     val m = readManifestAt(dir, snapshotId).getOrElse(
       throw new IllegalStateException(s"no snapshot $snapshotId in $dir/_snapshots"))
+    // a legacy (no-file-list) manifest can only be read as "whatever is in
+    // the directory" — for the LIVE head that is exactly right, but serving
+    // it as a historical snapshot would silently include rows appended
+    // later; refuse instead of lying
+    if (m.files.isEmpty && m.buckets.nonEmpty)
+      throw new IllegalStateException(
+        s"snapshot $snapshotId of $dir predates file-granular manifests — not time-travelable")
     frameFor(spark, dir, m, None)
   }
 

@@ -165,6 +165,9 @@ object StreamEntries {
       q.stop()
       graft.store.TableIO.deleteRecursively(ckpt)
     }
-    graft.store.TableIO.read(spark, s"$out/triples")
+    // detach from the temp build so it can be reclaimed now, not on tmp GC
+    val res = graft.store.TableIO.read(spark, s"$out/triples").localCheckpoint(true)
+    graft.store.TableIO.deleteRecursively(out)
+    res
   }
 }

@@ -22,6 +22,10 @@ import graft.store.TableIO
   *                                      materialize tables into <tablesDir>
   *   import-ref <nodes.csv> <edges.csv>  ≙ joern-import for a REAL reference
   *                                      CSV export (TSV interchange format)
+  *   ingest <pages.parquet>           corpus-growth append (appendPages)
+  *   snapshots                        readAt-servable snapshot ids per table
+  *   compact                          collapse append-fragmented buckets
+  *   expire <keepLast>                snapshot retention (reclaims files)
   *   coref <id> [id...]               interproc expansion: mentions -> all
   *                                      co-referent mentions via the entity
   *   tag <tag> <id> [id...]           ≙ joern-tag (tags table, merged)
@@ -44,6 +48,44 @@ object KgCli {
         val counters = graft.Pipeline.materialize(spark, t, tablesDir)
         import spark.implicits._
         counters.toSeq.sortBy(_._1).toDF("counter", "value")
+      case "ingest" =>
+        // corpus-growth append (the production increment): a pages parquet
+        // (url, warc_ts, html, text, lang) joins the materialized build via
+        // Incremental.appendPages — O(batch) + merge-fallout delta
+        import spark.implicits._
+        val pages = spark.read.parquet(args(0))
+          .select(col("url"), col("warc_ts").cast("timestamp").as("warc_ts"),
+            col("html"), col("text"), col("lang"))
+          .as[graft.model.Page]
+        val st = graft.Incremental.appendPages(spark, pages, tablesDir)
+        Seq(
+          ("pages", st.pages),
+          ("newMappingRows", st.newMappingRows),
+          ("remappedIds", st.remappedIds),
+          ("tripleBucketsRewritten", st.tripleBucketsRewritten.toLong),
+          ("edgeBucketsRewritten", st.edgeBucketsRewritten.toLong),
+          ("skippedTables", st.skippedTables.size.toLong)).toDF("counter", "value")
+      case "snapshots" =>
+        // snapshot history across the build's tables (readAt-servable ids)
+        import spark.implicits._
+        (for {
+          tbl <- Seq("triples", "nodes", "edges", "components")
+          sid <- TableIO.snapshots(s"$tablesDir/$tbl")
+        } yield (tbl, sid)).toDF("table", "snapshotId")
+      case "compact" =>
+        import spark.implicits._
+        Seq("triples" -> col("url"), "nodes" -> col("id"),
+          "edges" -> col("src"), "components" -> col("id"))
+          .map { case (tbl, key) =>
+            (tbl, TableIO.compact(spark, s"$tablesDir/$tbl", key).size.toLong) }
+          .toDF("table", "bucketsCompacted")
+      case "expire" =>
+        import spark.implicits._
+        val keep = args(0).toInt
+        Seq("triples", "nodes", "edges", "components").map { tbl =>
+          TableIO.expireSnapshots(s"$tablesDir/$tbl", keep)
+          (tbl, TableIO.snapshots(s"$tablesDir/$tbl").size.toLong)
+        }.toDF("table", "snapshotsLeft")
       case "import-ref" =>
         // ≙ joern-import: load a reference nodes.csv/edges.csv export into
         // graft tables (FK-validated; dangling edges counted, not dropped).

@@ -141,6 +141,38 @@ class CliSpec extends AnyFunSuite with Matchers {
     dot2 should include(s""""n$m" """)
   }
 
+  test("ingest / snapshots / compact / expire: the crawl-append admin surface") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("kgcli-ingest").toString
+    val base = PageGen.Config(nPages = 60)
+    val t = Pipeline.run(spark, PageGen.pages(spark, base), base.nPersons)
+    Pipeline.materialize(spark, t, d)
+    t.flat.unpersist(false); t.components.unpersist(false)
+    // the crawl batch arrives as a pages parquet (the production shape)
+    val full = PageGen.Config(nPages = 80)
+    spark.range(60L, 80L).map(i => PageGen.page(full, i))
+      .write.parquet(s"$d-batch")
+    val st = KgCli.run(spark, d, "ingest", Seq(s"$d-batch"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    st("pages") should be > 0L
+    st("skippedTables") shouldBe 0L
+    // the three appended tables carry history (base build + append);
+    // components is snapshot-SWAPPED — a fresh table, one snapshot
+    val snaps = KgCli.run(spark, d, "snapshots", Nil)
+    snaps.select("table").distinct().count() shouldBe 4L
+    snaps.count() should be >= 7L
+    // the append fragmented buckets -> compact collapses them
+    val compacted = KgCli.run(spark, d, "compact", Nil)
+      .collect().map(_.getLong(1)).sum
+    compacted should be > 0L
+    // retention: head only
+    val left = KgCli.run(spark, d, "expire", Seq("0")).collect()
+    left.foreach(_.getLong(1) shouldBe 1L)
+    graft.store.TableIO.read(spark, s"$d/triples").count() should be > 0L
+    graft.store.TableIO.deleteRecursively(d)
+    graft.store.TableIO.deleteRecursively(s"$d-batch")
+  }
+
   test("TSV rendering escapes tabs/newlines and folds maps") {
     import spark.implicits._
     val df = Seq((1L, "a\tb\nc", Map("k" -> "v", "a" -> "b"))).toDF("id", "code", "props")

@@ -95,8 +95,11 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
     Pipeline.materialize(spark, t0, dir)
     t0.flat.unpersist(false); t0.components.unpersist(false)
 
-    // the monthly crawl batch: pages [60, 90)
-    val stats = Incremental.appendPages(spark, range(60, 90), dir, c.nPersons)
+    // the monthly crawl batch: pages [60, 90) — with a slice re-fetched
+    // INSIDE the batch window (duplicate urls must collapse to one row
+    // deterministically, not wedge the guards)
+    val stats = Incremental.appendPages(spark,
+      range(60, 90).union(range(75, 90)), dir, c.nPersons)
     stats.pages should be > 0L
     stats.skippedTables shouldBe empty
     // the batch's same_as evidence merges previously-distinct components —
