@@ -67,6 +67,84 @@ object Incremental {
   private def bucketCol(numBuckets: Int): Column =
     pmod(xxhash64(col("url")), lit(numBuckets)).cast("int")
 
+  /** Remap canonical ids in both triple slots (broadcast — merge-sized). */
+  private def applyRemap(t: DataFrame, r: DataFrame): DataFrame =
+    t.join(broadcast(r.withColumnRenamed("from", "subj")
+        .withColumnRenamed("to", "subjTo")), Seq("subj"), "left")
+      .join(broadcast(r.withColumnRenamed("from", "obj")
+        .withColumnRenamed("to", "objTo")), Seq("obj"), "left")
+      .select(
+        coalesce(col("subjTo"), col("subj")).as("subj"), col("pred"),
+        coalesce(col("objTo"), col("obj")).as("obj"),
+        col("objValue"), col("url"), col("conf"))
+
+  /** Eager merge fallout: find the buckets holding rows whose canonical ids
+    * changed and overwrite exactly those. Returns the rewritten buckets. */
+  private def rewriteStaleTriples(spark: SparkSession, triplesDir: String,
+                                  remap: DataFrame, remapN: Long,
+                                  numBuckets: Int): Set[Int] = {
+    import spark.implicits._
+    val old = TableIO.read(spark, triplesDir)
+    val tb = pmod(xxhash64(col("url")), lit(numBuckets)).cast("int").as("b")
+    // merges are usually few: below the literal threshold the stale-row
+    // probe is ONE scan with an isin predicate that pushes into parquet
+    // (row-group stats skip clean files); past it, two broadcast-semi
+    // column scans. Either way only (subj|obj, url) columns are read.
+    val stale =
+      (if (remapN <= 256) {
+        val ks = remap.select($"from").as[Long].collect().toSeq
+        old.filter(col("subj").isin(ks: _*) || col("obj").isin(ks: _*)).select(tb)
+      } else {
+        val keys = broadcast(remap.select($"from"))
+        old.join(keys, col("subj") === col("from"), "left_semi").select(tb)
+          .union(old.join(keys, col("obj") === col("from"), "left_semi").select(tb))
+      }).distinct().collect().map(_.getInt(0)).toSet
+    if (stale.nonEmpty) {
+      val rewritten = applyRemap(TableIO.read(spark, triplesDir, Some(stale)), remap)
+        .dropDuplicates("subj", "pred", "obj", "objValue", "url")
+      TableIO.rewriteBuckets(rewritten, triplesDir, col("url"), stale,
+        numBuckets = numBuckets)
+    }
+    stale
+  }
+
+  /** Read the triples table with any pending merge remap applied — the
+    * merge-on-read path. The broadcast join is merge-sized; the dedup is
+    * what the physical rewrite would have done (url is in the dedup key and
+    * determines the bucket, so it collapses only genuine within-page
+    * duplicates). With no pending remap this is exactly `TableIO.read`. */
+  def readTriples(spark: SparkSession, outDir: String): DataFrame = {
+    val t = TableIO.read(spark, s"$outDir/triples")
+    val remapDir = s"$outDir/triples_remap"
+    TableIO.readManifest(remapDir) match {
+      case None => t
+      case Some(m) if m.buckets.values.sum == 0 => t
+      case Some(_) =>
+        applyRemap(t, TableIO.read(spark, remapDir))
+          .dropDuplicates("subj", "pred", "obj", "objValue", "url")
+    }
+  }
+
+  /** Fold a pending deferred remap into the physical triples rows and drop
+    * the side table — the maintenance job that restores zero-overhead reads
+    * (run it with [[TableIO.compact]] on the same schedule). Idempotent:
+    * a crash between the rewrite and the side-table delete re-applies a
+    * remap whose `from` values no longer exist, a no-op. Returns the
+    * rewritten bucket set. */
+  def compactMergeRemap(spark: SparkSession, outDir: String,
+                        numBuckets: Int = TableIO.NumBuckets): Set[Int] = {
+    val remapDir = s"$outDir/triples_remap"
+    if (TableIO.readManifest(remapDir).isEmpty) return Set.empty
+    // the remap must survive the side-table delete below (blocks, not files)
+    val r = TableIO.read(spark, remapDir).localCheckpoint(true)
+    val rn = r.count()
+    val stale =
+      if (rn == 0) Set.empty[Int]
+      else rewriteStaleTriples(spark, s"$outDir/triples", r, rn, numBuckets)
+    TableIO.deleteRecursively(remapDir)
+    stale
+  }
+
   /** Apply a rule diff to a materialized build at `outDir`. Returns the set
     * of invalidated/recomputed triples buckets (empty = no-op diff). */
   def applyRuleDiff(spark: SparkSession, pages: Dataset[Page],
@@ -220,17 +298,33 @@ object Incremental {
     * O(|batch|) buckets their keys hash into (driver-side file pruning);
     * merge fallout rewrites only the buckets holding affected rows. Nothing
     * scans the corpus. */
+  /** `deferMergeRewrite`: the merge-on-read option. A merge into a popular
+    * entity (the head-entity case) can make EVERY triples bucket stale —
+    * the eager default then pays a near-full-table rewrite at append time.
+    * With deferral, the remap lands in a tiny side table
+    * (`<outDir>/triples_remap`) instead: [[readTriples]] applies it as a
+    * broadcast join (plus the dedup the physical rewrite would have done),
+    * and [[compactMergeRemap]] — the monthly maintenance job, like
+    * [[TableIO.compact]] — folds it into the rows and drops it. Appends stay
+    * O(batch) no matter how hot the merged entity is; reads between merge
+    * and compaction pay one small broadcast join. Successive deferred
+    * remaps COMPOSE (old chain routed through the new mapping), and an
+    * eager append onto a table with a pending remap folds it first. */
   def appendPages(spark: SparkSession, newPages: Dataset[Page], outDir: String,
                   nPersons: Int = 500, targetLang: String = "en",
                   rules: Seq[PatternRule] = PatternAutomaton.DefaultRules,
                   canonBroadcastCutover: Long = Pipeline.CanonBroadcastCutover,
-                  numBuckets: Int = TableIO.NumBuckets): AppendStats = {
+                  numBuckets: Int = TableIO.NumBuckets,
+                  deferMergeRewrite: Boolean = false): AppendStats = {
     import spark.implicits._
     import Schema.{EdgeKinds => EK, NodeKinds => NK}
     Seq("triples", "nodes", "edges", "components").foreach { t =>
       require(TableIO.readManifest(s"$outDir/$t").isDefined,
         s"appendPages requires a fully materialized build at $outDir (missing $t)")
     }
+    // an EAGER append must see physically-canonical rows — fold any pending
+    // deferred remap first so the stale-row probe can trust the bytes
+    if (!deferMergeRewrite) compactMergeRemap(spark, outDir, numBuckets)
     def bucketsOf(df: DataFrame, c: String): Set[Int] =
       df.select(pmod(xxhash64(col(c)), lit(numBuckets)).cast("int").as("b"))
         .distinct().collect().map(_.getInt(0)).toSet
@@ -327,38 +421,24 @@ object Incremental {
       s"triples table at $triplesDir holds a partial batch ($tripOverlap of $nUrls urls)")
     val tripApplied = nUrls > 0 && tripOverlap == nUrls
 
-    val tripleBucketsRewritten: Set[Int] = if (remapN == 0) Set.empty else {
-      val old = TableIO.read(spark, triplesDir)
-      val tb = pmod(xxhash64(col("url")), lit(numBuckets)).cast("int").as("b")
-      // merges are usually few: below the literal threshold the stale-row
-      // probe is ONE scan with an isin predicate that pushes into parquet
-      // (row-group stats skip clean files); past it, two broadcast-semi
-      // column scans. Either way only (subj|obj, url) columns are read.
-      val stale =
-        (if (remapN <= 256) {
-          val ks = remap.select($"from").as[Long].collect().toSeq
-          old.filter(col("subj").isin(ks: _*) || col("obj").isin(ks: _*)).select(tb)
-        } else {
-          val keys = broadcast(remap.select($"from"))
-          old.join(keys, col("subj") === col("from"), "left_semi").select(tb)
-            .union(old.join(keys, col("obj") === col("from"), "left_semi").select(tb))
-        }).distinct().collect().map(_.getInt(0)).toSet
-      if (stale.nonEmpty) {
-        val rewritten = TableIO.read(spark, triplesDir, Some(stale))
-          .join(broadcast(remap.withColumnRenamed("from", "subj")
-            .withColumnRenamed("to", "subjTo")), Seq("subj"), "left")
-          .join(broadcast(remap.withColumnRenamed("from", "obj")
-            .withColumnRenamed("to", "objTo")), Seq("obj"), "left")
-          .select(
-            coalesce($"subjTo", $"subj").as("subj"), $"pred",
-            coalesce($"objTo", $"obj").as("obj"),
-            $"objValue", $"url", $"conf")
-          .dropDuplicates("subj", "pred", "obj", "objValue", "url")
-        TableIO.rewriteBuckets(rewritten, triplesDir, col("url"), stale,
-          numBuckets = numBuckets)
-      }
-      stale
-    }
+    val tripleBucketsRewritten: Set[Int] =
+      if (remapN == 0) Set.empty
+      else if (deferMergeRewrite) {
+        // merge-on-read: record the remap in the side table, touch no data
+        // file. A pending chain is ROUTED through the new mapping first so
+        // one read-time lookup always reaches the current root.
+        val remapDir = s"$outDir/triples_remap"
+        val pending = TableIO.readManifest(remapDir)
+          .map(_ => TableIO.read(spark, remapDir))
+          .getOrElse(Seq.empty[(Long, Long)].toDF("from", "to"))
+        val hop = remap.withColumnRenamed("from", "t0").withColumnRenamed("to", "t1")
+        val routed = pending.join(broadcast(hop), pending("to") === hop("t0"), "left")
+          .select(pending("from"), coalesce($"t1", pending("to")).as("to"))
+        swapWrite(routed.unionByName(remap).dropDuplicates("from", "to"),
+          remapDir, col("from"), Map.empty, 1)
+        Set.empty
+      } else
+        rewriteStaleTriples(spark, triplesDir, remap, remapN, numBuckets)
     if (!tripApplied)
       TableIO.appendBucketed(triplesB, triplesDir, col("url"), batchCounters, numBuckets)
     (tripApplied, tripleBucketsRewritten)

@@ -135,6 +135,39 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
     TableIO.deleteRecursively(dir)
   }
 
+  test("deferred merge rewrite (merge-on-read): readTriples is current, compaction folds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mor").toString
+    val c = PageGen.Config(nPages = 90)
+    def range(lo: Long, hi: Long) = spark.range(lo, hi).map(i => PageGen.page(c, i))
+    val t0 = Pipeline.run(spark, range(0, 60), c.nPersons)
+    Pipeline.materialize(spark, t0, dir)
+    t0.flat.unpersist(false); t0.components.unpersist(false)
+
+    val stats = Incremental.appendPages(spark, range(60, 90), dir, c.nPersons,
+      deferMergeRewrite = true)
+    stats.remappedIds should be > 0L
+    stats.tripleBucketsRewritten shouldBe 0 // no data file was touched
+
+    val t1 = Pipeline.run(spark, range(0, 90), c.nPersons)
+    val want = sortedRows(t1.triples)
+    t1.flat.unpersist(false); t1.components.unpersist(false)
+    // the PHYSICAL rows still carry pre-merge canonical ids…
+    sortedRows(TableIO.read(spark, s"$dir/triples")) should not equal want
+    // …but the merge-on-read path serves the current truth
+    sortedRows(Incremental.readTriples(spark, dir)) shouldBe want
+
+    // maintenance folds the remap into the rows and drops the side table
+    val folded = Incremental.compactMergeRemap(spark, dir)
+    folded should not be empty
+    TableIO.readManifest(s"$dir/triples_remap") shouldBe None
+    sortedRows(TableIO.read(spark, s"$dir/triples")) shouldBe want
+    sortedRows(Incremental.readTriples(spark, dir)) shouldBe want // and is a plain read now
+    // idempotent: nothing left to fold
+    Incremental.compactMergeRemap(spark, dir) shouldBe empty
+    TableIO.deleteRecursively(dir)
+  }
+
   test("same_as rule diff falls back to a full rebuild (stale canonical map)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-incr-sa").toString
     val pages = PageGen.pages(spark, cfg)
