@@ -71,6 +71,28 @@ object AppendProbe {
         "[appendprobe] fullRebuild base=%d+%d sec=%.2f",
         Long.box(maxBase.toLong), Long.box(nBatch.toLong), Double.box(rebuildSec)))
       TableIO.deleteRecursively(dir)
+
+      // hot-merge contrast: same base + batch, eager vs merge-on-read. The
+      // smallest base is the merge-heavy one (head-entity links scatter
+      // stale rows into every bucket) — exactly where deferral pays.
+      Seq(false, true).foreach { defer =>
+        val d2 = java.nio.file.Files.createTempDirectory(
+          s"graft-append-probe-mor-$defer").toString
+        val tb = Pipeline.run(spark, range(0, nBase), c.nPersons)
+        Pipeline.materialize(spark, tb, d2)
+        tb.flat.unpersist(false); tb.components.unpersist(false)
+        val (st, sec) = time(Incremental.appendPages(spark,
+          range(maxBase, maxBase + nBatch), d2, c.nPersons,
+          deferMergeRewrite = defer))
+        val (_, readSec) = time(Incremental.readTriples(spark, d2).count())
+        println(String.format(java.util.Locale.ROOT,
+          "[appendprobe] mode=%s base=%d appendSec=%.2f readSec=%.2f " +
+            "remapped=%d tripleBucketsRewritten=%d",
+          if (defer) "merge-on-read" else "eager", Long.box(nBase.toLong),
+          Double.box(sec), Double.box(readSec), Long.box(st.remappedIds),
+          Long.box(st.tripleBucketsRewritten.toLong)))
+        TableIO.deleteRecursively(d2)
+      }
     } finally spark.stop()
   }
 }
