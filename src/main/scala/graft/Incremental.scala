@@ -85,7 +85,7 @@ object Incremental {
                                   numBuckets: Int): Set[Int] = {
     import spark.implicits._
     val old = TableIO.read(spark, triplesDir)
-    val tb = pmod(xxhash64(col("url")), lit(numBuckets)).cast("int").as("b")
+    val tb = bucketCol(numBuckets).as("b")
     // merges are usually few: below the literal threshold the stale-row
     // probe is ONE scan with an isin predicate that pushes into parquet
     // (row-group stats skip clean files); past it, two broadcast-semi
@@ -108,6 +108,38 @@ object Incremental {
     stale
   }
 
+  /** Entity-id remap lifted to the SAME_AS node-id space (merge-sized). */
+  private def nodeRemap(spark: SparkSession, r: DataFrame): DataFrame = {
+    import spark.implicits._
+    r.as[(Long, Long)]
+      .map { case (f, t) => (Ids.entityNodeId(f), Ids.entityNodeId(t)) }
+      .toDF("oldDst", "newDst").localCheckpoint(true)
+  }
+
+  private def applyEdgeRemap(e: DataFrame, remapNode: DataFrame): DataFrame =
+    e.join(broadcast(remapNode),
+      col("dst") === col("oldDst") && col("kind") === Schema.EdgeKinds.SameAs, "left")
+      .select(col("src"), coalesce(col("newDst"), col("dst")).as("dst"),
+        col("kind"), col("variable"), col("label"))
+
+  /** Eager SAME_AS merge fallout on the edges table (dst references roots;
+    * rows scatter by src hash). Returns the rewritten buckets. */
+  private def rewriteStaleSameAs(spark: SparkSession, edgesDir: String,
+                                 remap: DataFrame, numBuckets: Int): Set[Int] = {
+    val remapNode = nodeRemap(spark, remap)
+    val stale = TableIO.read(spark, edgesDir)
+      .filter(col("kind") === Schema.EdgeKinds.SameAs)
+      .join(broadcast(remapNode), col("dst") === col("oldDst"), "left_semi")
+      .select(pmod(xxhash64(col("src")), lit(numBuckets)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    if (stale.nonEmpty) {
+      val rewritten = applyEdgeRemap(TableIO.read(spark, edgesDir, Some(stale)), remapNode)
+      TableIO.rewriteBuckets(rewritten, edgesDir, col("src"), stale,
+        numBuckets = numBuckets)
+    }
+    stale
+  }
+
   /** Read the triples table with any pending merge remap applied — the
     * merge-on-read path. The broadcast join is merge-sized; the dedup is
     * what the physical rewrite would have done (url is in the dedup key and
@@ -115,34 +147,54 @@ object Incremental {
     * duplicates). With no pending remap this is exactly `TableIO.read`. */
   def readTriples(spark: SparkSession, outDir: String): DataFrame = {
     val t = TableIO.read(spark, s"$outDir/triples")
-    val remapDir = s"$outDir/triples_remap"
-    TableIO.readManifest(remapDir) match {
+    pendingRemap(spark, outDir) match {
       case None => t
-      case Some(m) if m.buckets.values.sum == 0 => t
-      case Some(_) =>
-        applyRemap(t, TableIO.read(spark, remapDir))
-          .dropDuplicates("subj", "pred", "obj", "objValue", "url")
+      case Some(r) => applyRemap(t, r)
+        .dropDuplicates("subj", "pred", "obj", "objValue", "url")
     }
   }
 
-  /** Fold a pending deferred remap into the physical triples rows and drop
-    * the side table — the maintenance job that restores zero-overhead reads
-    * (run it with [[TableIO.compact]] on the same schedule). Idempotent:
-    * a crash between the rewrite and the side-table delete re-applies a
-    * remap whose `from` values no longer exist, a no-op. Returns the
-    * rewritten bucket set. */
+  /** Read the edges table with any pending merge remap applied to its
+    * SAME_AS rows (the only edge kind referencing canonical roots). No
+    * dedup needed: each mapped id has exactly one SAME_AS row and the remap
+    * touches only its dst. */
+  def readEdges(spark: SparkSession, outDir: String): DataFrame = {
+    val e = TableIO.read(spark, s"$outDir/edges")
+    pendingRemap(spark, outDir) match {
+      case None => e
+      case Some(r) => applyEdgeRemap(e, nodeRemap(spark, r))
+    }
+  }
+
+  private def remapDir(outDir: String): String = s"$outDir/canon_remap"
+
+  private def pendingRemap(spark: SparkSession, outDir: String): Option[DataFrame] =
+    TableIO.readManifest(remapDir(outDir)) match {
+      case Some(m) if m.buckets.values.sum > 0 =>
+        Some(TableIO.read(spark, remapDir(outDir)))
+      case _ => None
+    }
+
+  /** Fold a pending deferred remap into the physical triples AND edges rows
+    * and drop the side table — the maintenance job that restores
+    * zero-overhead reads (run it with [[TableIO.compact]] on the same
+    * schedule; the KgCli `compact` verb does both). Idempotent: a crash
+    * between the rewrites and the side-table delete re-applies a remap
+    * whose `from` values no longer exist, a no-op. Returns the rewritten
+    * (triplesBuckets, edgesBuckets). */
   def compactMergeRemap(spark: SparkSession, outDir: String,
-                        numBuckets: Int = TableIO.NumBuckets): Set[Int] = {
-    val remapDir = s"$outDir/triples_remap"
-    if (TableIO.readManifest(remapDir).isEmpty) return Set.empty
+                        numBuckets: Int = TableIO.NumBuckets): (Set[Int], Set[Int]) = {
+    val rd = remapDir(outDir)
+    if (TableIO.readManifest(rd).isEmpty) return (Set.empty, Set.empty)
     // the remap must survive the side-table delete below (blocks, not files)
-    val r = TableIO.read(spark, remapDir).localCheckpoint(true)
+    val r = TableIO.read(spark, rd).localCheckpoint(true)
     val rn = r.count()
-    val stale =
-      if (rn == 0) Set.empty[Int]
-      else rewriteStaleTriples(spark, s"$outDir/triples", r, rn, numBuckets)
-    TableIO.deleteRecursively(remapDir)
-    stale
+    val folded =
+      if (rn == 0) (Set.empty[Int], Set.empty[Int])
+      else (rewriteStaleTriples(spark, s"$outDir/triples", r, rn, numBuckets),
+        rewriteStaleSameAs(spark, s"$outDir/edges", r, numBuckets))
+    TableIO.deleteRecursively(rd)
+    folded
   }
 
   /** Apply a rule diff to a materialized build at `outDir`. Returns the set
@@ -300,16 +352,20 @@ object Incremental {
     * scans the corpus. */
   /** `deferMergeRewrite`: the merge-on-read option. A merge into a popular
     * entity (the head-entity case) can make EVERY triples bucket stale —
-    * the eager default then pays a near-full-table rewrite at append time.
-    * With deferral, the remap lands in a tiny side table
-    * (`<outDir>/triples_remap`) instead: [[readTriples]] applies it as a
-    * broadcast join (plus the dedup the physical rewrite would have done),
-    * and [[compactMergeRemap]] — the monthly maintenance job, like
-    * [[TableIO.compact]] — folds it into the rows and drops it. Appends stay
-    * O(batch) no matter how hot the merged entity is; reads between merge
-    * and compaction pay one small broadcast join. Successive deferred
-    * remaps COMPOSE (old chain routed through the new mapping), and an
-    * eager append onto a table with a pending remap folds it first. */
+    * and the hot component's SAME_AS edges scatter by src hash, staling the
+    * edges table the same way — so the eager default pays near-full-table
+    * rewrites at append time. With deferral, the remap lands in ONE tiny
+    * side table (`<outDir>/canon_remap`, entity-id space): [[readTriples]]
+    * and [[readEdges]] apply it as broadcast joins, and
+    * [[compactMergeRemap]] — the monthly maintenance job, like
+    * [[TableIO.compact]] — folds it into both tables' rows and drops it.
+    * Appends stay O(batch) no matter how hot the merged entity is; reads
+    * between merge and compaction pay one small broadcast join. Successive
+    * deferred remaps COMPOSE (old chain routed through the new mapping),
+    * and an eager append onto a table with a pending remap folds it first.
+    * Note: direct `TableIO.read` of triples/edges sees the PHYSICAL
+    * (pre-merge) rows until compaction — readers that must see current
+    * canonical ids go through readTriples/readEdges (KgCli does). */
   def appendPages(spark: SparkSession, newPages: Dataset[Page], outDir: String,
                   nPersons: Int = 500, targetLang: String = "en",
                   rules: Seq[PatternRule] = PatternAutomaton.DefaultRules,
@@ -336,7 +392,9 @@ object Incremental {
     // the per-table resume guards agree with each other
     val dedupPages = {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("url")
-        .orderBy(col("warc_ts").desc, xxhash64(col("text")), xxhash64(col("html")))
+        .orderBy(col("warc_ts").desc, xxhash64(col("text")), xxhash64(col("html")),
+          col("lang")) // lang included: rows differing ONLY in lang must
+                       // still resolve identically on every retry
       newPages.toDF().withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn").as[Page]
     }
@@ -419,7 +477,11 @@ object Incremental {
         .join(batchUrls, Seq("url"), "left_semi").select("url").distinct().count()
     assert(tripOverlap == 0 || tripOverlap == nUrls,
       s"triples table at $triplesDir holds a partial batch ($tripOverlap of $nUrls urls)")
-    val tripApplied = nUrls > 0 && tripOverlap == nUrls
+    // a batch extracting ZERO triples has no url to probe — fall back to the
+    // authoritative page check, or a redelivery would append (and re-count)
+    // its empty frame's counters a second time
+    val tripApplied =
+      if (nUrls == 0) pageOverlap == nBatch else tripOverlap == nUrls
 
     val tripleBucketsRewritten: Set[Int] =
       if (remapN == 0) Set.empty
@@ -427,15 +489,15 @@ object Incremental {
         // merge-on-read: record the remap in the side table, touch no data
         // file. A pending chain is ROUTED through the new mapping first so
         // one read-time lookup always reaches the current root.
-        val remapDir = s"$outDir/triples_remap"
-        val pending = TableIO.readManifest(remapDir)
-          .map(_ => TableIO.read(spark, remapDir))
+        val rd = remapDir(outDir)
+        val pending = TableIO.readManifest(rd)
+          .map(_ => TableIO.read(spark, rd))
           .getOrElse(Seq.empty[(Long, Long)].toDF("from", "to"))
         val hop = remap.withColumnRenamed("from", "t0").withColumnRenamed("to", "t1")
         val routed = pending.join(broadcast(hop), pending("to") === hop("t0"), "left")
           .select(pending("from"), coalesce($"t1", pending("to")).as("to"))
         swapWrite(routed.unionByName(remap).dropDuplicates("from", "to"),
-          remapDir, col("from"), Map.empty, 1)
+          rd, col("from"), Map.empty, 1)
         Set.empty
       } else
         rewriteStaleTriples(spark, triplesDir, remap, remapN, numBuckets)
@@ -462,26 +524,13 @@ object Incremental {
       s"edges table at $edgesDir holds a partial batch ($edgeOverlap of $nBatch pages)")
     val edgesApplied = edgeOverlap == nBatch
 
-    val edgeBucketsRewritten: Set[Int] = if (remapN == 0) Set.empty else {
-      val remapNode = remap.as[(Long, Long)]
-        .map { case (f, t) => (Ids.entityNodeId(f), Ids.entityNodeId(t)) }
-        .toDF("oldDst", "newDst").localCheckpoint(true)
-      val stale = TableIO.read(spark, edgesDir)
-        .filter(col("kind") === EK.SameAs)
-        .join(broadcast(remapNode), col("dst") === col("oldDst"), "left_semi")
-        .select(pmod(xxhash64(col("src")), lit(numBuckets)).cast("int"))
-        .distinct().collect().map(_.getInt(0)).toSet
-      if (stale.nonEmpty) {
-        val rewritten = TableIO.read(spark, edgesDir, Some(stale))
-          .join(broadcast(remapNode),
-            col("dst") === col("oldDst") && col("kind") === EK.SameAs, "left")
-          .select(col("src"), coalesce(col("newDst"), col("dst")).as("dst"),
-            col("kind"), col("variable"), col("label"))
-        TableIO.rewriteBuckets(rewritten, edgesDir, col("src"), stale,
-          numBuckets = numBuckets)
-      }
-      stale
-    }
+    // SAME_AS rows are the only edges referencing canonical roots; their
+    // merge fallout scatters by src hash, so a hot merge makes this a
+    // near-full-table rewrite too — the SAME deferral applies (the node-id
+    // remap derives from the entity-id side table, so one table serves both)
+    val edgeBucketsRewritten: Set[Int] =
+      if (remapN == 0 || deferMergeRewrite) Set.empty
+      else rewriteStaleSameAs(spark, edgesDir, remap, numBuckets)
     if (!edgesApplied) {
       val freshSameAs =
         freshMapping
@@ -536,6 +585,10 @@ object Incremental {
     // retry after a crash-before-swap still sees nonzero deltas (the old
     // table is unchanged) and completes the swap — with the counters added
     // exactly once, since the crashed run never got here.
+    // Counter semantics (deliberate): the components manifest's counters
+    // advance only with mapping-CHANGING batches — it is a derived
+    // dimension table, not an ingest log; the three data tables carry the
+    // per-batch lineage.
     if (havePairs && (remapN > 0 || newMappingRows > 0)) {
       val priorC = TableIO.readManifest(s"$outDir/components").get.counters
       val mergedC = (priorC.keySet ++ batchCounters.keySet).map { k =>

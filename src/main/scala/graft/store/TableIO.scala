@@ -537,10 +537,11 @@ object TableIO {
     val m = readManifestAt(dir, snapshotId).getOrElse(
       throw new IllegalStateException(s"no snapshot $snapshotId in $dir/_snapshots"))
     // a legacy (no-file-list) manifest can only be read as "whatever is in
-    // the directory" — for the LIVE head that is exactly right, but serving
-    // it as a historical snapshot would silently include rows appended
-    // later; refuse instead of lying
-    if (m.files.isEmpty && m.buckets.nonEmpty)
+    // the directory" — for the LIVE head that is exactly right (same
+    // semantics as read()), but serving it as a HISTORICAL snapshot would
+    // silently include rows appended later; refuse instead of lying
+    val isLiveHead = readManifest(dir).exists(_.snapshotId == snapshotId)
+    if (m.files.isEmpty && m.buckets.nonEmpty && !isLiveHead)
       throw new IllegalStateException(
         s"snapshot $snapshotId of $dir predates file-granular manifests — not time-travelable")
     frameFor(spark, dir, m, None)

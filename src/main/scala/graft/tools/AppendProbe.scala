@@ -87,10 +87,11 @@ object AppendProbe {
         val (_, readSec) = time(Incremental.readTriples(spark, d2).count())
         println(String.format(java.util.Locale.ROOT,
           "[appendprobe] mode=%s base=%d appendSec=%.2f readSec=%.2f " +
-            "remapped=%d tripleBucketsRewritten=%d",
+            "remapped=%d tripleBucketsRewritten=%d edgeBucketsRewritten=%d",
           if (defer) "merge-on-read" else "eager", Long.box(nBase.toLong),
           Double.box(sec), Double.box(readSec), Long.box(st.remappedIds),
-          Long.box(st.tripleBucketsRewritten.toLong)))
+          Long.box(st.tripleBucketsRewritten.toLong),
+          Long.box(st.edgeBucketsRewritten.toLong)))
         TableIO.deleteRecursively(d2)
       }
     } finally spark.stop()

@@ -40,7 +40,10 @@ object KgCli {
   /** Verb dispatch — returns the result frame (main prints it as TSV). */
   def run(spark: SparkSession, tablesDir: String, verb: String, args: Seq[String]): DataFrame = {
     lazy val nodes = TableIO.read(spark, s"$tablesDir/nodes")
-    lazy val edges = TableIO.read(spark, s"$tablesDir/edges")
+    // merge-on-read aware: a pending deferred canon remap (appendPages
+    // deferMergeRewrite) is applied to SAME_AS rows, so every query verb
+    // serves CURRENT canonical ids, not pre-merge bytes
+    lazy val edges = graft.Incremental.readEdges(spark, tablesDir)
     verb match {
       case "build" =>
         val cfg = graft.model.PageGen.Config(nPages = args(0).toInt)
@@ -74,10 +77,15 @@ object KgCli {
         } yield (tbl, sid)).toDF("table", "snapshotId")
       case "compact" =>
         import spark.implicits._
-        Seq("triples" -> col("url"), "nodes" -> col("id"),
+        // maintenance pass: fold any pending merge remap into the rows
+        // FIRST (restores zero-overhead physical reads), then coalesce
+        // append-fragmented files
+        val (rt, re) = graft.Incremental.compactMergeRemap(spark, tablesDir)
+        (Seq("triples" -> col("url"), "nodes" -> col("id"),
           "edges" -> col("src"), "components" -> col("id"))
           .map { case (tbl, key) =>
             (tbl, TableIO.compact(spark, s"$tablesDir/$tbl", key).size.toLong) }
+          :+ ("remapFoldedBuckets", (rt.size + re.size).toLong))
           .toDF("table", "bucketsCompacted")
       case "expire" =>
         import spark.implicits._
@@ -229,7 +237,8 @@ object KgCli {
           edges.filter(col("kind").isin(kinds: _*))))
       case other =>
         throw new IllegalArgumentException(
-          s"unknown verb '$other' (build|import-ref|lookup|code|location|edges|slice|coref|" +
+          s"unknown verb '$other' (build|import-ref|ingest|snapshots|compact|expire|" +
+            "lookup|code|location|edges|slice|coref|" +
             "tag|untag|hide|unhide|features|knn|cluster|plot|plot-slice|" +
             "list-tags|list-pages|list-entities)")
     }

@@ -148,23 +148,28 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
       deferMergeRewrite = true)
     stats.remappedIds should be > 0L
     stats.tripleBucketsRewritten shouldBe 0 // no data file was touched
+    stats.edgeBucketsRewritten shouldBe 0   // SAME_AS fallout deferred too
 
     val t1 = Pipeline.run(spark, range(0, 90), c.nPersons)
     val want = sortedRows(t1.triples)
+    val wantE = sortedRows(t1.edges)
     t1.flat.unpersist(false); t1.components.unpersist(false)
     // the PHYSICAL rows still carry pre-merge canonical ids…
     sortedRows(TableIO.read(spark, s"$dir/triples")) should not equal want
-    // …but the merge-on-read path serves the current truth
+    // …but the merge-on-read paths serve the current truth
     sortedRows(Incremental.readTriples(spark, dir)) shouldBe want
+    sortedRows(Incremental.readEdges(spark, dir)) shouldBe wantE
 
     // maintenance folds the remap into the rows and drops the side table
-    val folded = Incremental.compactMergeRemap(spark, dir)
-    folded should not be empty
-    TableIO.readManifest(s"$dir/triples_remap") shouldBe None
+    val (ft, fe) = Incremental.compactMergeRemap(spark, dir)
+    ft should not be empty
+    fe should not be empty
+    TableIO.readManifest(s"$dir/canon_remap") shouldBe None
     sortedRows(TableIO.read(spark, s"$dir/triples")) shouldBe want
-    sortedRows(Incremental.readTriples(spark, dir)) shouldBe want // and is a plain read now
+    sortedRows(TableIO.read(spark, s"$dir/edges")) shouldBe wantE
+    sortedRows(Incremental.readTriples(spark, dir)) shouldBe want // a plain read now
     // idempotent: nothing left to fold
-    Incremental.compactMergeRemap(spark, dir) shouldBe empty
+    Incremental.compactMergeRemap(spark, dir) shouldBe ((Set.empty, Set.empty))
     TableIO.deleteRecursively(dir)
   }
 
