@@ -173,6 +173,36 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
     TableIO.deleteRecursively(dir)
   }
 
+  test("deferred remaps across epochs compose; an eager append folds the pending chain") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mor2").toString
+    val c = PageGen.Config(nPages = 150)
+    def range(lo: Long, hi: Long) = spark.range(lo, hi).map(i => PageGen.page(c, i))
+    val t0 = Pipeline.run(spark, range(0, 60), c.nPersons)
+    Pipeline.materialize(spark, t0, dir)
+    t0.flat.unpersist(false); t0.components.unpersist(false)
+
+    // two deferred crawl epochs back to back: the second composes its remap
+    // onto the pending chain (one read-time hop must reach the final root)
+    Incremental.appendPages(spark, range(60, 90), dir, c.nPersons, deferMergeRewrite = true)
+    Incremental.appendPages(spark, range(90, 120), dir, c.nPersons, deferMergeRewrite = true)
+    val t1 = Pipeline.run(spark, range(0, 120), c.nPersons)
+    val want120 = sortedRows(t1.triples)
+    t1.flat.unpersist(false); t1.components.unpersist(false)
+    sortedRows(Incremental.readTriples(spark, dir)) shouldBe want120
+
+    // a plain EAGER append folds the pending chain before trusting bytes
+    Incremental.appendPages(spark, range(120, 150), dir, c.nPersons)
+    TableIO.readManifest(s"$dir/canon_remap") shouldBe None
+    val t2 = Pipeline.run(spark, range(0, 150), c.nPersons)
+    val want150 = sortedRows(t2.triples)
+    val want150E = sortedRows(t2.edges)
+    t2.flat.unpersist(false); t2.components.unpersist(false)
+    sortedRows(TableIO.read(spark, s"$dir/triples")) shouldBe want150
+    sortedRows(TableIO.read(spark, s"$dir/edges")) shouldBe want150E
+    TableIO.deleteRecursively(dir)
+  }
+
   test("same_as rule diff falls back to a full rebuild (stale canonical map)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-incr-sa").toString
     val pages = PageGen.pages(spark, cfg)

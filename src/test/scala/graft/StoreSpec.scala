@@ -256,6 +256,26 @@ class StoreSpec extends AnyFunSuite with Matchers {
     TableIO.deleteRecursively(dir)
   }
 
+  test("history heal: a head that lost its history entry is served and re-recorded") {
+    import spark.implicits._
+    val dir = freshDir()
+    TableIO.writeBucketed(sample(), dir, col("key"), numBuckets = 8)
+    val h = TableIO.appendBucketed(
+      (1000 until 1100).map(i => (s"k$i", i.toLong)).toDF("key", "value"),
+      dir, col("key"), numBuckets = 8).snapshotId
+    // simulate the crash window between head swap and history write
+    Files.delete(java.nio.file.Paths.get(dir, "_snapshots", s"$h.json"))
+    TableIO.snapshots(dir) should contain(h) // the live head is still listed
+    TableIO.readAt(spark, dir, h).count() shouldBe 1100L // served via head fallback
+    // the next commit heals the gap durably
+    TableIO.appendBucketed(
+      (1100 until 1150).map(i => (s"k$i", i.toLong)).toDF("key", "value"),
+      dir, col("key"), numBuckets = 8)
+    Files.exists(java.nio.file.Paths.get(dir, "_snapshots", s"$h.json")) shouldBe true
+    TableIO.readAt(spark, dir, h).count() shouldBe 1100L
+    TableIO.deleteRecursively(dir)
+  }
+
   test("legacy manifest (no file lists) is backfilled by the first append") {
     import spark.implicits._
     val dir = freshDir()
