@@ -51,6 +51,46 @@ object Queries {
       }
     }
 
+  // --- shared bootstrap for the corpus-growth entries: kg_append_triples
+  // and st5_stream_ingest both start from a materialized build of the first
+  // 80% of the corpus. Build it ONCE per (sfDir, session) into a cached
+  // master dir, and hand each consumer a fresh COPY (appends mutate).
+  private val baseSlot = new java.util.concurrent.atomic.AtomicReference[(String, String)]()
+  private[graft] def appendSplit(sfDir: String): Long = (kgPages(sfDir) * 4L) / 5L
+  private[graft] def appendBaseCopy(s: SparkSession, sfDir: String): String =
+    baseSlot.synchronized {
+      val key = sfDir + "@" + s.hashCode()
+      val cur = baseSlot.get()
+      val master =
+        if (cur != null && cur._1 == key) cur._2
+        else {
+          val c = PageGen.Config(nPages = kgPages(sfDir))
+          val dir = java.nio.file.Files.createTempDirectory("graft-append-base").toString
+          import s.implicits._
+          val t = Pipeline.run(s,
+            s.range(0L, appendSplit(sfDir)).map(i => PageGen.page(c, i)), c.nPersons)
+          Pipeline.materialize(s, t, dir)
+          t.flat.unpersist(false); t.components.unpersist(false)
+          if (cur != null) graft.store.TableIO.deleteRecursively(cur._2)
+          baseSlot.set((key, dir))
+          dir
+        }
+      val copy = java.nio.file.Files.createTempDirectory("graft-append-work").toString
+      copyTree(java.nio.file.Paths.get(master), java.nio.file.Paths.get(copy))
+      copy
+    }
+
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(src)
+    try walk.iterator().asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- KG construction (the north-rule pipeline) ----------------
     "kg_triples" -> ((s, d) => kg(s, d).triples),
@@ -69,12 +109,9 @@ object Queries {
     // append ≡ rebuild (including retroactive entity merges) hash-exactly
     "kg_append_triples" -> ((s, d) => {
       val c = PageGen.Config(nPages = kgPages(d))
-      val split = (c.nPages * 4L) / 5L
-      val dir = java.nio.file.Files.createTempDirectory("graft-kg-append").toString
+      val split = appendSplit(d)
+      val dir = appendBaseCopy(s, d) // shared bootstrap, private copy
       import s.implicits._
-      val t0 = Pipeline.run(s, s.range(0L, split).map(i => PageGen.page(c, i)), c.nPersons)
-      Pipeline.materialize(s, t0, dir)
-      t0.flat.unpersist(false); t0.components.unpersist(false)
       Incremental.appendPages(s,
         s.range(split, c.nPages.toLong).map(i => PageGen.page(c, i)), dir, c.nPersons)
       // detach the result from the temp build (blocks, not files) so the

@@ -140,13 +140,9 @@ object StreamEntries {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     val n = graft.Queries.kgPages(dir)
-    val split = n * 4 / 5
+    val split = graft.Queries.appendSplit(dir).toInt
     val cfg = graft.model.PageGen.Config(nPages = n)
-    val out = Files.createTempDirectory("graft-stream-ingest").toString
-    val t0 = graft.Pipeline.run(spark,
-      spark.range(0L, split.toLong).map(i => graft.model.PageGen.page(cfg, i)), cfg.nPersons)
-    graft.Pipeline.materialize(spark, t0, out)
-    t0.flat.unpersist(false); t0.components.unpersist(false)
+    val out = graft.Queries.appendBaseCopy(spark, dir) // shared bootstrap, private copy
 
     val mem = MemoryStream[graft.model.Page]
     val ckpt = Files.createTempDirectory("graft-ckpt-ingest").toString
