@@ -401,6 +401,34 @@ object Queries {
           sum("n_chars").as("total_chars"))
         .orderBy("source")
     }),
+    // substring-level dedup (Lee et al. 2022): cross-document duplicated
+    // token spans. The natural corpus duplication suffices (small shared
+    // vocabulary) — no planted copies needed at k=8
+    "d12_dup_spans" -> ((s, d) =>
+      graft.ops.CorpusOps.duplicatedSpans(t(s, d, "documents"), k = 8, minDocs = 2)
+        .orderBy("doc_id", "span_start")),
+    // benchmark-contamination scan: train = sources != src0, bench = src0
+    "d13_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.CorpusOps.contamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), k = 8)
+        .orderBy("doc_id")
+    }),
+    // token-budget shard packing — the distributed prefix-sum pattern
+    "d14_shard_pack" -> ((s, d) =>
+      graft.ops.CorpusOps.shardPack(t(s, d, "documents"), budget = 2000L, chunk = 50L)
+        .orderBy("doc_id")),
+    // Gopher repetition metrics (integer-exact bigram stats)
+    "d15_repetition" -> ((s, d) =>
+      graft.ops.CorpusOps.repetitionMetrics(t(s, d, "documents"))
+        .orderBy("doc_id")),
+    // deterministic stratified sampling: per-language keep quotas in basis
+    // points, selector = salted md5 (bit-identical in the DuckDB oracle)
+    "d16_stratified_sample" -> ((s, d) =>
+      graft.ops.CorpusOps.stratifiedSample(t(s, d, "documents"),
+        Map("en" -> 2500, "de" -> 5000, "zh" -> 10000), defaultBp = 1000)
+        .orderBy("doc_id")),
 
     // ---------------- similarity search: embeddings ----------------
     "e1_ann_bruteforce" -> ((s, d) => graft.ops.Similarity.bruteForceTopK(
@@ -892,6 +920,71 @@ object Queries {
         |ORDER BY b.doc_id""".stripMargin,
     "d7_langid" -> langIdOracleSql,
     "d11_corpus_prep" -> corpusPrepOracleSql,
+    // substring-level dedup: same tokenizer, same k=8 grams, same span-merge
+    // rule (chain iff next start within k of previous start)
+    "d12_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |pg AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(t) - 7),
+        |    i -> struct_pack(p := i, g := array_to_string(t[i+1:i+8], ' ')))) AS s
+        |  FROM toks WHERE len(t) >= 8),
+        |occ0 AS (SELECT doc_id, s.p AS p, s.g AS g FROM pg),
+        |dup AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM occ0)
+        |        GROUP BY g HAVING count(*) >= 2),
+        |occ AS (SELECT doc_id, p FROM occ0 WHERE g IN (SELECT g FROM dup)),
+        |sp AS (SELECT doc_id, p,
+        |         CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 8
+        |              THEN 1 ELSE 0 END AS brk
+        |       FROM occ WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+        |sg AS (SELECT doc_id, p,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS sid FROM sp)
+        |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+        |       CAST(max(p) + 8 AS BIGINT) AS span_end
+        |FROM sg GROUP BY doc_id, sid ORDER BY doc_id, span_start""".stripMargin,
+    "d13_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, unnest(list_transform(range(len(t) - 7),
+        |    i -> array_to_string(t[i+1:i+8], ' '))) AS g
+        |  FROM toks WHERE len(t) >= 8),
+        |bench AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+        |tr AS (SELECT DISTINCT doc_id, g FROM g WHERE source <> 'src0')
+        |SELECT doc_id, count(*) AS n_shared_grams
+        |FROM tr WHERE g IN (SELECT g FROM bench)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d14_shard_pack" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_toks
+        |  FROM documents)
+        |SELECT doc_id, n_toks,
+        |  CAST((sum(n_toks) OVER (ORDER BY doc_id) - n_toks) // 2000 AS BIGINT) AS shard_id
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "d15_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+        |    i -> array_to_string(t[i+1:i+2], ' '))) AS g
+        |  FROM toks WHERE len(t) >= 2),
+        |c AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |  CAST(max(n) AS BIGINT) AS top_bigram_n,
+        |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_rep_occ
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // selector mirrors CorpusOps.stratifiedSample bit-exactly: first 12 md5
+    // hex chars of 'strat:<doc_id>' as an integer, mod 10000
+    "d16_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 10000
+        |  < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000 WHEN 'zh' THEN 10000 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin,
     // e2 runs with nProbe == nCentroids (exhaustive probing — see the query
     // comment), so the IVF plumbing must reproduce exact brute force
     "e2_ann_ivf" ->

@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline needs
+  * beyond document-level dedup (Dedup.scala) and per-doc signals
+  * (TextAnalysis.scala): cross-document duplicated-substring detection
+  * (the "dedup at the substring level" of Lee et al. 2022, arXiv:2107.06499),
+  * benchmark-contamination checks, token-budget shard packing, intra-document
+  * repetition metrics (the Gopher repetition filters, arXiv:2112.11446 §A1.1),
+  * and deterministic stratified sampling.
+  *
+  * Scale notes (the 100-TB shapes):
+  *  - gram detection is groupBy on the gram key — map-side partial agg; the
+  *    duplicated-gram SET is corpus-bounded and re-attaches via a semi-join,
+  *    never an all-pairs join;
+  *  - span merging windows only WITHIN one document (bounded by doc length);
+  *  - shard packing is a distributed prefix sum: per-chunk totals (partial
+  *    agg) -> O(#chunks) driver prefix -> per-chunk windows. No global
+  *    single-task ORDER BY window anywhere;
+  *  - sampling/repetition are pure column exprs / two-stage partial aggs.
+  */
+object CorpusOps {
+
+  /** Whitespace tokens with empties dropped — one tokenizer for every op in
+    * this file, mirrored verbatim by the DuckDB oracles
+    * (`list_filter(string_split_regex(text, '\s+'), x -> x <> '')`). */
+  private def toks(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** (doc_id, p, g): every k-token shingle of every document with its start
+    * position. The gram key is the token STRING here so the DuckDB oracle can
+    * join on equality; at 100-TB scale the key would be a 128-bit hash of the
+    * gram (same plan shape, narrower shuffle). */
+  private def grams(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("t")) - k),
+          i => concat_ws(" ", slice(col("t"), i + lit(1), lit(k))))))
+      .select(col("doc_id"), col("pos").cast("long").as("p"), col("col").as("g"))
+
+  /** Cross-document duplicated-substring spans (Lee et al. 2022): every
+    * maximal token span of a document whose every k-gram also appears in at
+    * least `minDocs - 1` OTHER documents' text. Returns
+    * (doc_id, span_start, span_end) in token offsets, span_end exclusive —
+    * the spans a substring-level dedup pass would cut.
+    *
+    * Plan: grams -> distinct (doc, gram) -> groupBy gram (partial agg) ->
+    * duplicated-gram set -> LEFT SEMI re-attach -> per-document window merge
+    * of overlapping/adjacent gram starts (two grams chain iff the second
+    * starts within k tokens of the first, i.e. their coverage is contiguous).
+    * The only window is partitioned by doc_id — bounded by document length,
+    * never by corpus-wide key frequency (the hot gram is handled in the
+    * groupBy, which partial-aggregates). */
+  def duplicatedSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val g = grams(docs, k)
+    // distinct FIRST: a gram repeated inside one doc must not count as
+    // cross-document duplication
+    val dup = g.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("g")
+    val occ = g.join(dup, Seq("g"), "left_semi").select("doc_id", "p")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    occ
+      .withColumn("brk",
+        when(lag(col("p"), 1).over(w).isNull ||
+          col("p") > lag(col("p"), 1).over(w) + k, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("sid"))
+      .agg(min(col("p")).as("span_start"), (max(col("p")) + k).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
+  /** Benchmark-contamination check: training documents sharing at least one
+    * k-gram with a benchmark/eval set. Returns (doc_id, n_shared_grams =
+    * count of DISTINCT benchmark grams the doc contains). The benchmark gram
+    * set is corpus-independent (eval suites are small) — Catalyst broadcasts
+    * the build side on its own when it fits; the join stays an equi semi
+    * shape either way. */
+  def contamination(train: DataFrame, bench: DataFrame, k: Int = 8): DataFrame = {
+    val benchGrams = grams(bench, k).select("g").distinct()
+    grams(train, k).select("doc_id", "g").distinct()
+      .join(benchGrams, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** Token-budget shard packing: assign documents, in doc_id order, to
+    * training shards of `budget` tokens (a document lands in the shard its
+    * running-total START offset falls in). The global running sum is the
+    * distributed prefix-sum pattern, NOT a global ORDER BY window:
+    *   1. chunk by value range (floor(doc_id / chunk) — deterministic, no
+    *      sampling pass, preserves global order across chunks);
+    *   2. per-chunk token totals via groupBy (map-side partial agg);
+    *   3. O(#chunks) driver-side exclusive prefix — the only driver data is
+    *      one row per chunk;
+    *   4. per-chunk running sum (window bounded by chunk size) + offset.
+    * At 10^12 docs: #chunks ~ tens of thousands of rows on the driver,
+    * every shuffle keyed and partial-agged, no single-task stage. */
+  def shardPack(docs: DataFrame, budget: Long, chunk: Long = 100L): DataFrame = {
+    val spark = docs.sparkSession
+    val perDoc = docs
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_toks"),
+        expr(s"doc_id div ${chunk}L").as("cid"))
+    val chunkTotals = perDoc.groupBy("cid").agg(sum("n_toks").as("ctoks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // exclusive prefix: chunk i's offset = sum of all earlier chunks' tokens
+    var acc = 0L
+    val offsets = chunkTotals.map { case (cid, n) => val o = (cid, acc); acc += n; o }.toSeq
+    import spark.implicits._
+    val offDf = offsets.toDF("cid", "coff")
+    val w = Window.partitionBy("cid").orderBy("doc_id")
+    perDoc.join(broadcast(offDf), Seq("cid"))
+      .withColumn("start_off", sum(col("n_toks")).over(w) + col("coff") - col("n_toks"))
+      .select(col("doc_id"), col("n_toks"),
+        expr(s"start_off div ${budget}L").as("shard_id"))
+  }
+
+  /** Gopher-style intra-document repetition metrics (arXiv:2112.11446
+    * §A1.1), integer-exact: per document, the total bigram count, the count
+    * of the most frequent token bigram, and how many bigram occurrences
+    * belong to bigrams seen more than once in the doc. Two groupBy stages,
+    * both partial-agg; the quality filter itself is then a cheap predicate
+    * (e.g. top_bigram_n / n_bigrams > 0.2 -> drop). */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val bigrams = docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => concat_ws(" ", slice(col("t"), i + lit(1), lit(2))))).as("g"))
+    bigrams.groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"),
+        max("n").as("top_bigram_n"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_rep_occ"))
+  }
+
+  /** Deterministic stratified sampling: keep a per-language quota of docs,
+    * selected by a salted md5 of the doc id — reproducible across engines
+    * and runs, no RNG state, embarrassingly parallel. `quotas` maps lang ->
+    * keep-rate in basis points (per 10,000); absent langs use `defaultBp`.
+    * The selector (first 12 md5 hex chars as an integer, mod 10,000) is
+    * mirrored bit-exactly by the DuckDB oracle. */
+  def stratifiedSample(docs: DataFrame, quotas: Map[String, Int],
+                       defaultBp: Int = 0, salt: String = "strat:"): DataFrame = {
+    val sel = conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 12),
+      16, 10).cast("long") % 10000L
+    val quota = quotas.toSeq.sortBy(_._1).foldLeft(lit(defaultBp)) {
+      case (acc, (lang, bp)) => when(col("lang") === lang, lit(bp)).otherwise(acc)
+    }
+    docs.filter(sel < quota).select("doc_id", "lang", "source")
+  }
+}

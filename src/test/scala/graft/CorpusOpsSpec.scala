@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+
+import graft.ops.CorpusOps
+
+class CorpusOpsSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def tok(prefix: String, n: Int): Seq[String] = (1 to n).map(p => s"$prefix$p")
+  private val shared = tok("S", 12)
+
+  test("duplicatedSpans: one maximal span per doc over a shared 12-token run (k=8)") {
+    val corpus = docs(
+      1L -> (tok("u", 5) ++ shared ++ tok("x", 5)).mkString(" "),
+      2L -> (tok("v", 3) ++ shared ++ tok("y", 5)).mkString(" "))
+    val r = CorpusOps.duplicatedSpans(corpus, k = 8, minDocs = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    // doc 1: shared run occupies tokens [5,17); grams fully inside start at
+    // 5..9 and chain into ONE span [5, 9+8) = [5, 17)
+    r shouldBe Set((1L, 5L, 17L), (2L, 3L, 15L))
+  }
+
+  test("duplicatedSpans: a gram repeated WITHIN one doc is not cross-doc duplication") {
+    val rep = tok("T", 8)
+    val corpus = docs(
+      1L -> (rep ++ Seq("w1") ++ rep).mkString(" "), // same 8-gram twice, one doc
+      2L -> tok("z", 20).mkString(" "))
+    CorpusOps.duplicatedSpans(corpus, k = 8, minDocs = 2).count() shouldBe 0L
+  }
+
+  test("duplicatedSpans: runs separated by more than k unique tokens split into two spans") {
+    val a = tok("A", 8); val b = tok("B", 8)
+    val corpus = docs(
+      1L -> (a ++ tok("p", 9) ++ b).mkString(" "),
+      2L -> (a ++ tok("q", 9) ++ b).mkString(" "))
+    val r = CorpusOps.duplicatedSpans(corpus, k = 8, minDocs = 2)
+      .filter(col("doc_id") === 1L)
+      .collect().map(x => (x.getLong(1), x.getLong(2))).toSet
+    r shouldBe Set((0L, 8L), (17L, 25L))
+  }
+
+  test("contamination: only train docs sharing a k-gram with the bench set are flagged") {
+    val g = tok("G", 8)
+    val train = docs(
+      10L -> (tok("a", 4) ++ g ++ tok("b", 4)).mkString(" "),
+      11L -> tok("c", 20).mkString(" "))
+    val bench = docs(99L -> (tok("e", 2) ++ g).mkString(" "))
+    val r = CorpusOps.contamination(train, bench, k = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    r shouldBe Map(10L -> 1L)
+  }
+
+  test("shardPack matches a local cumulative sum and is chunk-size invariant") {
+    val corpus = docs((0L until 37L).map(i =>
+      i -> tok("w", (i % 7 + 1).toInt).mkString(" ")): _*)
+    def run(chunk: Long) = CorpusOps.shardPack(corpus, budget = 10L, chunk = chunk)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sortBy(_._1)
+    val r = run(5L)
+    // local reference: running start offset // budget in doc_id order
+    var acc = 0L
+    val expected = (0L until 37L).map { i =>
+      val n = i % 7 + 1
+      val s = (i, n, acc / 10L); acc += n; s
+    }
+    r.toSeq shouldBe expected
+    run(1000L).toSeq shouldBe expected // one chunk ≡ many chunks
+  }
+
+  test("repetitionMetrics: exact bigram stats") {
+    val r = CorpusOps.repetitionMetrics(docs(1L -> "a b a b c"))
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3)))
+    // bigrams: "a b" x2, "b a" x1, "b c" x1
+    r.toSeq shouldBe Seq((4L, 2L, 2L))
+  }
+
+  test("stratifiedSample: full quota keeps everything, zero default drops the rest; monotone") {
+    import spark.implicits._
+    val corpus = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) "en" else "fr", "s")).toDF("doc_id", "lang", "source")
+    val all = CorpusOps.stratifiedSample(corpus, Map("en" -> 10000), defaultBp = 0)
+      .collect().map(_.getLong(0)).toSet
+    all shouldBe (0L until 200L).filter(_ % 2 == 0).toSet
+    val half = CorpusOps.stratifiedSample(corpus, Map("en" -> 5000), defaultBp = 0)
+      .collect().map(_.getLong(0)).toSet
+    val quarter = CorpusOps.stratifiedSample(corpus, Map("en" -> 2500), defaultBp = 0)
+      .collect().map(_.getLong(0)).toSet
+    quarter.subsetOf(half) shouldBe true // selector is monotone in the quota
+    half.subsetOf(all) shouldBe true
+    // deterministic: same call, same rows
+    CorpusOps.stratifiedSample(corpus, Map("en" -> 5000), defaultBp = 0)
+      .collect().map(_.getLong(0)).toSet shouldBe half
+  }
+}

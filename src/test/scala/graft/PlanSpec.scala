@@ -159,4 +159,23 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan shouldNot include("CartesianProduct")
     graft.store.TableIO.deleteRecursively(dir)
   }
+
+  test("shardPack is a distributed prefix sum: per-chunk windows, never a global one") {
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = physical(graft.ops.CorpusOps.shardPack(docsDf, budget = 2000L, chunk = 50L))
+    // a global ORDER BY running sum would plan `Exchange SinglePartition`
+    // under the Window — the one-task stage that dies first at scale
+    plan shouldNot include("SinglePartition")
+    plan should include("Window") // the bounded per-chunk running sum
+    plan should include("BroadcastHashJoin") // O(#chunks) offsets re-attach
+  }
+
+  test("duplicatedSpans: gram stages partial-aggregate; no single-partition stage") {
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = physical(graft.ops.CorpusOps.duplicatedSpans(docsDf, k = 8, minDocs = 2))
+    // the hot-gram count (boilerplate shingles) must map-side combine,
+    // and the only Window is partitioned by doc_id (bounded by doc length)
+    plan should include("partial_")
+    plan shouldNot include("SinglePartition")
+  }
 }
