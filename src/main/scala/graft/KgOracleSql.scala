@@ -439,6 +439,36 @@ object KgOracleSql {
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY a, b""".stripMargin,
     "d8_fingerprint" -> s"""SELECT doc_id, fp0 FROM $SIG ORDER BY doc_id""",
 
+    // fuzzy-dedup clustering: d3's banding SQL derives the near-dup pairs
+    // from the signature dump; a recursive CTE (min-label propagation to
+    // fixpoint) independently closes them into components — the second
+    // engine for ConnectedComponents.auto
+    "d17_dup_clusters" ->
+      s"""WITH RECURSIVE s0 AS (SELECT doc_id, sig FROM $SIG),
+         |s AS (SELECT doc_id, sig FROM s0 UNION ALL SELECT doc_id + 1000000, sig FROM s0),
+         |banded AS (
+         |  SELECT doc_id, sig, b.band,
+         |    array_to_string(sig[b.band*4+1 : b.band*4+4], ',') AS bkey
+         |  FROM s, (SELECT range AS band FROM range(8)) b),
+         |capped AS (SELECT * FROM banded
+         |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= 50),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS sa, y.sig AS sb
+         |  FROM capped x JOIN capped y ON x.band = y.band AND x.bkey = y.bkey
+         |    AND x.doc_id < y.doc_id),
+         |pr AS (SELECT a, b FROM cand
+         |  WHERE CAST(len(list_filter(range(32), i -> sa[i+1] = sb[i+1])) AS DOUBLE) / 32 >= 0.7),
+         |e AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+         |lbl(id, l) AS (
+         |  SELECT DISTINCT a, a FROM e
+         |  UNION
+         |  SELECT e.b, lbl.l FROM lbl JOIN e ON e.a = lbl.id),
+         |comp AS (SELECT id, min(l) AS cluster_id FROM lbl GROUP BY id),
+         |alldocs AS (SELECT doc_id FROM documents
+         |            UNION ALL SELECT doc_id + 1000000 FROM documents)
+         |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         |FROM alldocs d LEFT JOIN comp c ON d.doc_id = c.id
+         |ORDER BY d.doc_id""".stripMargin,
+
     // ---- multimodal: metadata math re-derived in SQL over the media dump ----
     "mm1_media_features" ->
       s"SELECT media_id, kind, ok, f0 FROM $MEDIA ORDER BY media_id",

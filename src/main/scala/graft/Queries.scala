@@ -429,6 +429,19 @@ object Queries {
       graft.ops.CorpusOps.stratifiedSample(t(s, d, "documents"),
         Map("en" -> 2500, "de" -> 5000, "zh" -> 10000), defaultBp = 1000)
         .orderBy("doc_id")),
+    // fuzzy-dedup clustering: minhash near-dup pairs -> the SAME adaptive
+    // connected-components machinery the KG canonicalizer runs -> one
+    // cluster id (min member) per document. The oracle re-derives the pairs
+    // from the signature dump (d3's banding SQL) and closes them with a
+    // recursive CTE — an independent second engine for the CC fixpoint
+    "d17_dup_clusters" -> ((s, d) => {
+      val docs = dupedDocs(s, d)
+      val pairs = graft.ops.Dedup.minhashLSH(docs, threshold = 0.7).select("a", "b")
+      val cc = graft.canon.ConnectedComponents.auto(s, pairs)
+      docs.select("doc_id").join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .orderBy("doc_id")
+    }),
 
     // ---------------- similarity search: embeddings ----------------
     "e1_ann_bruteforce" -> ((s, d) => graft.ops.Similarity.bruteForceTopK(

@@ -81,6 +81,25 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers {
     r.toSeq shouldBe Seq((4L, 2L, 2L))
   }
 
+  test("dup clustering: near-dup pairs close into min-id clusters (the d17 composition)") {
+    import spark.implicits._
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      2L -> "the quick brown fox jumps over the lazy dog near the river bend",
+      3L -> "completely different content about spark query engines and shuffles",
+      4L -> "the quick brown fox jumps over the lazy dog near the river bank")
+      .toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.minhashLSH(corpus, shingleN = 3, threshold = 0.5)
+      .select("a", "b")
+    val cc = graft.canon.ConnectedComponents.auto(spark, pairs)
+    val m = corpus.select("doc_id")
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    m(1L) shouldBe 1L; m(2L) shouldBe 1L; m(4L) shouldBe 1L // one cluster, min id
+    m(3L) shouldBe 3L // untouched singleton keeps its own id
+  }
+
   test("stratifiedSample: full quota keeps everything, zero default drops the rest; monotone") {
     import spark.implicits._
     val corpus = (0L until 200L).map(i =>
