@@ -434,6 +434,12 @@ object Queries {
     // cluster id (min member) per document. The oracle re-derives the pairs
     // from the signature dump (d3's banding SQL) and closes them with a
     // recursive CTE — an independent second engine for the CC fixpoint
+    // sequence packing: shard token streams cut into fixed-length training
+    // rows; per-shard state bounded by the shard budget
+    "d18_seq_pack" -> ((s, d) =>
+      graft.ops.CorpusOps.packSequences(t(s, d, "documents"),
+        budget = 2000L, seqLen = 128, chunk = 50L)
+        .orderBy("shard_id", "seq_idx")),
     "d17_dup_clusters" -> ((s, d) => {
       val docs = dupedDocs(s, d)
       val pairs = graft.ops.Dedup.minhashLSH(docs, threshold = 0.7).select("a", "b")
@@ -991,6 +997,26 @@ object Queries {
         |  CAST(max(n) AS BIGINT) AS top_bigram_n,
         |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_rep_occ
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d18_seq_pack" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST((sum(n_toks) OVER (ORDER BY doc_id) - n_toks) // 2000 AS BIGINT) AS shard_id
+        |  FROM n),
+        |tk AS (SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |       FROM documents),
+        |st AS (SELECT shard_id, flatten(list(t ORDER BY doc_id)) AS stream
+        |       FROM sh JOIN tk USING (doc_id) GROUP BY shard_id),
+        |sq AS (SELECT shard_id, unnest(list_transform(range((len(stream) + 127) // 128),
+        |         i -> struct_pack(si := i, arr := stream[i*128+1 : (i+1)*128]))) AS s
+        |       FROM st WHERE len(stream) > 0)
+        |SELECT shard_id, s.si AS seq_idx, CAST(len(s.arr) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(s.arr, ' ')) AS seq_md5
+        |FROM sq ORDER BY shard_id, seq_idx""".stripMargin,
     // selector mirrors CorpusOps.stratifiedSample bit-exactly: first 12 md5
     // hex chars of 'strat:<doc_id>' as an integer, mod 10000
     "d16_stratified_sample" ->

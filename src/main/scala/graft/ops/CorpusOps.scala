@@ -120,6 +120,37 @@ object CorpusOps {
         expr(s"start_off div ${budget}L").as("shard_id"))
   }
 
+  /** Sequence packing — the step that turns a sharded corpus into
+    * fixed-length training rows: concatenate each shard's documents' tokens
+    * in doc_id order and cut the stream into `seqLen`-token sequences (the
+    * last one per shard may be short; a real pipeline pads it). Returns
+    * (shard_id, seq_idx, n_tokens, seq_md5) where seq_md5 fingerprints the
+    * exact token sequence.
+    *
+    * Scale shape: packing happens AFTER [[shardPack]] bounded every shard to
+    * `budget` tokens, so the per-shard collect_list/flatten is bounded by
+    * budget + one document — a groupBy on shard_id with bounded state, never
+    * a corpus-wide concatenation. */
+  def packSequences(docs: DataFrame, budget: Long, seqLen: Int,
+                    chunk: Long = 100L): DataFrame = {
+    val sharded = shardPack(docs, budget, chunk).select("doc_id", "shard_id")
+    val toksPerDoc = docs.select(col("doc_id"), toks(col("text")).as("t"))
+    val stream = sharded.join(toksPerDoc, Seq("doc_id"))
+      .groupBy("shard_id")
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("doc_id"), col("t")))),
+        s => s.getField("t"))).as("stream"))
+      .filter(size(col("stream")) > 0)
+    val nSeqs = ceil(size(col("stream")).cast("double") / seqLen).cast("int")
+    stream
+      .select(col("shard_id"),
+        posexplode(transform(sequence(lit(0), nSeqs - 1),
+          i => slice(col("stream"), i * seqLen + lit(1), lit(seqLen)))))
+      .select(col("shard_id"), col("pos").cast("long").as("seq_idx"),
+        size(col("col")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("col"))).as("seq_md5"))
+  }
+
   /** Gopher-style intra-document repetition metrics (arXiv:2112.11446
     * §A1.1), integer-exact: per document, the total bigram count, the count
     * of the most frequent token bigram, and how many bigram occurrences

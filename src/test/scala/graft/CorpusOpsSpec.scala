@@ -74,6 +74,24 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers {
     run(1000L).toSeq shouldBe expected // one chunk ≡ many chunks
   }
 
+  test("packSequences: shard streams cut into seqLen rows, short tail kept") {
+    // 3 docs x 5 tokens, budget 10 -> shard 0 = docs 0,1 (10 toks),
+    // shard 1 = doc 2 (5 toks); seqLen 4 -> shard 0: [4,4,2], shard 1: [4,1]
+    val corpus = docs(
+      0L -> "a0 a1 a2 a3 a4", 1L -> "b0 b1 b2 b3 b4", 2L -> "c0 c1 c2 c3 c4")
+    val r = CorpusOps.packSequences(corpus, budget = 10L, seqLen = 4, chunk = 2L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    r.map(t => (t._1, t._2, t._3)).toSeq shouldBe Seq(
+      (0L, 0L, 4L), (0L, 1L, 4L), (0L, 2L, 2L), (1L, 0L, 4L), (1L, 1L, 1L))
+    // the packed stream is doc-ordered: shard 0 seq 0 = first 4 tokens of doc 0
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def m(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    r(0)._4 shouldBe m("a0 a1 a2 a3")
+    r(2)._4 shouldBe m("b3 b4")
+    r(4)._4 shouldBe m("c4")
+  }
+
   test("repetitionMetrics: exact bigram stats") {
     val r = CorpusOps.repetitionMetrics(docs(1L -> "a b a b c"))
       .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3)))
