@@ -30,10 +30,14 @@ object CorpusOps {
   private def toks(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
-  /** (doc_id, p, g): every k-token shingle of every document with its start
-    * position. The gram key is the token STRING here so the DuckDB oracle can
-    * join on equality; at 100-TB scale the key would be a 128-bit hash of the
-    * gram (same plan shape, narrower shuffle). */
+  /** (doc_id, p, h1, h2): every k-token shingle of every document with its
+    * start position, keyed by a 128-bit gram hash (two salted xxhash64
+    * halves). The downstream ops only ever test gram EQUALITY and emit
+    * positions/counts, never the gram text, so the hash key is what
+    * shuffles — ~6x narrower than the 8-token string at web scale.
+    * Collision odds are ~n^2 / 2^128 (zero real risk at 10^12 grams); the
+    * DuckDB oracles join on the gram strings themselves, so a collision
+    * would surface as an oracle mismatch, not silent corruption. */
   private def grams(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= k)
@@ -41,7 +45,9 @@ object CorpusOps {
         posexplode(transform(
           sequence(lit(0), size(col("t")) - k),
           i => concat_ws(" ", slice(col("t"), i + lit(1), lit(k))))))
-      .select(col("doc_id"), col("pos").cast("long").as("p"), col("col").as("g"))
+      .select(col("doc_id"), col("pos").cast("long").as("p"),
+        xxhash64(lit("g1"), col("col")).as("h1"),
+        xxhash64(lit("g2"), col("col")).as("h2"))
 
   /** Cross-document duplicated-substring spans (Lee et al. 2022): every
     * maximal token span of a document whose every k-gram also appears in at
@@ -60,10 +66,10 @@ object CorpusOps {
     val g = grams(docs, k)
     // distinct FIRST: a gram repeated inside one doc must not count as
     // cross-document duplication
-    val dup = g.select("doc_id", "g").distinct()
-      .groupBy("g").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= minDocs).select("g")
-    val occ = g.join(dup, Seq("g"), "left_semi").select("doc_id", "p")
+    val dup = g.select("doc_id", "h1", "h2").distinct()
+      .groupBy("h1", "h2").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("h1", "h2")
+    val occ = g.join(dup, Seq("h1", "h2"), "left_semi").select("doc_id", "p")
     val w = Window.partitionBy("doc_id").orderBy("p")
     occ
       .withColumn("brk",
@@ -82,9 +88,9 @@ object CorpusOps {
     * the build side on its own when it fits; the join stays an equi semi
     * shape either way. */
   def contamination(train: DataFrame, bench: DataFrame, k: Int = 8): DataFrame = {
-    val benchGrams = grams(bench, k).select("g").distinct()
-    grams(train, k).select("doc_id", "g").distinct()
-      .join(benchGrams, Seq("g"), "left_semi")
+    val benchGrams = grams(bench, k).select("h1", "h2").distinct()
+    grams(train, k).select("doc_id", "h1", "h2").distinct()
+      .join(benchGrams, Seq("h1", "h2"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
   }
 
