@@ -56,9 +56,19 @@ object Queries {
   // 80% of the corpus. Build it ONCE per (sfDir, session) into a cached
   // master dir, and hand each consumer a fresh COPY (appends mutate).
   private val baseSlot = new java.util.concurrent.atomic.AtomicReference[(String, String)]()
+  // the consumers delete their COPIES; the cached master build must not
+  // outlive the JVM (repeated short-lived runs would each orphan one)
+  private lazy val baseSlotCleanup: Unit = {
+    sys.addShutdownHook {
+      val cur = baseSlot.get()
+      if (cur != null) graft.store.TableIO.deleteRecursively(cur._2)
+    }
+    ()
+  }
   private[graft] def appendSplit(sfDir: String): Long = (kgPages(sfDir) * 4L) / 5L
   private[graft] def appendBaseCopy(s: SparkSession, sfDir: String): String =
     baseSlot.synchronized {
+      baseSlotCleanup
       val key = sfDir + "@" + s.hashCode()
       val cur = baseSlot.get()
       val master =
@@ -429,17 +439,17 @@ object Queries {
       graft.ops.CorpusOps.stratifiedSample(t(s, d, "documents"),
         Map("en" -> 2500, "de" -> 5000, "zh" -> 10000), defaultBp = 1000)
         .orderBy("doc_id")),
-    // fuzzy-dedup clustering: minhash near-dup pairs -> the SAME adaptive
-    // connected-components machinery the KG canonicalizer runs -> one
-    // cluster id (min member) per document. The oracle re-derives the pairs
-    // from the signature dump (d3's banding SQL) and closes them with a
-    // recursive CTE — an independent second engine for the CC fixpoint
     // sequence packing: shard token streams cut into fixed-length training
     // rows; per-shard state bounded by the shard budget
     "d18_seq_pack" -> ((s, d) =>
       graft.ops.CorpusOps.packSequences(t(s, d, "documents"),
         budget = 2000L, seqLen = 128, chunk = 50L)
         .orderBy("shard_id", "seq_idx")),
+    // fuzzy-dedup clustering: minhash near-dup pairs -> the SAME adaptive
+    // connected-components machinery the KG canonicalizer runs -> one
+    // cluster id (min member) per document. The oracle re-derives the pairs
+    // from the signature dump (d3's banding SQL) and closes them with a
+    // recursive CTE — an independent second engine for the CC fixpoint
     "d17_dup_clusters" -> ((s, d) => {
       val docs = dupedDocs(s, d)
       val pairs = graft.ops.Dedup.minhashLSH(docs, threshold = 0.7).select("a", "b")

@@ -49,11 +49,14 @@ object CorpusOps {
         xxhash64(lit("g1"), col("col")).as("h1"),
         xxhash64(lit("g2"), col("col")).as("h2"))
 
-  /** Cross-document duplicated-substring spans (Lee et al. 2022): every
-    * maximal token span of a document whose every k-gram also appears in at
-    * least `minDocs - 1` OTHER documents' text. Returns
-    * (doc_id, span_start, span_end) in token offsets, span_end exclusive —
-    * the spans a substring-level dedup pass would cut.
+  /** Cross-document duplicated-substring spans (Lee et al. 2022): the
+    * union of coverage of a document's duplicated k-grams (grams appearing
+    * in at least `minDocs - 1` OTHER documents), merged into maximal
+    * contiguous token spans. Returns (doc_id, span_start, span_end) in
+    * token offsets, span_end exclusive — the spans a substring-level dedup
+    * pass would cut. Note this is coverage-union semantics: a merged span's
+    * INTERIOR grams (ones straddling two duplicated runs) need not
+    * themselves be duplicated.
     *
     * Plan: grams -> distinct (doc, gram) -> groupBy gram (partial agg) ->
     * duplicated-gram set -> LEFT SEMI re-attach -> per-document window merge
@@ -63,7 +66,11 @@ object CorpusOps {
     * never by corpus-wide key frequency (the hot gram is handled in the
     * groupBy, which partial-aggregates). */
   def duplicatedSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame = {
-    val g = grams(docs, k)
+    // eager checkpoint: the dup-set groupBy and the occurrence semi-join
+    // both consume the gram frame, and without materialization each branch
+    // re-runs the tokenize+shingle+hash pass — the dominant CPU cost (same
+    // reasoning, and same fix, as Dedup.ngramJaccard's shingle checkpoint)
+    val g = grams(docs, k).localCheckpoint(true)
     // distinct FIRST: a gram repeated inside one doc must not count as
     // cross-document duplication
     val dup = g.select("doc_id", "h1", "h2").distinct()
@@ -106,12 +113,21 @@ object CorpusOps {
     *   4. per-chunk running sum (window bounded by chunk size) + offset.
     * At 10^12 docs: #chunks ~ tens of thousands of rows on the driver,
     * every shuffle keyed and partial-agged, no single-task stage. */
-  def shardPack(docs: DataFrame, budget: Long, chunk: Long = 100L): DataFrame = {
-    val spark = docs.sparkSession
-    val perDoc = docs
-      .select(col("doc_id"),
+  def shardPack(docs: DataFrame, budget: Long, chunk: Long = 100L): DataFrame =
+    shardIdsFromCounts(
+      docs.select(col("doc_id"),
         size(toks(col("text"))).cast("long").as("n_toks"),
-        expr(s"doc_id div ${chunk}L").as("cid"))
+        expr(s"doc_id div ${chunk}L").as("cid")),
+      budget)
+
+  /** The prefix-sum core over a (doc_id, n_toks, cid) frame. The frame is
+    * read by TWO jobs (chunk totals, then the windowed output), so it is
+    * eagerly materialized first — otherwise a non-deterministic input
+    * (sample(), changing source) could yield offsets from one scan applied
+    * to rows of another, i.e. silently wrong shard ids. */
+  private def shardIdsFromCounts(perDocIn: DataFrame, budget: Long): DataFrame = {
+    val spark = perDocIn.sparkSession
+    val perDoc = perDocIn.localCheckpoint(true)
     val chunkTotals = perDoc.groupBy("cid").agg(sum("n_toks").as("ctoks"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     // exclusive prefix: chunk i's offset = sum of all earlier chunks' tokens
@@ -139,9 +155,15 @@ object CorpusOps {
     * a corpus-wide concatenation. */
   def packSequences(docs: DataFrame, budget: Long, seqLen: Int,
                     chunk: Long = 100L): DataFrame = {
-    val sharded = shardPack(docs, budget, chunk).select("doc_id", "shard_id")
-    val toksPerDoc = docs.select(col("doc_id"), toks(col("text")).as("t"))
-    val stream = sharded.join(toksPerDoc, Seq("doc_id"))
+    // tokenize ONCE: shard assignment and stream assembly both derive from
+    // this checkpointed token frame (naively composing shardPack + a token
+    // join re-runs the whitespace split, the dominant per-row cost, 3x)
+    val tk = docs.select(col("doc_id"), toks(col("text")).as("t"),
+      expr(s"doc_id div ${chunk}L").as("cid")).localCheckpoint(true)
+    val sharded = shardIdsFromCounts(
+      tk.select(col("doc_id"), size(col("t")).cast("long").as("n_toks"), col("cid")),
+      budget).select("doc_id", "shard_id")
+    val stream = sharded.join(tk.select("doc_id", "t"), Seq("doc_id"))
       .groupBy("shard_id")
       .agg(flatten(transform(
         sort_array(collect_list(struct(col("doc_id"), col("t")))),

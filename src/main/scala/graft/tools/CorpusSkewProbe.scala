@@ -4,13 +4,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Adversarial battery for the CorpusOps substring machinery: N documents
-  * that ALL share the same 16-token boilerplate block (the web-corpus norm —
+  * that ALL share the same 15-token boilerplate block (the web-corpus norm —
   * cookie banners, nav bars), plus a few unique tokens each. Every
   * boilerplate k-gram therefore occurs in ALL N documents:
   *
   *  - duplicatedSpans: the hot grams hit the groupBy (map-side partial agg —
   *    each task pre-counts its slice, the reducer sees one row per gram per
-  *    task, not N rows), the duplicated-gram SET stays tiny (9 grams), and
+  *    task, not N rows), the duplicated-gram SET stays tiny (8 grams), and
   *    the occurrence re-attach is a semi-join. The only window is per-doc
   *    (≤ a handful of rows). Wall time must stay ~linear in N with no
   *    straggler task.
