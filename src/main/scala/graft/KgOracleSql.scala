@@ -81,6 +81,29 @@ object KgOracleSql {
        |    xor((($prev.label << 1) & 65535) | ($prev.label >> 15), coalesce($xo.cx, 0)) % 65536 AS label
        |  FROM $prev LEFT JOIN $xo ON $prev.id = $xo.id)""".stripMargin
 
+  /** Canonical entity-graph CTEs shared by the analytics oracles: the
+    * self-loop-free, (src,dst)-deduped subj→obj graph over canonical ids. */
+  private val entityGraph =
+    s"""rt AS (SELECT * FROM $RT), c AS (SELECT id, component FROM $C),
+       |ct AS (SELECT DISTINCT coalesce(cs.component, rt.subj) AS src,
+       |    coalesce(co.component, rt.obj) AS dst
+       |  FROM rt LEFT JOIN c cs ON rt.subj = cs.id
+       |          LEFT JOIN c co ON rt.obj = co.id
+       |  WHERE rt.obj >= 0),
+       |e AS (SELECT src, dst FROM ct WHERE src != dst)""".stripMargin
+
+  /** One integer-PageRank round — `//` (DuckDB integer division) mirrors
+    * Spark's `div`, and the HUGEINT sum is cast straight back to BIGINT so
+    * the arithmetic stays 64-bit on both engines. */
+  private def prRound(prev: String, x: String, next: String): String =
+    s"""$x AS (SELECT e.dst AS id, CAST(sum(r.rank // od.outdeg) AS BIGINT) AS cx
+       |  FROM e JOIN od ON od.src = e.src JOIN $prev r ON r.id = e.src
+       |  GROUP BY 1),
+       |$next AS (SELECT n.id,
+       |    (SELECT (pernode * 15) // 100 FROM pr)
+       |      + (85 * coalesce(x2.cx, 0)) // 100 AS rank
+       |  FROM nodes n LEFT JOIN $x x2 ON x2.id = n.id)""".stripMargin
+
   // canonical mapping re-derived relationally: left-join the component map
   // on both slots, coalesce, dedup — the same logical op as Pipeline's
   // (broadcast or shuffle) canonical join
@@ -200,6 +223,42 @@ object KgOracleSql {
       s"""SELECT mentionId AS id,
          |  url || ':' || sentIdx || ':' || tokStart || ':' || tokEnd AS location
          |FROM $M ORDER BY id""".stripMargin,
+    // integer fixed-point PageRank, 10 rounds unrolled — the SAME Long
+    // arithmetic as GraphAnalytics.pageRankInt (div truncation included), so
+    // the ranks agree bit-exactly with no float ever materialized
+    "kg_step_pagerank" ->
+      s"""WITH $entityGraph,
+         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |pr AS (SELECT 1000000000000000 // (SELECT count(*) FROM nodes) AS pernode),
+         |r0 AS (SELECT id, (SELECT pernode FROM pr) AS rank FROM nodes),
+         |${(0 until 10).map(i => prRound(s"r$i", s"x${i + 1}", s"r${i + 1}")).mkString(",\n")}
+         |SELECT id, rank FROM r10 ORDER BY id""".stripMargin,
+    // triangles re-derived with the SAME degree-ordered orientation: wedges
+    // at each edge's (deg,id)-min endpoint, closed against the undirected
+    // edge set; wedges = C(deg,2) in integer division
+    "kg_step_triangles" ->
+      s"""WITH $entityGraph,
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM e),
+         |deg AS (SELECT id, count(*) AS deg FROM (
+         |    SELECT u AS id FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+         |o AS (SELECT
+         |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v)
+         |         THEN und.u ELSE und.v END AS s,
+         |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v)
+         |         THEN und.v ELSE und.u END AS t
+         |  FROM und JOIN deg du ON du.id = und.u JOIN deg dv ON dv.id = und.v),
+         |w AS (SELECT e1.s, e1.t AS a, e2.t AS b
+         |  FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.t < e2.t),
+         |tri AS (SELECT w.s, w.a, w.b
+         |  FROM w JOIN und ON und.u = w.a AND und.v = w.b),
+         |pert AS (SELECT id, count(*) AS triangles FROM (
+         |    SELECT s AS id FROM tri UNION ALL SELECT a FROM tri
+         |    UNION ALL SELECT b FROM tri) GROUP BY 1)
+         |SELECT d.id, d.deg, (d.deg * (d.deg - 1)) // 2 AS wedges,
+         |  coalesce(p.triangles, 0) AS triangles
+         |FROM deg d LEFT JOIN pert p ON p.id = d.id ORDER BY d.id""".stripMargin,
     "kg_step_entity_degree" ->
       s"""SELECT entityNodeId AS entity_node, count(*) AS n_mentions
          |FROM $M WHERE entityId >= 0
@@ -438,6 +497,41 @@ object KgOracleSql {
          |SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY a, b""".stripMargin,
     "d8_fingerprint" -> s"""SELECT doc_id, fp0 FROM $SIG ORDER BY doc_id""",
+
+    // ingest-gate equivalence: ONE global closed-form pass over the
+    // signature dump re-derives what the Spark side computed as two chunked
+    // ingests against a persisted, re-capped index. base = first 80% of
+    // doc_ids; batch = the rest ∪ a +1M shifted full copy (monotone ids,
+    // the crawl regime the chunk-invariance argument needs). A batch doc is
+    // dropped iff a strictly-smaller doc_id in the CAPPED banded set shares
+    // a bucket and ≥ 70% of signature slots agree; probes are uncapped.
+    "d19_ingest_dedup" ->
+      s"""WITH s0 AS (SELECT doc_id, sig FROM $SIG),
+         |params AS (SELECT (count(*) * 4) // 5 AS split FROM s0),
+         |corpus AS (
+         |  SELECT doc_id, sig,
+         |    doc_id >= (SELECT split FROM params) AS is_batch FROM s0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, sig, TRUE FROM s0),
+         |banded AS (
+         |  SELECT doc_id, is_batch, b.band,
+         |    array_to_string(sig[b.band*4+1 : b.band*4+4], ',') AS bkey
+         |  FROM corpus, (SELECT range AS band FROM range(8)) b),
+         |capped AS (SELECT * FROM banded
+         |  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= 50),
+         |cand AS (SELECT DISTINCT x.doc_id AS x, y.doc_id AS y
+         |  FROM banded x JOIN capped y ON x.band = y.band AND x.bkey = y.bkey
+         |    AND y.doc_id < x.doc_id
+         |  WHERE x.is_batch),
+         |dropped AS (SELECT DISTINCT c.x AS doc_id
+         |  FROM cand c JOIN corpus a ON a.doc_id = c.x
+         |              JOIN corpus b ON b.doc_id = c.y
+         |  WHERE CAST(len(list_filter(range(32), i -> a.sig[i+1] = b.sig[i+1]))
+         |          AS DOUBLE) / 32 >= 0.7)
+         |SELECT bt.doc_id, d.doc_id IS NULL AS kept
+         |FROM (SELECT doc_id FROM corpus WHERE is_batch) bt
+         |LEFT JOIN dropped d ON d.doc_id = bt.doc_id
+         |ORDER BY bt.doc_id""".stripMargin,
 
     // fuzzy-dedup clustering: d3's banding SQL derives the near-dup pairs
     // from the signature dump; a recursive CTE (min-label propagation to

@@ -450,6 +450,27 @@ object Queries {
     // cluster id (min member) per document. The oracle re-derives the pairs
     // from the signature dump (d3's banding SQL) and closes them with a
     // recursive CTE — an independent second engine for the CC fixpoint
+    // ingest-time near-dup gate over a PERSISTED LSH index — the
+    // crawl-pipeline shape: build the index on the first 80% of the corpus,
+    // then ingest two monotone-id batches (the remaining originals, then a
+    // shifted full copy) through Dedup.ingestDedup; each batch is gated in
+    // O(batch) against everything seen so far, and the index is folded
+    // forward between batches. The oracle re-derives the SAME kept set
+    // closed-form from the signature dump in one global pass — the
+    // equivalence of chunked ingest with the one-shot computation IS the
+    // property under test
+    "d19_ingest_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val split = docs.count() * 4L / 5L
+      val dir = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
+      try {
+        graft.ops.Dedup.buildMinhashIndex(docs.filter(col("doc_id") < split), dir)
+        val k1 = graft.ops.Dedup.ingestDedup(docs.filter(col("doc_id") >= split), dir)
+        val k2 = graft.ops.Dedup.ingestDedup(
+          docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")), dir)
+        k1.unionByName(k2).orderBy("doc_id")
+      } finally graft.store.TableIO.deleteRecursively(dir)
+    }),
     "d17_dup_clusters" -> ((s, d) => {
       val docs = dupedDocs(s, d)
       val pairs = graft.ops.Dedup.minhashLSH(docs, threshold = 0.7).select("a", "b")
@@ -513,6 +534,25 @@ object Queries {
       kt.edges.filter(col("kind") === "LINKS_TO")
         .groupBy(col("dst").as("entity_node")).agg(count(lit(1)).as("n_mentions"))
         .orderBy(col("n_mentions").desc, col("entity_node")).limit(50)
+    }),
+    // entity salience: exact integer fixed-point PageRank over the canonical
+    // subj→obj triple graph (beyond-reference analytics — no float anywhere,
+    // so a second engine re-derives it bit-exactly; see GraphAnalytics)
+    "kg_step_pagerank" -> ((s, d) => {
+      val kt = kg(s, d)
+      graft.query.GraphAnalytics.pageRankInt(
+        kt.triples.filter(col("obj") >= 0)
+          .select(col("subj").as("src"), col("obj").as("dst")))
+        .orderBy("id")
+    }),
+    // local clustering structure over the same canonical graph: per-entity
+    // triangle/wedge counts via degree-ordered edge orientation
+    "kg_step_triangles" -> ((s, d) => {
+      val kt = kg(s, d)
+      graft.query.GraphAnalytics.triangleCounts(
+        kt.triples.filter(col("obj") >= 0)
+          .select(col("subj").as("src"), col("obj").as("dst")))
+        .orderBy("id")
     }),
     // computed per-page dominance (≙ CHK iterative idom,
     // `dom/DominatorTree.java:162-226`): idom(b) -> b over each page's

@@ -144,24 +144,21 @@ object Dedup {
     if (materialize) pairs.localCheckpoint(true) else pairs
   }
 
-  /** MinHash + LSH banding: signature → bands → bucket-join on
-    * (band, bandHash) → candidate pairs verified by signature agreement.
-    * One shuffle (the band-key groupBy); no cross join anywhere. */
-  def minhashLSH(docs: DataFrame, shingleN: Int = 3, numHashes: Int = 32,
-                 bands: Int = 8, threshold: Double = 0.7,
-                 maxBucket: Int = 50): DataFrame = {
+  /** Fused single-pass (doc_id, sig, bandKeys) frame shared by the one-shot
+    * LSH and the persisted ingest index. Band keys are computed IN the same
+    * pass as the signature: a numeric mix-chain over each signature slice.
+    * Any injective function of the slice gives the same buckets (the oracle
+    * re-derives them from the slice VALUES), and a column-expression version
+    * (xxhash64 ∘ concat_ws ∘ transform/slice HOFs) is interpreted, not
+    * codegen'd — one string build per (doc, band) dominated GC at the
+    * 8M-doc skew probe scale. */
+  private[ops] def signatureFrame(docs: DataFrame, shingleN: Int,
+                                  numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val spark = docs.sparkSession
     import spark.implicits._
-    // band keys are computed IN the same fused pass as the signature: a
-    // numeric mix-chain over each signature slice. Any injective function of
-    // the slice gives the same buckets (the oracle re-derives them from the
-    // slice VALUES), and the previous column-expression version
-    // (xxhash64 ∘ concat_ws ∘ transform/slice HOFs) was interpreted, not
-    // codegen'd — one string build per (doc, band) dominated GC at the
-    // 8M-doc skew probe scale
-    val sig = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val s = minhashSignatureLocal(text, shingleN, numHashes, 42L)
         val bk = Array.tabulate(bands) { b =>
@@ -172,10 +169,19 @@ object Dedup {
         }
         (id, s, bk)
       }).toDF("doc_id", "sig", "bandKeys")
-      // eager localCheckpoint, not persist: the signatures must be shared by
-      // the l/r join branches of the LAZY result — an in-function unpersist
-      // ran before any action and silently recomputed them, while never
-      // unpersisting leaked the cache entry
+  }
+
+  /** MinHash + LSH banding: signature → bands → bucket-join on
+    * (band, bandHash) → candidate pairs verified by signature agreement.
+    * One shuffle (the band-key groupBy); no cross join anywhere. */
+  def minhashLSH(docs: DataFrame, shingleN: Int = 3, numHashes: Int = 32,
+                 bands: Int = 8, threshold: Double = 0.7,
+                 maxBucket: Int = 50): DataFrame = {
+    // eager localCheckpoint, not persist: the signatures must be shared by
+    // the l/r join branches of the LAZY result — an in-function unpersist
+    // ran before any action and silently recomputed them, while never
+    // unpersisting leaked the cache entry
+    val sig = signatureFrame(docs, shingleN, numHashes, bands)
       .localCheckpoint(true)
     // ids-only banding: the banding shuffle carries (band, bandHash, doc_id)
     // — no signature payload — and the hot-bucket cap ("maxBucket smallest
@@ -191,11 +197,112 @@ object Dedup {
     val cand = cappedPairs(banded, Seq("band", "bandHash"), "doc_id", maxBucket)
       .join(sig.select(col("doc_id").as("a"), col("sig").as("sigA")), Seq("a"))
       .join(sig.select(col("doc_id").as("b"), col("sig").as("sigB")), Seq("b"))
-    cand.withColumn("estJaccard",
-      size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => x === y), b => b))
-        .cast("double") / lit(numHashes))
+    cand.withColumn("estJaccard", estJaccard(col("sigA"), col("sigB"), numHashes))
       .filter(col("estJaccard") >= threshold)
       .select("a", "b", "estJaccard")
+  }
+
+  /** Estimated Jaccard = fraction of agreeing signature slots. */
+  private def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), v => v))
+      .cast("double") / lit(numHashes)
+
+  // ------------------------------------------------------------------
+  // Persisted LSH index: ingest-time near-dup gating for a growing corpus
+  // ------------------------------------------------------------------
+
+  /** On-disk MinHash LSH index for ingest-time near-dup gating — the
+    * crawl-pipeline companion of [[graft.Incremental.appendPages]]: a new
+    * batch is gated against the WHOLE corpus seen so far in O(batch) work,
+    * instead of re-running corpus×corpus dedup per crawl.
+    *
+    * Layout under `dir`:
+    *   `sigs/`  — (doc_id, sig): full signatures, appended per ingest
+    *   `bands/` — (band, bandHash, ids): ONE row per bucket holding the
+    *              min-`maxBucket` doc_ids (the stored form IS the capped
+    *              form, so a boilerplate bucket never grows past the cap)
+    *
+    * Semantics (mirrored closed-form by the d19 oracle): a batch doc is
+    * DROPPED iff some strictly-smaller doc_id (base corpus or same batch)
+    * shares a band bucket and agrees on ≥ `threshold` of the signature —
+    * "have we seen similar content before", with droppees' signatures
+    * retained so future copies of a dropped doc are also caught.
+    *
+    * The re-capped union is append-stable — min-k(min-k(A) ∪ B) =
+    * min-k(A ∪ B) — and with monotonically growing doc_ids (the crawl-batch
+    * regime) chunked ingest finds exactly the pairs a one-shot global pass
+    * would: later ids can never evict the bucket entries an earlier probe
+    * saw. Each probe row meets ≤ maxBucket index entries per band, so a hot
+    * bucket (N identical docs) costs the probe O(batch · bands · maxBucket),
+    * never O(N²).
+    */
+  def buildMinhashIndex(docs: DataFrame, dir: String, shingleN: Int = 3,
+                        numHashes: Int = 32, bands: Int = 8,
+                        maxBucket: Int = 50): Unit = {
+    val sig = signatureFrame(docs, shingleN, numHashes, bands).localCheckpoint(true)
+    sig.select("doc_id", "sig").write.mode("overwrite").parquet(s"$dir/sigs")
+    bandRows(sig)
+      .groupBy("band", "bandHash")
+      .agg(graft.functions.MinKAgg.minK(maxBucket)(col("doc_id")).as("ids"))
+      .write.mode("overwrite").parquet(s"$dir/bands")
+  }
+
+  private def bandRows(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), posexplode(col("bandKeys")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+
+  /** Gate `batch` against the index at `dir`, returning (doc_id, kept) per
+    * batch doc, and fold the batch's signatures into the index (tmp+rename
+    * swap — the updated tables are localCheckpointed first, so the write
+    * never reads the files it replaces). */
+  def ingestDedup(batch: DataFrame, dir: String, shingleN: Int = 3,
+                  numHashes: Int = 32, bands: Int = 8,
+                  threshold: Double = 0.7, maxBucket: Int = 50): DataFrame = {
+    val spark = batch.sparkSession
+    val oldSigs = spark.read.parquet(s"$dir/sigs")
+    val oldBands = spark.read.parquet(s"$dir/bands")
+    val bsig = signatureFrame(batch, shingleN, numHashes, bands).localCheckpoint(true)
+    // re-capped union of the stored bucket lists and the batch's band rows
+    val newBands = oldBands
+      .select(col("band"), col("bandHash"), explode(col("ids")).as("doc_id"))
+      .unionByName(bandRows(bsig).select("band", "bandHash", "doc_id"))
+      .groupBy("band", "bandHash")
+      .agg(graft.functions.MinKAgg.minK(maxBucket)(col("doc_id")).as("ids"))
+      .localCheckpoint(true)
+    // probe: every batch band row (a probe needn't survive the cap itself)
+    // against the capped bucket lists, strictly-smaller ids only; eager
+    // materialization for exact stats before the signature re-attach joins
+    // (same planner reasoning as cappedPairs)
+    val cand = bandRows(bsig).join(newBands, Seq("band", "bandHash"))
+      .select(col("doc_id").as("x"), explode(col("ids")).as("y"))
+      .filter(col("y") < col("x"))
+      .dropDuplicates("x", "y")
+      .localCheckpoint(true)
+    val allSigs = oldSigs.unionByName(bsig.select("doc_id", "sig"))
+      .localCheckpoint(true)
+    val dropped = cand
+      .join(allSigs.select(col("doc_id").as("x"), col("sig").as("sigX")), Seq("x"))
+      .join(allSigs.select(col("doc_id").as("y"), col("sig").as("sigY")), Seq("y"))
+      .filter(estJaccard(col("sigX"), col("sigY"), numHashes) >= threshold)
+      .select(col("x").as("doc_id")).distinct()
+    val out = bsig.select("doc_id")
+      .join(dropped.withColumn("hit", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)) === lit(false))
+      .toDF("doc_id", "kept")
+      .localCheckpoint(true)
+    swapWrite(allSigs, s"$dir/sigs")
+    swapWrite(newBands, s"$dir/bands")
+    out
+  }
+
+  /** Overwrite `path` via tmp-dir + rename. Single-FS local semantics; on
+    * an object store this becomes the TableIO snapshot-swap instead. */
+  private def swapWrite(df: DataFrame, path: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = path + "_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    graft.store.TableIO.deleteRecursively(path)
+    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** 64-bit SimHash of the token stream: per-bit weighted majority over

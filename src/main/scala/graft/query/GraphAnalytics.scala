@@ -1,0 +1,124 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Whole-graph analytics over the canonical entity graph — the KG-consumer
+  * side the reference's degree/neighborhood steps point at, taken to the two
+  * canonical web-scale kernels: PageRank (entity salience) and triangle
+  * counting (local clustering). Both are beyond the reference's own step
+  * library (its closest analogs are the degree lookups in
+  * `joern-lang/misc.groovy` and the NH-kernel feature vectors), and both are
+  * designed driver-hashable: no floating-point accumulation anywhere.
+  *
+  * Scale shape:
+  *  - PageRank: per-iteration cost is one equi-join (ranks ⋈ edges on src)
+  *    plus one map-side-combinable groupBy(dst) sum — a hub entity's huge
+  *    in-degree is absorbed by partial aggregation, never by one task.
+  *    Exact INTEGER fixed-point arithmetic (`div`, long sums) makes the
+  *    result independent of aggregation order, so a second engine can
+  *    re-derive it bit-exactly — float PageRank cannot be hash-compared.
+  *  - Triangles: edges oriented low→high (degree, id) endpoint; wedges are
+  *    enumerated only at each edge's ≺-smaller vertex, which bounds
+  *    per-vertex pair expansion by the oriented out-degree (≤ O(√m)
+  *    amortized — the arboricity argument), so the mega-hub contributes no
+  *    quadratic bucket. Closure is one equi-join against the undirected
+  *    edge set. No window functions anywhere in either kernel.
+  */
+object GraphAnalytics {
+
+  /** Exact integer fixed-point PageRank.
+    *
+    * Semantics (mirrored verbatim by the DuckDB oracle, all `Long` ops):
+    *   n        = |nodes of the (src,dst)-deduped, self-loop-free graph|
+    *   perNode  = totalMass div n
+    *   base     = perNode * 15 div 100
+    *   r0(i)    = perNode
+    *   r{t+1}(i) = base + (85 * Σ_{j→i} (r_t(j) div outdeg(j))) div 100
+    *
+    * Dangling mass evaporates (standard simplification; deterministic).
+    * Magnitudes: every rank ≤ totalMass, every contribution sum ≤ totalMass,
+    * so 85 * sum ≤ 8.5e16 < Long.MaxValue for the default mass — no overflow
+    * at any node count, because mass only shrinks.
+    *
+    * Iterations materialize via [[graft.util.Materialize.iterate]] (reliable
+    * checkpoint every Nth round under `spark.graft.reliableCheckpointInterval`
+    * — same cluster-fault story as the CC fixpoint).
+    */
+  def pageRankInt(edges: DataFrame, iters: Int = 10,
+                  totalMass: Long = 1000000000000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(eager = true) // reused every round: pin it once
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(outdeg, "src").localCheckpoint(eager = true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(eager = true)
+    val n = nodes.count() // one bounded driver scalar (like the CC probe)
+    require(n > 0, "pageRankInt: empty graph")
+    val perNode = totalMass / n
+    val base = perNode * 15L / 100L
+    var ranks = nodes.select(col("id"), lit(perNode).as("rank"))
+    for (i <- 0 until iters)
+      ranks = graft.util.Materialize.iterate(prStep(withDeg, ranks, nodes, base), i)
+    ranks
+  }
+
+  /** One PageRank round — the exact frame each iteration materializes
+    * (factored out so PlanSpec pins its physical shape: partial-agg sum on
+    * dst, two equi-joins, no window, no cartesian). */
+  private[graft] def prStep(withDeg: DataFrame, ranks: DataFrame,
+                            nodes: DataFrame, base: Long): DataFrame = {
+    val contrib = withDeg.join(ranks, col("src") === col("id"))
+      .select(col("dst").as("id"), expr("`rank` div `outdeg`").as("c"))
+      .groupBy("id").agg(sum("c").as("cx"))
+    nodes.join(contrib, Seq("id"), "left")
+      .select(col("id"),
+        (lit(base) + expr("(85 * coalesce(cx, 0L)) div 100")).as("rank"))
+  }
+
+  /** Per-entity triangle and wedge counts over the undirected, deduped,
+    * self-loop-free projection of `edges` (src, dst).
+    *
+    * Output: (id, deg, wedges, triangles) — all integer columns, so the
+    * local clustering coefficient 2·T/(deg·(deg−1)) is a consumer-side
+    * division and the driver hash stays exact.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(eager = true) // feeds degree, orientation AND closure
+    val deg = und.select(col("u").as("id"))
+      .union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
+    // orient toward the (deg, id)-larger endpoint: wedges form only at the
+    // ≺-min vertex, so the hub (≺-max on every incident edge) expands nothing
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(when(uFirst, col("u")).otherwise(col("v")).as("s"),
+        when(uFirst, col("v")).otherwise(col("u")).as("t"))
+    val wedge = oriented.select(col("s"), col("t").as("a"))
+      .join(oriented.select(col("s"), col("t").as("b")), "s")
+      .filter(col("a") < col("b"))
+    // close each wedge against the undirected edge set: a < b by id, und is
+    // (u < v) by id, so closure is a plain two-key equi-join
+    val tri = wedge.join(und,
+      col("a") === col("u") && col("b") === col("v"), "inner")
+      .select("s", "a", "b")
+    val perNode = tri.select(col("s").as("id"))
+      .union(tri.select(col("a").as("id")))
+      .union(tri.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        expr("(deg * (deg - 1)) div 2").as("wedges"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+}

@@ -16,7 +16,14 @@ import org.apache.spark.sql.functions._
   * simhash (chunk values — all four chunks identical across docs), and
   * embedding hyperplane LSH (identical vectors → one bucket).
   *
-  *   runMain graft.tools.DedupSkewProbe [nDocs] [cores] [minhash|simhash|embed|all]
+  * The `ingest` mode is the persisted-index twin: a small seen corpus, then
+  * ONE crawl batch of N identical boilerplate docs gated through
+  * Dedup.ingestDedup — every batch doc probes the SAME bucket, which the
+  * stored min-k lists bound at maxBucket entries per band, so the probe join
+  * is O(batch · bands · maxBucket) and the fold-forward keeps the index
+  * bucket capped instead of growing it by N.
+  *
+  *   runMain graft.tools.DedupSkewProbe [nDocs] [cores] [minhash|simhash|embed|ingest|all]
   */
 object DedupSkewProbe {
   def main(args: Array[String]): Unit = {
@@ -44,6 +51,16 @@ object DedupSkewProbe {
         run("minhash")(graft.ops.Dedup.minhashLSH(docs).count())
       if (op == "simhash" || op == "all")
         run("simhash")(graft.ops.Dedup.simhashNearDup(docs).count())
+      if (op == "ingest" || op == "all") {
+        val dir = java.nio.file.Files.createTempDirectory("graft-skew-index").toString
+        try {
+          graft.ops.Dedup.buildMinhashIndex(docs.limit(1000), dir)
+          val batch = spark.range(n).select((col("id") + 1000000L).as("doc_id"),
+            lit("the quick brown fox jumps over the lazy dog again and again").as("text"))
+          run("ingest")(graft.ops.Dedup.ingestDedup(batch, dir)
+            .filter(col("kept")).count())
+        } finally graft.store.TableIO.deleteRecursively(dir)
+      }
       if (op == "embed" || op == "all") {
         val embs = spark.range(n).select(col("id").as("vec_id"),
           array((0 until 16).map(i => lit((i % 7 + 1).toFloat)): _*).as("embedding"))

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+
+import graft.query.GraphAnalytics
+
+class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+
+  private def edges(rows: (Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("src", "dst")
+  }
+
+  /** Driver-side twin of pageRankInt's exact integer recurrence. */
+  private def pageRankLocal(es: Seq[(Long, Long)], iters: Int,
+                            totalMass: Long): Map[Long, Long] = {
+    val e = es.filter(p => p._1 != p._2).distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val perNode = totalMass / nodes.size
+    val base = perNode * 15L / 100L
+    var r = nodes.map(_ -> perNode).toMap
+    for (_ <- 0 until iters) {
+      val cx = e.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (s, _) => r(s) / outdeg(s) }.sum
+      }
+      r = nodes.map(n => n -> (base + 85L * cx.getOrElse(n, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  // a little directed graph with a cycle, a dangling node and a hub
+  val g = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L,
+    1L -> 7L, 7L -> 7L /* self loop, dropped */, 2L -> 3L /* dup, dropped */)
+
+  test("pageRankInt matches the driver-side integer recurrence exactly") {
+    val got = GraphAnalytics.pageRankInt(edges(g: _*), iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe pageRankLocal(g, 10, 1000000000000000L)
+  }
+
+  test("pageRankInt: the link hub outranks its pointers; result is invariant under partitioning") {
+    val r = GraphAnalytics.pageRankInt(edges(g: _*), iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r(1L) should be > r(4L)
+    r(7L) should be > r(4L) // fed by the hub
+    val repart = GraphAnalytics.pageRankInt(
+      edges(g: _*).repartition(7), iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    repart shouldBe r
+  }
+
+  /** Brute-force triangle census: all 3-subsets of the undirected edge set. */
+  private def trianglesLocal(es: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = es.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .filter(p => p._1 != p._2).distinct.toSet
+    val nodes = und.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val cnt = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      Seq(a, b, c) <- nodes.combinations(3)
+      if und((a, b)) && und((b, c)) && und((a, c))
+    } { cnt(a) += 1; cnt(b) += 1; cnt(c) += 1 }
+    cnt.toMap
+  }
+
+  val tg = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, // triangle 1-2-3
+    3L -> 4L, 4L -> 5L, 5L -> 3L, // triangle 3-4-5
+    2L -> 4L, // closes 2-3-4
+    6L -> 1L, // pendant
+    4L -> 3L /* reverse dup, dropped */)
+
+  test("triangleCounts matches the brute-force census; wedges = C(deg,2)") {
+    val rows = GraphAnalytics.triangleCounts(edges(tg: _*)).collect()
+    val want = trianglesLocal(tg)
+    rows.map(r => r.getLong(0) -> r.getLong(3)).toMap shouldBe
+      rows.map(r => r.getLong(0) -> want.getOrElse(r.getLong(0), 0L)).toMap
+    rows.foreach { r =>
+      val deg = r.getLong(1)
+      r.getLong(2) shouldBe deg * (deg - 1) / 2
+    }
+    // node 3 touches triangles 1-2-3, 3-4-5, 2-3-4
+    rows.find(_.getLong(0) == 3L).get.getLong(3) shouldBe 3L
+    rows.find(_.getLong(0) == 6L).get.getLong(3) shouldBe 0L
+  }
+
+  test("triangleCounts on a hub star has zero triangles but hub wedges") {
+    val star = (1L to 40L).map(i => 0L -> i)
+    val rows = GraphAnalytics.triangleCounts(edges(star: _*)).collect()
+    rows.map(_.getLong(3)).sum shouldBe 0L
+    rows.find(_.getLong(0) == 0L).get.getLong(2) shouldBe 40L * 39L / 2L
+  }
+}

@@ -59,6 +59,70 @@ class DedupSpec extends AnyFunSuite with Matchers {
       .collect()(0).getDouble(2)
     est shouldBe 1.0
   }
+
+  private def ingestAll(base: Seq[(Long, String)],
+                        chunks: Seq[Seq[(Long, String)]]): Map[Long, Boolean] = {
+    val dir = java.nio.file.Files.createTempDirectory("lsh-index-spec").toString
+    try {
+      Dedup.buildMinhashIndex(docs(base: _*), dir)
+      chunks.flatMap { ch =>
+        Dedup.ingestDedup(docs(ch: _*), dir)
+          .collect().map(r => r.getLong(0) -> r.getBoolean(1))
+      }.toMap
+    } finally graft.store.TableIO.deleteRecursively(dir)
+  }
+
+  test("ingestDedup drops copies of base and in-batch docs, keeps fresh content") {
+    val base = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      2L -> "completely different content about spark query engines and shuffles")
+    val batch = Seq(
+      10L -> "the quick brown fox jumps over the lazy dog near the river bank", // dup of base 1
+      11L -> "fresh unseen prose describing iterative graph fixpoints at scale",
+      12L -> "fresh unseen prose describing iterative graph fixpoints at scale") // dup of 11
+    val kept = ingestAll(base, Seq(batch))
+    kept shouldBe Map(10L -> false, 11L -> true, 12L -> false)
+  }
+
+  test("ingestDedup: chunked ingest equals one-shot ingest (monotone ids)") {
+    val base = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      2L -> "completely different content about spark query engines and shuffles")
+    val all = Seq(
+      10L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      11L -> "fresh unseen prose describing iterative graph fixpoints at scale",
+      20L -> "fresh unseen prose describing iterative graph fixpoints at scale",
+      21L -> "completely different content about spark query engines and shuffles",
+      22L -> "entirely novel final chunk text with no earlier relatives at all")
+    val oneShot = ingestAll(base, Seq(all))
+    val chunked = ingestAll(base, Seq(all.take(2), all.drop(2)))
+    chunked shouldBe oneShot
+    oneShot(20L) shouldBe false // dropped against the PREVIOUS chunk via the index
+    oneShot(22L) shouldBe true
+  }
+
+  test("ingestDedup: a dropped doc's signature still gates later copies") {
+    val base = Seq(1L -> "seed document text that makes the first copy a duplicate already")
+    val b1 = Seq(10L -> "seed document text that makes the first copy a duplicate already")
+    val b2 = Seq(20L -> "seed document text that makes the first copy a duplicate already")
+    val kept = ingestAll(base, Seq(b1, b2))
+    kept shouldBe Map(10L -> false, 20L -> false)
+  }
+
+  test("minhash index stores capped bucket lists") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh-index-cap").toString
+    try {
+      val many = (0L until 40L).map(i => i -> "identical boilerplate cookie banner text repeated everywhere")
+      Dedup.buildMinhashIndex(docs(many: _*), dir, maxBucket = 5)
+      val rows = spark.read.parquet(s"$dir/bands").collect()
+      rows.foreach(r => r.getSeq[Long](2).length should be <= 5)
+      // and the cap survives an append fold
+      Dedup.ingestDedup(docs(Seq(100L -> "identical boilerplate cookie banner text repeated everywhere"): _*),
+        dir, maxBucket = 5)
+      spark.read.parquet(s"$dir/bands").collect()
+        .foreach(r => r.getSeq[Long](2).length should be <= 5)
+    } finally graft.store.TableIO.deleteRecursively(dir)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite with Matchers {

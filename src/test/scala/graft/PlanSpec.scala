@@ -121,6 +121,35 @@ class PlanSpec extends AnyFunSuite with Matchers {
     capPlan should include("partial_")
   }
 
+  test("integer PageRank round: partial-agg contribution sum, no Window, no cartesian") {
+    // a hub entity's in-degree must be absorbed by map-side combine — the
+    // same argument as the near-dup caps; any parquet-backed edge shape
+    // drives the identical plan the pipeline's canonical graph gets
+    val e = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst")).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(outdeg, "src")
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val ranks = nodes.select(col("id"), lit(1000000L).as("rank"))
+    val plan = physical(graft.query.GraphAnalytics.prStep(withDeg, ranks, nodes, 100L))
+    plan should include("partial_sum")
+    plan shouldNot include("Window")
+    plan shouldNot include("CartesianProduct")
+    plan shouldNot include("BroadcastNestedLoopJoin")
+  }
+
+  test("triangle counts: equi-join wedge closure, no Window, no cartesian") {
+    val e = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+    val plan = physical(graft.query.GraphAnalytics.triangleCounts(e))
+    plan shouldNot include("Window")
+    plan shouldNot include("CartesianProduct")
+    plan shouldNot include("BroadcastNestedLoopJoin")
+    // per-node triangle census is a partial-agg count
+    plan should include("partial_count")
+  }
+
   test("asof join is one keyed window over a union, no join at all") {
     val plan = physical(Queries.all("q28_asof")(spark, sfDir))
     plan should include("Window")
