@@ -32,6 +32,8 @@ import graft.store.TableIO
   *   list-tags                        list the tags table
   *   knn <k> <pageId> [edgeKind]      ≙ scripts/ml/joern-knn
   *   cluster <n> [edgeKind]           ≙ scripts/ml/joern-cluster
+  *   rank [k]                         top-k entities by integer PageRank
+  *   triangles                        per-entity triangle/wedge census
   *
   * Output: header + rows, tab-separated, maps JSON-ish, deterministic order.
   */
@@ -212,6 +214,26 @@ object KgCli {
         graft.ops.Similarity.assign(emb, centroids)
           .select(col("id").as("pageId"), col("centroid_id").as("cluster"))
           .orderBy("pageId")
+      // entity salience: integer-PageRank top-k over the canonical triple
+      // graph (beyond-reference analytics — query/GraphAnalytics), joined
+      // to the Entity node codes for a readable report
+      case "rank" =>
+        val k = if (args.nonEmpty) args(0).toInt else 20
+        val triples = graft.Incremental.readTriples(spark, tablesDir)
+        val pr = graft.query.GraphAnalytics.pageRankInt(
+          triples.filter(col("obj") >= 0)
+            .select(col("subj").as("src"), col("obj").as("dst")))
+        pr.join(nodes.filter(col("kind") === "Entity")
+            .select(col("code").cast("long").as("id"), col("code")), Seq("id"), "left")
+          .orderBy(col("rank").desc, col("id")).limit(k)
+      // local clustering census over the same graph: per-entity
+      // (deg, wedges, triangles)
+      case "triangles" =>
+        val triples = graft.Incremental.readTriples(spark, tablesDir)
+        graft.query.GraphAnalytics.triangleCounts(
+          triples.filter(col("obj") >= 0)
+            .select(col("subj").as("src"), col("obj").as("dst")))
+          .orderBy(col("triangles").desc, col("id"))
       // ≙ joern-plot-proggraph: one page's subgraph as graphviz DOT (the
       // reference's plot tools are client-side too — the server only
       // answers the subgraph query)
@@ -239,8 +261,8 @@ object KgCli {
         throw new IllegalArgumentException(
           s"unknown verb '$other' (build|import-ref|ingest|snapshots|compact|expire|" +
             "lookup|code|location|edges|slice|coref|" +
-            "tag|untag|hide|unhide|features|knn|cluster|plot|plot-slice|" +
-            "list-tags|list-pages|list-entities)")
+            "tag|untag|hide|unhide|features|knn|cluster|rank|triangles|" +
+            "plot|plot-slice|list-tags|list-pages|list-entities)")
     }
   }
 

@@ -53,6 +53,21 @@ class CliSpec extends AnyFunSuite with Matchers {
     hrow.getString(3) shouldBe "?:0"
   }
 
+  test("rank / triangles analytics verbs") {
+    val top = KgCli.run(spark, dir, "rank", Seq("5")).collect()
+    top.length shouldBe 5
+    // descending salience, strictly positive integer masses
+    top.map(_.getLong(1)).toSeq shouldBe top.map(_.getLong(1)).sortBy(-_).toSeq
+    top.foreach(_.getLong(1) should be > 0L)
+    val tri = KgCli.run(spark, dir, "triangles", Nil).collect()
+    tri.length should be > 0
+    tri.foreach { r =>
+      val deg = r.getLong(1)
+      r.getLong(2) shouldBe deg * (deg - 1) / 2
+      r.getLong(3) should be >= 0L
+    }
+  }
+
   test("coref / tag / list-tags verbs") {
     // coref: a mention expands to all co-referent mentions of its entity
     val m = KgCli.run(spark, dir, "lookup", Seq("Mention", ".*"))
