@@ -231,8 +231,12 @@ object Pipeline {
       .select("tripleNodeId", "pred", "pageId", "sentIdx", "objValue",
         "subjMentionId", "objMentionId")
       .dropDuplicates("tripleNodeId")
+    // empty prop values are dropped, not stored: an entity-object triple has
+    // no objValue, and the TSV interchange contract (RefCsvGraphSource)
+    // treats empty as absent — storing "" would break the export round-trip
     val tripleNodes = asNodes($"tripleNodeId", NK.TripleN, $"pred", $"pageId", $"sentIdx",
-      map(lit("objValue"), coalesce($"objValue", lit(""))))(tprov.toDF())
+      map_filter(map(lit("objValue"), coalesce($"objValue", lit(""))),
+        (_, v) => v =!= ""))(tprov.toDF())
     val subjE = asEdges($"tripleNodeId", $"subjMentionId", EK.Subject, $"pred")(tprov.toDF())
     val objE = asEdges($"tripleNodeId", $"objMentionId", EK.Object, $"pred")(
       tprov.filter($"objMentionId" =!= 0L))

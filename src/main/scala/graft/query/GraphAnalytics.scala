@@ -51,7 +51,14 @@ object GraphAnalytics {
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(eager = true) // reused every round: pin it once
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val withDeg = e.join(outdeg, "src").localCheckpoint(eager = true)
+    // pre-partition the (invariant) edge side by the per-round join key ONCE:
+    // `e` comes out of distinct() hashed by (src,dst), which would reshuffle
+    // the full edge table under every round's ranks join. With src-hash
+    // pinned here (localCheckpoint preserves outputPartitioning) and ranks
+    // emerging id-hashed from the previous round's node join, each round
+    // pays exactly one real shuffle — the contribution groupBy on dst.
+    val withDeg = e.join(outdeg, "src").repartition(col("src"))
+      .localCheckpoint(eager = true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(eager = true)
@@ -104,6 +111,7 @@ object GraphAnalytics {
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
       .select(when(uFirst, col("u")).otherwise(col("v")).as("s"),
         when(uFirst, col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint(eager = true) // both sides of the wedge self-join
     val wedge = oriented.select(col("s"), col("t").as("a"))
       .join(oriented.select(col("s"), col("t").as("b")), "s")
       .filter(col("a") < col("b"))
@@ -112,9 +120,10 @@ object GraphAnalytics {
     val tri = wedge.join(und,
       col("a") === col("u") && col("b") === col("v"), "inner")
       .select("s", "a", "b")
-    val perNode = tri.select(col("s").as("id"))
-      .union(tri.select(col("a").as("id")))
-      .union(tri.select(col("b").as("id")))
+    // one pass over the (expensive) closed-wedge join: explode the three
+    // corners instead of unioning three scans of `tri`
+    val perNode = tri
+      .select(explode(array(col("s"), col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
     deg.join(perNode, Seq("id"), "left")
       .select(col("id"), col("deg"),

@@ -28,13 +28,17 @@ object RefCsvGraphSource {
       .option("mode", "PERMISSIVE")
       .csv(path)
 
+  /** The fixed node columns; everything else in the header is a sparse
+    * property column (the reference's CSV header is dynamic — CSVWriterImpl
+    * emits every property key present in the export, e.g. location,
+    * isCFGNode, operator, baseType, completeType, identifier). */
+  private val FixedNodeCols = Set("key", "type", "code", "functionId", "childNum")
+
   /** Read a reference nodes.csv into the graft nodes shape
     * (id, kind, code, pageId, childNum, props). */
   def readNodes(spark: SparkSession, path: String): DataFrame = {
     val raw = tsv(spark, path)
-    val sparse = Seq("location", "isCFGNode", "operator", "baseType",
-      "completeType", "identifier")
-    val present = sparse.filter(raw.columns.contains)
+    val present = raw.columns.filterNot(FixedNodeCols).sorted.toSeq
     val entries = present.flatMap(c => Seq(lit(c), col(c)))
     val propsCol =
       if (entries.isEmpty) map().cast("map<string,string>")
@@ -62,6 +66,30 @@ object RefCsvGraphSource {
       varCol.cast("string").as("variable"),
       labelCol.cast("string").as("label"))
   }
+
+  /** Write graft nodes in the reference's nodes.csv TSV shape — the export
+    * half of the interchange loop (≙ CSVWriterImpl's dynamic header: the
+    * fixed columns plus one column per property key present). Prop-key
+    * vocabulary is collected driver-side (bounded: schema-sized, not
+    * data-sized). */
+  def writeNodes(nodes: DataFrame, path: String): Unit = {
+    val keys = nodes.select(explode(map_keys(col("props"))).as("k"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    val cols = Seq(col("id").as("key"), col("kind").as("type"), col("code"),
+      col("pageId").as("functionId"), col("childNum")) ++
+      keys.map(k => element_at(col("props"), k).as(k))
+    nodes.select(cols: _*).write
+      .option("sep", "\t").option("header", "true")
+      .mode("overwrite").csv(path)
+  }
+
+  /** Write graft edges as the reference's edges.csv TSV. */
+  def writeEdges(edges: DataFrame, path: String): Unit =
+    edges.select(col("src").as("start"), col("dst").as("end"),
+      col("kind").as("type"), col("variable").as("var"),
+      col("label").as("flowLabel"))
+      .write.option("sep", "\t").option("header", "true")
+      .mode("overwrite").csv(path)
 
   /** FK validation (the S8 import check as a join, not per-row lookups):
     * returns (valid edges, dangling-edge count). */

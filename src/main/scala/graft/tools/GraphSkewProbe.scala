@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Adversarial-skew battery for the graph-analytics kernels (the CcBench
+  * twin for GraphAnalytics): a WHEEL graph — one mega-hub adjacent to ALL n
+  * spokes (half the spoke edges point in, half out, so both the high
+  * in-degree contribution sum and the high out-degree rank fan-out are
+  * exercised) plus the rim chain spoke(i)—spoke(i+1).
+  *
+  * Why this shape: the hub is the degenerate key for BOTH kernels. PageRank
+  * funnels n contributions into one dst key — absorbed by map-side partial
+  * aggregation, never one task. Triangle counting would enumerate C(n,2)
+  * wedges AT the hub under naive pairing; degree-ordered orientation makes
+  * the hub the ≺-max endpoint of every incident edge, so it expands ZERO
+  * wedges, and each spoke (deg 3) expands ≤ 3. Closed form: every rim edge
+  * closes exactly one triangle with the hub → n−1 triangles, checked
+  * distributed-side.
+  *
+  *   runMain graft.tools.GraphSkewProbe [nSpokes] [cores] [pagerank|triangles|all]
+  */
+object GraphSkewProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 5000000L
+    val cores = if (args.length > 1) args(1).toInt else 32
+    val op = if (args.length > 2) args(2) else "all"
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]").appName("graft-graph-skew-probe")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val half = n / 2
+      val in = spark.range(1, half + 1).select(col("id").as("src"), lit(0L).as("dst"))
+      val out = spark.range(half + 1, n + 1).select(lit(0L).as("src"), col("id").as("dst"))
+      val rim = spark.range(1, n).select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val edges = in.unionByName(out).unionByName(rim)
+      def run(label: String)(f: => String): Unit = {
+        val t0 = System.nanoTime()
+        val extra = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(String.format(java.util.Locale.ROOT,
+          "[graphskew] op=%s nSpokes=%d sec=%.2f %s", label, n, sec, extra))
+      }
+      if (op == "pagerank" || op == "all") run("pagerank") {
+        val pr = graft.query.GraphAnalytics.pageRankInt(edges, iters = 10)
+        val rows = pr.count()
+        val hub = pr.filter(col("id") === 0L).head().getLong(1)
+        s"nodes=$rows hubRank=$hub"
+      }
+      if (op == "triangles" || op == "all") run("triangles") {
+        val tc = graft.query.GraphAnalytics.triangleCounts(edges)
+        val total = tc.agg(sum("triangles")).head().getLong(0)
+        val expect = 3L * (n - 1) // each of the n−1 triangles touches 3 nodes
+        s"triangleIncidences=$total expected=$expect ok=${total == expect}"
+      }
+    } finally spark.stop()
+  }
+}

@@ -115,6 +115,15 @@ object KgCli {
         import spark.implicits._
         Seq(("nodes", nm.buckets.values.sum), ("edges", em.buckets.values.sum),
           ("danglingEdges", dangling)).toDF("counter", "value")
+      // the export half of import-ref: write the materialized graph in the
+      // reference's nodes.csv/edges.csv TSV interchange shape
+      case "export-ref" =>
+        val out = args(0)
+        graft.sources.RefCsvGraphSource.writeNodes(nodes, s"$out/nodes.csv")
+        graft.sources.RefCsvGraphSource.writeEdges(edges, s"$out/edges.csv")
+        import spark.implicits._
+        Seq(("nodes", nodes.count()), ("edges", edges.count()))
+          .toDF("counter", "value")
       case "lookup" =>
         // ≙ joern-lookup after joern-hide: nodes carrying the 'hidden' tag
         // are excluded from lookups until unhidden
@@ -259,7 +268,7 @@ object KgCli {
           edges.filter(col("kind").isin(kinds: _*))))
       case other =>
         throw new IllegalArgumentException(
-          s"unknown verb '$other' (build|import-ref|ingest|snapshots|compact|expire|" +
+          s"unknown verb '$other' (build|import-ref|export-ref|ingest|snapshots|compact|expire|" +
             "lookup|code|location|edges|slice|coref|" +
             "tag|untag|hide|unhide|features|knn|cluster|rank|triangles|" +
             "plot|plot-slice|list-tags|list-pages|list-entities)")

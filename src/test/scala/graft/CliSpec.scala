@@ -53,6 +53,39 @@ class CliSpec extends AnyFunSuite with Matchers {
     hrow.getString(3) shouldBe "?:0"
   }
 
+  test("export-ref round-trips through import-ref bit-exactly") {
+    val out = java.nio.file.Files.createTempDirectory("kgcli-export").toString
+    val d2 = java.nio.file.Files.createTempDirectory("kgcli-import").toString
+    try {
+      KgCli.run(spark, dir, "export-ref", Seq(out)).count() shouldBe 2L
+      val counters = KgCli.run(spark, d2, "import-ref",
+        Seq(s"$out/nodes.csv", s"$out/edges.csv")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      counters("danglingEdges") shouldBe 0L
+      // name-based projection: the imported tables' physical column ORDER
+      // differs (semi-join using-columns move to the front)
+      def nodeSet(d: String) =
+        graft.store.TableIO.read(spark, s"$d/nodes")
+          .select("id", "kind", "code", "pageId", "childNum", "props")
+          .collect().map { r =>
+            (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getInt(4),
+              r.getMap[String, String](5).toSeq.sortBy(_._1).mkString(","))
+          }.sorted.toSeq
+      def edgeSet(d: String) =
+        graft.store.TableIO.read(spark, s"$d/edges")
+          .select("src", "dst", "kind", "variable", "label")
+          .collect().map { r =>
+            (r.getLong(0), r.getLong(1), r.getString(2),
+              Option(r.getString(3)).getOrElse(""), Option(r.getString(4)).getOrElse(""))
+          }.sorted.toSeq
+      nodeSet(d2) shouldBe nodeSet(dir)
+      edgeSet(d2) shouldBe edgeSet(dir)
+    } finally {
+      graft.store.TableIO.deleteRecursively(out)
+      graft.store.TableIO.deleteRecursively(d2)
+    }
+  }
+
   test("rank / triangles analytics verbs") {
     val top = KgCli.run(spark, dir, "rank", Seq("5")).collect()
     top.length shouldBe 5
