@@ -94,15 +94,18 @@ object KgOracleSql {
 
   /** One integer-PageRank round — `//` (DuckDB integer division) mirrors
     * Spark's `div`, and the HUGEINT sum is cast straight back to BIGINT so
-    * the arithmetic stays 64-bit on both engines. */
+    * the arithmetic stays 64-bit on both engines. Reads the per-node
+    * teleport base from the `nb` CTE (uniform for classic PageRank,
+    * seed-restricted for the personalized variant). */
   private def prRound(prev: String, x: String, next: String): String =
     s"""$x AS (SELECT e.dst AS id, CAST(sum(r.rank // od.outdeg) AS BIGINT) AS cx
        |  FROM e JOIN od ON od.src = e.src JOIN $prev r ON r.id = e.src
        |  GROUP BY 1),
-       |$next AS (SELECT n.id,
-       |    (SELECT (pernode * 15) // 100 FROM pr)
-       |      + (85 * coalesce(x2.cx, 0)) // 100 AS rank
-       |  FROM nodes n LEFT JOIN $x x2 ON x2.id = n.id)""".stripMargin
+       |$next AS (SELECT n.id, n.base + (85 * coalesce(x2.cx, 0)) // 100 AS rank
+       |  FROM nb n LEFT JOIN $x x2 ON x2.id = n.id)""".stripMargin
+
+  private def prRounds: String =
+    (0 until 10).map(i => prRound(s"r$i", s"x${i + 1}", s"r${i + 1}")).mkString(",\n")
 
   // canonical mapping re-derived relationally: left-join the component map
   // on both slots, coalesce, dedup — the same logical op as Pipeline's
@@ -231,8 +234,26 @@ object KgOracleSql {
          |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
          |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
          |pr AS (SELECT 1000000000000000 // (SELECT count(*) FROM nodes) AS pernode),
+         |nb AS (SELECT id, (SELECT (pernode * 15) // 100 FROM pr) AS base FROM nodes),
          |r0 AS (SELECT id, (SELECT pernode FROM pr) AS rank FROM nodes),
-         |${(0 until 10).map(i => prRound(s"r$i", s"x${i + 1}", s"r${i + 1}")).mkString(",\n")}
+         |$prRounds
+         |SELECT id, rank FROM r10 ORDER BY id""".stripMargin,
+    // personalized variant: teleport mass returns only to the seed set
+    // (every 10th canonical entity id, head entity included) — same rounds,
+    // seed-restricted r0/base
+    "kg_step_ppr" ->
+      s"""WITH $entityGraph,
+         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |seeds AS (SELECT id FROM nodes WHERE id % 10 = 0),
+         |pr AS (SELECT 1000000000000000 // (SELECT count(*) FROM seeds) AS perseed),
+         |nb AS (SELECT n.id, CASE WHEN n.id % 10 = 0
+         |    THEN (SELECT (perseed * 15) // 100 FROM pr) ELSE 0 END AS base
+         |  FROM nodes n),
+         |r0 AS (SELECT n.id, CASE WHEN n.id % 10 = 0
+         |    THEN (SELECT perseed FROM pr) ELSE 0 END AS rank
+         |  FROM nodes n),
+         |$prRounds
          |SELECT id, rank FROM r10 ORDER BY id""".stripMargin,
     // triangles re-derived with the SAME degree-ordered orientation: wedges
     // at each edge's (deg,id)-min endpoint, closed against the undirected

@@ -545,6 +545,18 @@ object Queries {
           .select(col("subj").as("src"), col("obj").as("dst")))
         .orderBy("id")
     }),
+    // personalized PageRank: teleport restricted to a seed set (every 10th
+    // canonical entity id, head entity included) — the "entities related to
+    // X" relatedness query over the same graph
+    "kg_step_ppr" -> ((s, d) => {
+      val kt = kg(s, d)
+      val e = kt.triples.filter(col("obj") >= 0)
+        .select(col("subj").as("src"), col("obj").as("dst"))
+      val seeds = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .distinct().filter(pmod(col("id"), lit(10)) === 0)
+      graft.query.GraphAnalytics.pageRankInt(e, seeds = Some(seeds)).orderBy("id")
+    }),
     // local clustering structure over the same canonical graph: per-entity
     // triangle/wedge counts via degree-ordered edge orientation
     "kg_step_triangles" -> ((s, d) => {

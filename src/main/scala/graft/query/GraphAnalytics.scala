@@ -27,26 +27,29 @@ import org.apache.spark.sql.functions._
   */
 object GraphAnalytics {
 
-  /** Exact integer fixed-point PageRank.
+  /** Exact integer fixed-point PageRank, optionally personalized.
     *
-    * Semantics (mirrored verbatim by the DuckDB oracle, all `Long` ops):
-    *   n        = |nodes of the (src,dst)-deduped, self-loop-free graph|
-    *   perNode  = totalMass div n
-    *   base     = perNode * 15 div 100
-    *   r0(i)    = perNode
-    *   r{t+1}(i) = base + (85 * Σ_{j→i} (r_t(j) div outdeg(j))) div 100
+    * Semantics (mirrored verbatim by the DuckDB oracle, all `Long` ops;
+    * S = seed set, defaulting to ALL graph nodes = classic PageRank):
+    *   perSeed  = totalMass div |S|
+    *   base(i)  = perSeed * 15 div 100  if i ∈ S, else 0
+    *   r0(i)    = perSeed               if i ∈ S, else 0
+    *   r{t+1}(i) = base(i) + (85 * Σ_{j→i} (r_t(j) div outdeg(j))) div 100
     *
-    * Dangling mass evaporates (standard simplification; deterministic).
-    * Magnitudes: every rank ≤ totalMass, every contribution sum ≤ totalMass,
-    * so 85 * sum ≤ 8.5e16 < Long.MaxValue for the default mass — no overflow
-    * at any node count, because mass only shrinks.
+    * With seeds, teleport mass returns only to S — the "entities related to
+    * X" relatedness query. Dangling mass evaporates (standard
+    * simplification; deterministic). Magnitudes: every rank ≤ totalMass and
+    * every contribution sum ≤ totalMass, so 85 * sum ≤ 8.5e16 <
+    * Long.MaxValue for the default mass — no overflow at any node count,
+    * because mass only shrinks.
     *
     * Iterations materialize via [[graft.util.Materialize.iterate]] (reliable
     * checkpoint every Nth round under `spark.graft.reliableCheckpointInterval`
     * — same cluster-fault story as the CC fixpoint).
     */
   def pageRankInt(edges: DataFrame, iters: Int = 10,
-                  totalMass: Long = 1000000000000000L): DataFrame = {
+                  totalMass: Long = 1000000000000000L,
+                  seeds: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(eager = true) // reused every round: pin it once
@@ -61,28 +64,39 @@ object GraphAnalytics {
       .localCheckpoint(eager = true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+    val flagged = (seeds match {
+      case Some(s) => nodes.join(
+        s.select(col("id")).distinct().withColumn("isSeed", lit(true)),
+        Seq("id"), "left")
+        .select(col("id"), coalesce(col("isSeed"), lit(false)).as("isSeed"))
+      case None => nodes.withColumn("isSeed", lit(true))
+    }).localCheckpoint(eager = true)
+    // one bounded driver scalar each (like the CC probe)
+    val nSeeds = flagged.filter(col("isSeed")).count()
+    require(nSeeds > 0, "pageRankInt: empty graph or no seed is a graph node")
+    val perSeed = totalMass / nSeeds
+    // per-node teleport base — the frame every round's final join reuses
+    val nb = flagged.select(col("id"),
+      when(col("isSeed"), lit(perSeed * 15L / 100L)).otherwise(lit(0L)).as("base"))
       .localCheckpoint(eager = true)
-    val n = nodes.count() // one bounded driver scalar (like the CC probe)
-    require(n > 0, "pageRankInt: empty graph")
-    val perNode = totalMass / n
-    val base = perNode * 15L / 100L
-    var ranks = nodes.select(col("id"), lit(perNode).as("rank"))
+    var ranks = flagged.select(col("id"),
+      when(col("isSeed"), lit(perSeed)).otherwise(lit(0L)).as("rank"))
     for (i <- 0 until iters)
-      ranks = graft.util.Materialize.iterate(prStep(withDeg, ranks, nodes, base), i)
+      ranks = graft.util.Materialize.iterate(prStep(withDeg, ranks, nb), i)
     ranks
   }
 
   /** One PageRank round — the exact frame each iteration materializes
     * (factored out so PlanSpec pins its physical shape: partial-agg sum on
-    * dst, two equi-joins, no window, no cartesian). */
+    * dst, two equi-joins, no window, no cartesian). `nb` = (id, base). */
   private[graft] def prStep(withDeg: DataFrame, ranks: DataFrame,
-                            nodes: DataFrame, base: Long): DataFrame = {
+                            nb: DataFrame): DataFrame = {
     val contrib = withDeg.join(ranks, col("src") === col("id"))
       .select(col("dst").as("id"), expr("`rank` div `outdeg`").as("c"))
       .groupBy("id").agg(sum("c").as("cx"))
-    nodes.join(contrib, Seq("id"), "left")
+    nb.join(contrib, Seq("id"), "left")
       .select(col("id"),
-        (lit(base) + expr("(85 * coalesce(cx, 0L)) div 100")).as("rank"))
+        (col("base") + expr("(85 * coalesce(cx, 0L)) div 100")).as("rank"))
   }
 
   /** Per-entity triangle and wedge counts over the undirected, deduped,

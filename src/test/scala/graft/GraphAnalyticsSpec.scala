@@ -15,19 +15,24 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
   }
 
   /** Driver-side twin of pageRankInt's exact integer recurrence. */
-  private def pageRankLocal(es: Seq[(Long, Long)], iters: Int,
-                            totalMass: Long): Map[Long, Long] = {
+  private def pageRankLocal(es: Seq[(Long, Long)], iters: Int, totalMass: Long,
+                            seeds: Option[Set[Long]] = None): Map[Long, Long] = {
     val e = es.filter(p => p._1 != p._2).distinct
     val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val inSeed: Long => Boolean = seeds match {
+      case Some(s) => s.contains
+      case None => _ => true
+    }
     val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
-    val perNode = totalMass / nodes.size
-    val base = perNode * 15L / 100L
-    var r = nodes.map(_ -> perNode).toMap
+    val perSeed = totalMass / nodes.count(inSeed)
+    val base = perSeed * 15L / 100L
+    var r = nodes.map(n => n -> (if (inSeed(n)) perSeed else 0L)).toMap
     for (_ <- 0 until iters) {
       val cx = e.groupBy(_._2).map { case (dst, in) =>
         dst -> in.map { case (s, _) => r(s) / outdeg(s) }.sum
       }
-      r = nodes.map(n => n -> (base + 85L * cx.getOrElse(n, 0L) / 100L)).toMap
+      r = nodes.map(n => n ->
+        ((if (inSeed(n)) base else 0L) + 85L * cx.getOrElse(n, 0L) / 100L)).toMap
     }
     r
   }
@@ -51,6 +56,18 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
       edges(g: _*).repartition(7), iters = 10)
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     repart shouldBe r
+  }
+
+  test("personalized PageRank matches the twin; mass localizes at the seed side") {
+    import spark.implicits._
+    val seedDf = Seq(4L, 5L).toDF("id")
+    val got = GraphAnalytics.pageRankInt(edges(g: _*), iters = 10,
+      seeds = Some(seedDf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe pageRankLocal(g, 10, 1000000000000000L, Some(Set(4L, 5L)))
+    // nodes unreachable from the seeds hold zero mass; the seeds' target does
+    got(6L) shouldBe 0L // 6 -> 1 only; nothing flows INTO 6
+    got(1L) should be > 0L // fed by seeds 4 and 5
   }
 
   /** Brute-force triangle census: all 3-subsets of the undirected edge set. */

@@ -132,7 +132,8 @@ class PlanSpec extends AnyFunSuite with Matchers {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val ranks = nodes.select(col("id"), lit(1000000L).as("rank"))
-    val plan = physical(graft.query.GraphAnalytics.prStep(withDeg, ranks, nodes, 100L))
+    val nb = nodes.select(col("id"), lit(100L).as("base"))
+    val plan = physical(graft.query.GraphAnalytics.prStep(withDeg, ranks, nb))
     plan should include("partial_sum")
     plan shouldNot include("Window")
     plan shouldNot include("CartesianProduct")
