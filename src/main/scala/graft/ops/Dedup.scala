@@ -270,19 +270,36 @@ object Dedup {
       .agg(graft.functions.MinKAgg.minK(maxBucket)(col("doc_id")).as("ids"))
       .localCheckpoint(true)
     // probe: every batch band row (a probe needn't survive the cap itself)
-    // against the capped bucket lists, strictly-smaller ids only; eager
-    // materialization for exact stats before the signature re-attach joins
-    // (same planner reasoning as cappedPairs)
-    val cand = bandRows(bsig).join(newBands, Seq("band", "bandHash"))
-      .select(col("doc_id").as("x"), explode(col("ids")).as("y"))
-      .filter(col("y") < col("x"))
-      .dropDuplicates("x", "y")
-      .localCheckpoint(true)
+    // against the capped bucket lists, strictly-smaller ids only. The
+    // per-probe candidate set is deduped IN-ROW: collect the ≤`bands`
+    // bucket lists per probe doc (one bounded shuffle of batch-sized rows,
+    // partial-agg), flatten + array_distinct — never a pair-grain
+    // dropDuplicates, which at N identical docs shuffled N·bands·cap
+    // exploded rows (measured 200M at the 500k-doc skew probe) to throw
+    // 7/8 away.
+    val candL = bandRows(bsig).join(newBands, Seq("band", "bandHash"))
+      .groupBy(col("doc_id").as("x"))
+      .agg(collect_list(col("ids")).as("idss"))
+      .select(col("x"), array_distinct(flatten(col("idss"))).as("ys"))
+      .localCheckpoint(true) // feeds the referenced-sig semi-join AND the verify stream
     val allSigs = oldSigs.unionByName(bsig.select("doc_id", "sig"))
       .localCheckpoint(true)
-    val dropped = cand
-      .join(allSigs.select(col("doc_id").as("x"), col("sig").as("sigX")), Seq("x"))
-      .join(allSigs.select(col("doc_id").as("y"), col("sig").as("sigY")), Seq("y"))
+    // only the index signatures the candidates actually reference (map-side
+    // partial distinct shrinks the exploded stream before it shuffles);
+    // eager checkpoint → exact stats, so a small referenced set broadcasts
+    // into the pair-grain verify below and the N·cap pair stream then runs
+    // explode → filter → broadcast join → agg inside ONE codegen stage with
+    // no pair-grain shuffle or materialization anywhere (the previous shape
+    // shuffled the pair table twice for the two sig re-attach joins)
+    val ySigs = allSigs.join(
+      candL.select(explode(col("ys")).as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val dropped = candL
+      .join(bsig.select(col("doc_id").as("x"), col("sig").as("sigX")), Seq("x"))
+      .select(col("x"), col("sigX"), explode(col("ys")).as("y"))
+      .filter(col("y") < col("x"))
+      .join(ySigs.select(col("doc_id").as("y"), col("sig").as("sigY")), Seq("y"))
       .filter(estJaccard(col("sigX"), col("sigY"), numHashes) >= threshold)
       .select(col("x").as("doc_id")).distinct()
     val out = bsig.select("doc_id")
