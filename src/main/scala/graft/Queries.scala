@@ -445,11 +445,6 @@ object Queries {
       graft.ops.CorpusOps.packSequences(t(s, d, "documents"),
         budget = 2000L, seqLen = 128, chunk = 50L)
         .orderBy("shard_id", "seq_idx")),
-    // fuzzy-dedup clustering: minhash near-dup pairs -> the SAME adaptive
-    // connected-components machinery the KG canonicalizer runs -> one
-    // cluster id (min member) per document. The oracle re-derives the pairs
-    // from the signature dump (d3's banding SQL) and closes them with a
-    // recursive CTE — an independent second engine for the CC fixpoint
     // ingest-time near-dup gate over a PERSISTED LSH index — the
     // crawl-pipeline shape: build the index on the first 80% of the corpus,
     // then ingest two monotone-id batches (the remaining originals, then a
@@ -471,6 +466,11 @@ object Queries {
         k1.unionByName(k2).orderBy("doc_id")
       } finally graft.store.TableIO.deleteRecursively(dir)
     }),
+    // fuzzy-dedup clustering: minhash near-dup pairs -> the SAME adaptive
+    // connected-components machinery the KG canonicalizer runs -> one
+    // cluster id (min member) per document. The oracle re-derives the pairs
+    // from the signature dump (d3's banding SQL) and closes them with a
+    // recursive CTE — an independent second engine for the CC fixpoint
     "d17_dup_clusters" -> ((s, d) => {
       val docs = dupedDocs(s, d)
       val pairs = graft.ops.Dedup.minhashLSH(docs, threshold = 0.7).select("a", "b")

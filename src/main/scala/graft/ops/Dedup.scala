@@ -217,10 +217,15 @@ object Dedup {
     * instead of re-running corpus×corpus dedup per crawl.
     *
     * Layout under `dir`:
-    *   `sigs/`  — (doc_id, sig): full signatures, appended per ingest
-    *   `bands/` — (band, bandHash, ids): ONE row per bucket holding the
-    *              min-`maxBucket` doc_ids (the stored form IS the capped
-    *              form, so a boilerplate bucket never grows past the cap)
+    *   `sigs/`  — (doc_id, sig): full signatures, APPENDED per ingest
+    *              (O(batch) write through Spark's commit protocol: files
+    *              surface only at job commit, a crash leaves hidden
+    *              `_temporary` debris that parquet readers ignore)
+    *   `bands/` — (band, bandHash, ids): capped min-`maxBucket` id lists,
+    *              one GENERATION appended per ingest; readers re-cap the
+    *              union (exact — min-k of per-generation min-k's IS the
+    *              global min-k), [[compactMinhashIndex]] folds generations
+    *              back to one row per bucket
     *
     * Semantics (mirrored closed-form by the d19 oracle): a batch doc is
     * DROPPED iff some strictly-smaller doc_id (base corpus or same batch)
@@ -241,28 +246,36 @@ object Dedup {
                         maxBucket: Int = 50): Unit = {
     val sig = signatureFrame(docs, shingleN, numHashes, bands).localCheckpoint(true)
     sig.select("doc_id", "sig").write.mode("overwrite").parquet(s"$dir/sigs")
+    cappedBandLists(sig, maxBucket).write.mode("overwrite").parquet(s"$dir/bands")
+    sig.unpersist(false)
+  }
+
+  private def cappedBandLists(sig: DataFrame, maxBucket: Int): DataFrame =
     bandRows(sig)
       .groupBy("band", "bandHash")
       .agg(graft.functions.MinKAgg.minK(maxBucket)(col("doc_id")).as("ids"))
-      .write.mode("overwrite").parquet(s"$dir/bands")
-  }
 
   private def bandRows(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"), posexplode(col("bandKeys")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
 
   /** Gate `batch` against the index at `dir`, returning (doc_id, kept) per
-    * batch doc, and fold the batch's signatures into the index (tmp+rename
-    * swap — the updated tables are localCheckpointed first, so the write
-    * never reads the files it replaces). */
+    * batch doc, and fold the batch's signatures into the index. Index
+    * writes are O(batch) APPENDS — the batch's signatures and its own
+    * capped band lists land as one new generation; nothing corpus-sized is
+    * rewritten or materialized (the gate's only O(index) work is reading
+    * the band lists it probes, which the candidate join needs anyway). */
   def ingestDedup(batch: DataFrame, dir: String, shingleN: Int = 3,
                   numHashes: Int = 32, bands: Int = 8,
                   threshold: Double = 0.7, maxBucket: Int = 50): DataFrame = {
     val spark = batch.sparkSession
+    healSwap(s"$dir/sigs"); healSwap(s"$dir/bands")
     val oldSigs = spark.read.parquet(s"$dir/sigs")
     val oldBands = spark.read.parquet(s"$dir/bands")
     val bsig = signatureFrame(batch, shingleN, numHashes, bands).localCheckpoint(true)
-    // re-capped union of the stored bucket lists and the batch's band rows
+    // re-capped union of the stored bucket lists (all generations) and the
+    // batch's band rows — exact: min-k of per-generation min-k's is the
+    // global min-k
     val newBands = oldBands
       .select(col("band"), col("bandHash"), explode(col("ids")).as("doc_id"))
       .unionByName(bandRows(bsig).select("band", "bandHash", "doc_id"))
@@ -282,8 +295,10 @@ object Dedup {
       .agg(collect_list(col("ids")).as("idss"))
       .select(col("x"), array_distinct(flatten(col("idss"))).as("ys"))
       .localCheckpoint(true) // feeds the referenced-sig semi-join AND the verify stream
+    // lazy — only the semi-join below consumes it, and only the referenced
+    // slice is ever materialized (checkpointing the union here made every
+    // ingest O(corpus) in storage memory)
     val allSigs = oldSigs.unionByName(bsig.select("doc_id", "sig"))
-      .localCheckpoint(true)
     // only the index signatures the candidates actually reference (map-side
     // partial distinct shrinks the exploded stream before it shuffles);
     // eager checkpoint → exact stats, so a small referenced set broadcasts
@@ -307,19 +322,66 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("hit"), lit(false)) === lit(false))
       .toDF("doc_id", "kept")
       .localCheckpoint(true)
-    swapWrite(allSigs, s"$dir/sigs")
-    swapWrite(newBands, s"$dir/bands")
+    // O(batch) index fold: append the batch's signatures and its OWN capped
+    // band lists as a new generation (readers re-cap the union; compaction
+    // folds). Spark's commit protocol makes the appends crash-tolerant —
+    // files surface only at job commit.
+    bsig.select("doc_id", "sig").write.mode("append").parquet(s"$dir/sigs")
+    cappedBandLists(bsig, maxBucket).write.mode("append").parquet(s"$dir/bands")
+    // `out` is its own checkpoint — release every intermediate's blocks
+    // (without this, repeated ingests pile batch-sized checkpoint copies
+    // into storage memory until an eviction cliff, the pageRankInt lesson)
+    bsig.unpersist(false); newBands.unpersist(false)
+    candL.unpersist(false); ySigs.unpersist(false)
     out
   }
 
-  /** Overwrite `path` via tmp-dir + rename. Single-FS local semantics; on
-    * an object store this becomes the TableIO snapshot-swap instead. */
+  /** Maintenance pass (the monthly job, like Incremental.compactMergeRemap):
+    * fold the per-ingest band-list generations back into one capped row per
+    * bucket and rewrite the signature table's accumulated small files. The
+    * only O(corpus) step in the index lifecycle, by design. */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                          maxBucket: Int = 50): Unit = {
+    healSwap(s"$dir/sigs"); healSwap(s"$dir/bands")
+    val bands2 = spark.read.parquet(s"$dir/bands")
+      .select(col("band"), col("bandHash"), explode(col("ids")).as("doc_id"))
+      .groupBy("band", "bandHash")
+      .agg(graft.functions.MinKAgg.minK(maxBucket)(col("doc_id")).as("ids"))
+      .localCheckpoint(true)
+    val sigs2 = spark.read.parquet(s"$dir/sigs").localCheckpoint(true)
+    swapWrite(bands2, s"$dir/bands")
+    swapWrite(sigs2, s"$dir/sigs")
+    bands2.unpersist(false); sigs2.unpersist(false)
+  }
+
+  /** Overwrite `path` via write-aside + two renames, no window where the
+    * table is deleted but not yet replaced: tmp is fully written BEFORE the
+    * live dir moves aside, so after a crash either `path` still exists or a
+    * COMPLETE `path`_tmp does — [[healSwap]] promotes the latter on the
+    * next open. Single-FS local semantics; on an object store this becomes
+    * the TableIO snapshot-swap instead. */
   private def swapWrite(df: DataFrame, path: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = path + "_tmp"
+    val old = path + "_old"
+    graft.store.TableIO.deleteRecursively(tmp)
+    graft.store.TableIO.deleteRecursively(old)
     df.write.mode("overwrite").parquet(tmp)
-    graft.store.TableIO.deleteRecursively(path)
+    if (Files.exists(Paths.get(path)))
+      Files.move(Paths.get(path), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    graft.store.TableIO.deleteRecursively(old)
+  }
+
+  /** Crash recovery for [[swapWrite]]: a missing live dir next to a
+    * (by-construction complete) `_tmp` means the crash hit between the two
+    * renames — promote the tmp. Any `_old` leftover is stale either way. */
+  private def healSwap(path: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    if (!Files.exists(Paths.get(path)) && Files.exists(Paths.get(path + "_tmp")))
+      Files.move(Paths.get(path + "_tmp"), Paths.get(path),
+        StandardCopyOption.ATOMIC_MOVE)
+    graft.store.TableIO.deleteRecursively(path + "_old")
   }
 
   /** 64-bit SimHash of the token stream: per-bit weighted majority over

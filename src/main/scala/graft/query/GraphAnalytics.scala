@@ -50,6 +50,9 @@ object GraphAnalytics {
   def pageRankInt(edges: DataFrame, iters: Int = 10,
                   totalMass: Long = 1000000000000000L,
                   seeds: Option[DataFrame] = None): DataFrame = {
+    // the returned frame must be its OWN checkpoint (we release every input
+    // frame below); with zero rounds it would still be lazy over them
+    require(iters >= 1, "pageRankInt: iters must be >= 1")
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(eager = true) // reused every round: pin it once
@@ -115,8 +118,12 @@ object GraphAnalytics {
     * Output: (id, deg, wedges, triangles) — all integer columns, so the
     * local clustering coefficient 2·T/(deg·(deg−1)) is a consumer-side
     * division and the driver hash stays exact.
+    *
+    * `materialize = false` (tests only) returns the lazy census so PlanSpec
+    * can pin the physical shape — the default path materializes and
+    * releases the edge-sized invariant frames (cappedPairs pattern).
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame, materialize: Boolean = true): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
@@ -149,9 +156,17 @@ object GraphAnalytics {
     val perNode = tri
       .select(explode(array(col("s"), col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
-    deg.join(perNode, Seq("id"), "left")
+    val census = deg.join(perNode, Seq("id"), "left")
       .select(col("id"), col("deg"),
         expr("(deg * (deg - 1)) div 2").as("wedges"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
+    if (!materialize) census
+    else {
+      // materialize the (node-sized) census and release the edge-sized
+      // invariant frames — same block discipline as pageRankInt
+      val res = census.localCheckpoint(eager = true)
+      und.unpersist(false); deg.unpersist(false); oriented.unpersist(false)
+      res
+    }
   }
 }

@@ -26,13 +26,19 @@ object RefCsvGraphSource {
       .option("sep", "\t")
       .option("header", "true")
       .option("mode", "PERMISSIVE")
+      // quoted fields may span lines (multi-line code values are normal in
+      // reference exports, and writeNodes quotes embedded newlines the same
+      // way) — without this a quoted '\n' splits the record mid-row
+      .option("multiLine", "true")
       .csv(path)
 
-  /** The fixed node columns; everything else in the header is a sparse
-    * property column (the reference's CSV header is dynamic — CSVWriterImpl
-    * emits every property key present in the export, e.g. location,
-    * isCFGNode, operator, baseType, completeType, identifier). */
-  private val FixedNodeCols = Set("key", "type", "code", "functionId", "childNum")
+  /** The fixed node columns (plus the importer's `command` directive — an
+    * import instruction, not a property); everything else in the header is
+    * a sparse property column (the reference's CSV header is dynamic —
+    * CSVWriterImpl emits every property key present in the export, e.g.
+    * location, isCFGNode, operator, baseType, completeType, identifier). */
+  private val FixedNodeCols =
+    Set("key", "type", "code", "functionId", "childNum", "command")
 
   /** Read a reference nodes.csv into the graft nodes shape
     * (id, kind, code, pageId, childNum, props). */
@@ -75,6 +81,11 @@ object RefCsvGraphSource {
   def writeNodes(nodes: DataFrame, path: String): Unit = {
     val keys = nodes.select(explode(map_keys(col("props"))).as("k"))
       .distinct().collect().map(_.getString(0)).sorted.toSeq
+    // a props key named like a fixed column would emit a duplicate header
+    // that the reader cannot disambiguate — refuse loudly
+    val clash = keys.filter(FixedNodeCols)
+    require(clash.isEmpty,
+      s"writeNodes: props keys collide with fixed TSV columns: ${clash.mkString(",")}")
     val cols = Seq(col("id").as("key"), col("kind").as("type"), col("code"),
       col("pageId").as("functionId"), col("childNum")) ++
       keys.map(k => element_at(col("props"), k).as(k))

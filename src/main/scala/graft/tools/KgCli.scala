@@ -34,6 +34,7 @@ import graft.store.TableIO
   *   cluster <n> [edgeKind]           ≙ scripts/ml/joern-cluster
   *   rank [k]                         top-k entities by integer PageRank
   *   triangles                        per-entity triangle/wedge census
+  *   export-ref <outDir>              write reference-format nodes/edges TSV
   *
   * Output: header + rows, tab-separated, maps JSON-ish, deterministic order.
   */
@@ -118,6 +119,7 @@ object KgCli {
       // the export half of import-ref: write the materialized graph in the
       // reference's nodes.csv/edges.csv TSV interchange shape
       case "export-ref" =>
+        require(args.nonEmpty, "usage: export-ref <outDir>")
         val out = args(0)
         graft.sources.RefCsvGraphSource.writeNodes(nodes, s"$out/nodes.csv")
         graft.sources.RefCsvGraphSource.writeEdges(edges, s"$out/edges.csv")

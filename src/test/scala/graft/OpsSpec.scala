@@ -109,6 +109,54 @@ class DedupSpec extends AnyFunSuite with Matchers {
     kept shouldBe Map(10L -> false, 20L -> false)
   }
 
+  test("index compaction folds band generations; gate decisions unchanged") {
+    val base = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      2L -> "completely different content about spark query engines and shuffles")
+    val b1 = Seq(10L -> "fresh unseen prose describing iterative graph fixpoints at scale")
+    val b2 = Seq(
+      20L -> "the quick brown fox jumps over the lazy dog near the river bank", // vs base
+      21L -> "fresh unseen prose describing iterative graph fixpoints at scale", // vs b1
+      22L -> "entirely novel final chunk text with no earlier relatives at all")
+    def run(compactBetween: Boolean): Map[Long, Boolean] = {
+      val dir = java.nio.file.Files.createTempDirectory("lsh-compact").toString
+      try {
+        Dedup.buildMinhashIndex(docs(base: _*), dir)
+        val k1 = Dedup.ingestDedup(docs(b1: _*), dir)
+          .collect().map(r => r.getLong(0) -> r.getBoolean(1))
+        if (compactBetween) {
+          Dedup.compactMinhashIndex(spark, dir)
+          // compaction folds the two generations into one row per bucket
+          spark.read.parquet(s"$dir/bands")
+            .groupBy("band", "bandHash").count()
+            .collect().foreach(_.getLong(2) shouldBe 1L)
+        }
+        val k2 = Dedup.ingestDedup(docs(b2: _*), dir)
+          .collect().map(r => r.getLong(0) -> r.getBoolean(1))
+        (k1 ++ k2).toMap
+      } finally graft.store.TableIO.deleteRecursively(dir)
+    }
+    val plain = run(compactBetween = false)
+    plain shouldBe Map(10L -> true, 20L -> false, 21L -> false, 22L -> true)
+    run(compactBetween = true) shouldBe plain
+  }
+
+  test("a crashed swap (live dir missing, complete _tmp) heals on the next ingest") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh-heal").toString
+    try {
+      Dedup.buildMinhashIndex(docs(
+        1L -> "the quick brown fox jumps over the lazy dog near the river bank"), dir)
+      Dedup.compactMinhashIndex(spark, dir)
+      // simulate the crash window between swapWrite's two renames
+      import java.nio.file.{Files, Paths}
+      Files.move(Paths.get(s"$dir/sigs"), Paths.get(s"$dir/sigs_tmp"))
+      val kept = Dedup.ingestDedup(docs(
+        10L -> "the quick brown fox jumps over the lazy dog near the river bank"), dir)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      kept shouldBe Map(10L -> false)
+    } finally graft.store.TableIO.deleteRecursively(dir)
+  }
+
   test("minhash index stores capped bucket lists") {
     val dir = java.nio.file.Files.createTempDirectory("lsh-index-cap").toString
     try {

@@ -143,7 +143,7 @@ class PlanSpec extends AnyFunSuite with Matchers {
   test("triangle counts: equi-join wedge closure, no Window, no cartesian") {
     val e = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
-    val plan = physical(graft.query.GraphAnalytics.triangleCounts(e))
+    val plan = physical(graft.query.GraphAnalytics.triangleCounts(e, materialize = false))
     plan shouldNot include("Window")
     plan shouldNot include("CartesianProduct")
     plan shouldNot include("BroadcastNestedLoopJoin")

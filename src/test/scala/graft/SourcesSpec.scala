@@ -45,6 +45,30 @@ class SourcesSpec extends AnyFunSuite with Matchers {
     props("isCFGNode") shouldBe "True"
     props("location") shouldBe "3:0:10:18"
     props.get("operator") shouldBe None // empty attrs dropped
+    props.get("command") shouldBe None // import directive, not a property
+  }
+
+  test("write/read round-trips multi-line and tab-bearing values") {
+    import spark.implicits._
+    val nodes = Seq(
+      (1L, "Function", "if (a)\n\tfoo();", 0L, 0, Map("location" -> "1:0\n2:3")),
+      (2L, "Callee", "plain", 1L, 1, Map.empty[String, String]))
+      .toDF("id", "kind", "code", "pageId", "childNum", "props")
+    val edges = Seq((1L, 2L, "REACHES", "x\ty", null.asInstanceOf[String]))
+      .toDF("src", "dst", "kind", "variable", "label")
+    val d = Files.createTempDirectory("refcsv-rt").toString
+    try {
+      RefCsvGraphSource.writeNodes(nodes, s"$d/nodes.csv")
+      RefCsvGraphSource.writeEdges(edges, s"$d/edges.csv")
+      val n2 = RefCsvGraphSource.readNodes(spark, s"$d/nodes.csv")
+        .orderBy("id").collect()
+      n2.length shouldBe 2
+      n2(0).getString(2) shouldBe "if (a)\n\tfoo();"
+      n2(0).getMap[String, String](5)("location") shouldBe "1:0\n2:3"
+      val e2 = RefCsvGraphSource.readEdges(spark, s"$d/edges.csv").head()
+      e2.getString(3) shouldBe "x\ty"
+      e2.isNullAt(4) shouldBe true
+    } finally graft.store.TableIO.deleteRecursively(d)
   }
 
   test("edges load, validate, and drive the query steps") {
