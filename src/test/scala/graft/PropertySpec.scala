@@ -112,4 +112,54 @@ class PropertySpec extends AnyFunSuite with Matchers {
       }
     }
   }
+
+  test("property: integer PageRank == driver recurrence, any random digraph") {
+    import spark.implicits._
+    forAll(edgeGen) { edges =>
+      whenever(edges.exists(e => e._1 != e._2)) {
+        val e = edges.filter(p => p._1 != p._2).distinct
+        val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+        val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+        val mass = 1000000000000000L
+        val perNode = mass / nodes.size
+        val base = perNode * 15L / 100L
+        var r = nodes.map(_ -> perNode).toMap
+        for (_ <- 0 until 4) {
+          val cx = e.groupBy(_._2).map { case (dst, in) =>
+            dst -> in.map { case (s, _) => r(s) / outdeg(s) }.sum
+          }
+          r = nodes.map(n => n -> (base + 85L * cx.getOrElse(n, 0L) / 100L)).toMap
+        }
+        val got = query.GraphAnalytics.pageRankInt(edges.toDF("src", "dst"), iters = 4)
+          .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+        got shouldBe r
+      }
+    }
+  }
+
+  test("property: triangle census == brute force, any random graph") {
+    import spark.implicits._
+    forAll(edgeGen) { edges =>
+      whenever(edges.exists(e => e._1 != e._2)) {
+        val und = edges.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+          .filter(p => p._1 != p._2).distinct.toSet
+        val nodes = und.toSeq.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+        val cnt = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for {
+          Seq(a, b, c) <- nodes.combinations(3)
+          if und((a, b)) && und((b, c)) && und((a, c))
+        } { cnt(a) += 1; cnt(b) += 1; cnt(c) += 1 }
+        val degs = und.toSeq.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        val got = query.GraphAnalytics.triangleCounts(edges.toDF("src", "dst"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        got.map(t => t._1 -> t._4).toMap shouldBe
+          nodes.map(n => n -> cnt(n)).toMap
+        got.foreach { case (id, deg, wedges, _) =>
+          deg shouldBe degs(id)
+          wedges shouldBe deg * (deg - 1) / 2
+        }
+      }
+    }
+  }
 }
