@@ -22,6 +22,7 @@ object KgOracleSql {
   private val H = "read_parquet('{{ORA}}/hosts/*.parquet')"
   private val L = "read_parquet('{{ORA}}/labelmap/*.parquet')"
   private val MEDIA = "read_parquet('{{ORA}}/media/*.parquet')"
+  private val KCORE = "read_parquet('{{ORA}}/kcore/*.parquet')"
   private val SIG = "read_parquet('{{ORA}}/docsigs/*.parquet')"
 
   /** Leaf CTEs shared by the graph-shaped oracles. */
@@ -280,6 +281,11 @@ object KgOracleSql {
          |SELECT d.id, d.deg, (d.deg * (d.deg - 1)) // 2 AS wedges,
          |  coalesce(p.triangles, 0) AS triangles
          |FROM deg d LEFT JOIN pert p ON p.id = d.id ORDER BY d.id""".stripMargin,
+    // 2-core survivors with in-core degree — the dump IS the oracle (the
+    // components precedent): VerifyOracle peels the same canonical graph
+    // with a sequential queue, and the k-core's uniqueness makes the
+    // synchronous distributed rounds and the queue peel comparable rowwise
+    "kg_step_kcore" -> s"SELECT id, deg FROM $KCORE ORDER BY id",
     "kg_step_entity_degree" ->
       s"""SELECT entityNodeId AS entity_node, count(*) AS n_mentions
          |FROM $M WHERE entityId >= 0

@@ -557,6 +557,15 @@ object Queries {
         .distinct().filter(pmod(col("id"), lit(10)) === 0)
       graft.query.GraphAnalytics.pageRankInt(e, seeds = Some(seeds)).orderBy("id")
     }),
+    // 2-core of the canonical entity graph (iterative peel; the oracle is
+    // VerifyOracle's sequential queue peel of the same graph)
+    "kg_step_kcore" -> ((s, d) => {
+      val kt = kg(s, d)
+      graft.query.GraphAnalytics.kCore(
+        kt.triples.filter(col("obj") >= 0)
+          .select(col("subj").as("src"), col("obj").as("dst")), k = 2)
+        .orderBy("id")
+    }),
     // local clustering structure over the same canonical graph: per-entity
     // triangle/wedge counts via degree-ordered edge orientation
     "kg_step_triangles" -> ((s, d) => {

@@ -79,6 +79,7 @@ object VerifyOracle {
                                 objValue: String, sentIdx: Int, conf: Double, tripleNodeId: Long,
                                 subjMentionId: Long, objMentionId: Long)
   final case class OraComp(id: Long, component: Long, idNode: Long, compNode: Long)
+  final case class OraCore(id: Long, deg: Long)
   final case class OraHost(hostId: Long, host: String, domainId: Long, domain: String)
   final case class OraLabel(kind: String, code: String, label: Long)
   final case class OraMedia(media_id: Long, kind: String, width: Int, height: Int,
@@ -133,6 +134,42 @@ object VerifyOracle {
       OraComp(id, c, Ids.entityNodeId(id), Ids.entityNodeId(c))
     }
     val pagesV = pages.result(); val mentionsV = mentions.result(); val triplesV = triples.result()
+    // 2-core of the canonical entity graph by SEQUENTIAL queue peeling — a
+    // genuinely different algorithm than the distributed synchronous rounds
+    // (GraphAnalytics.kCore); the k-core is unique so they must agree. The
+    // dump-backed oracle style is the components precedent: the derivation
+    // IS the in-memory recompute, the SQL just selects it.
+    val kcore = {
+      val comp = uf.components
+      def canon(x: Long): Long = comp.getOrElse(x, x)
+      val und = triplesV.iterator
+        .filter(t => t.obj >= 0)
+        .map(t => (canon(t.subj), canon(t.obj)))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .toSet
+      val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+      und.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+      }
+      val deg = scala.collection.mutable.Map(adj.toSeq.map { case (n, s) => n -> s.size }: _*)
+      val removed = scala.collection.mutable.Set.empty[Long]
+      val queue = scala.collection.mutable.Queue(adj.keys.filter(deg(_) < 2).toSeq: _*)
+      while (queue.nonEmpty) {
+        val v = queue.dequeue()
+        if (!removed.contains(v)) {
+          removed += v
+          adj(v).foreach { u =>
+            if (!removed.contains(u)) {
+              deg(u) -= 1
+              if (deg(u) < 2) queue.enqueue(u)
+            }
+          }
+        }
+      }
+      adj.keys.filterNot(removed).toSeq.sorted.map(n => OraCore(n, deg(n).toLong))
+    }
     // the edge oracle derives SAME_SENTENCE as ALL same-sentence pairs; the
     // extractor caps at MaxSameSentenceMentions mentions/sentence — assert
     // the cap is unreachable on THIS corpus so a denser config fails loudly
@@ -184,6 +221,7 @@ object VerifyOracle {
     write("mentions", mentionsV)
     write("rawtriples", triplesV)
     write("components", comps)
+    write("kcore", kcore)
     write("hosts", hosts)
     write("labelmap", labels)
     write("media", media)

@@ -112,6 +112,53 @@ object GraphAnalytics {
         (col("base") + expr("(85 * coalesce(cx, 0L)) div 100")).as("rank"))
   }
 
+  /** The k-core of the undirected, deduped, self-loop-free projection of
+    * `edges`: iteratively peel nodes of degree < k until none remain, and
+    * return the survivors as (id, deg) with deg = degree INSIDE the core.
+    * The k-core is unique, so the synchronous distributed rounds here and
+    * the oracle's sequential queue peel must agree exactly.
+    *
+    * Round shape: degree = partial-agg count; the weak set is usually tiny
+    * and eagerly materialized (exact stats → broadcast anti-joins), so one
+    * round is two broadcast anti-joins plus one groupBy — no windows, and a
+    * hub's degree is summed map-side. Termination = empty weak set
+    * (bounded driver probe per round, the CC changed-count pattern).
+    */
+  def kCore(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "kCore: k must be >= 1")
+    var cur = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(eager = true)
+    var it = 0
+    var done = false
+    while (!done) {
+      val deg = cur.select(col("u").as("id"))
+        .union(cur.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val weak = deg.filter(col("deg") < k).select("id")
+        .localCheckpoint(eager = true) // tiny in practice; exact stats
+      if (weak.isEmpty) done = true
+      else {
+        val old = cur
+        cur = graft.util.Materialize.iterate(
+          cur.join(weak.withColumnRenamed("id", "u"), Seq("u"), "left_anti")
+            .join(weak.withColumnRenamed("id", "v"), Seq("v"), "left_anti")
+            .select("u", "v"), it)
+        old.unpersist(false)
+      }
+      weak.unpersist(false)
+      it += 1
+    }
+    val res = cur.select(col("u").as("id"))
+      .union(cur.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
+    cur.unpersist(false)
+    res
+  }
+
   /** Per-entity triangle and wedge counts over the undirected, deduped,
     * self-loop-free projection of `edges` (src, dst).
     *
