@@ -29,5 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_cosine"),
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float arrays"),
       (es: Seq[Expression]) => { arity("vec_cosine", 2, es); VecCosine(es(0), es(1)) }))
+    ext.injectFunction((FunctionIdentifier("vec_agree"),
+      info("vec_agree", "vec_agree(a, b) - count of equal slots in two bigint arrays"),
+      (es: Seq[Expression]) => { arity("vec_agree", 2, es); VecAgree(es(0), es(1)) }))
   }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the embedding-similarity hot path.
   *
@@ -160,6 +160,55 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** agree(a, b) over two long arrays → count of positions (below the
+    * shorter length) where both are non-null and equal. The MinHash
+    * signature-agreement kernel: the HOF equivalent
+    * (`size(filter(zip_with(a,b,_===_), v=>v))`) interprets two lambdas and
+    * allocates two intermediate arrays per pair — per-pair cost that the
+    * near-dup verify streams (d3/d4-adjacent, d19's ingest gate) pay
+    * N·cap times. */
+  case class VecAgree(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.forall(_.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      })) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"expected array<bigint> inputs, got ${children.map(_.dataType.simpleString).mkString(", ")}")
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "vec_agree"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var c = 0; var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) c += 1
+        i += 1
+      }
+      c
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val v = freshNames(ctx)
+        s"""
+           |int ${v.n} = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int ${v.s} = 0;
+           |for (int ${v.i} = 0; ${v.i} < ${v.n}; ${v.i}++) {
+           |  if ($a.isNullAt(${v.i}) || $b.isNullAt(${v.i})) continue;
+           |  if ($a.getLong(${v.i}) == $b.getLong(${v.i})) ${v.s}++;
+           |}
+           |${ev.value} = ${v.s};
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): VecAgree =
+      copy(left = newLeft, right = newRight)
+  }
+
   // ------------- Column facade -------------
 
   def vec_dot(a: Column, b: Column): Column =
@@ -170,6 +219,9 @@ object VectorExpressions {
 
   def vec_cosine(a: Column, b: Column): Column =
     Bridge.column(VecCosine(asFloats(a), asFloats(b)))
+
+  def vec_agree(a: Column, b: Column): Column =
+    Bridge.column(VecAgree(Bridge.expression(a), Bridge.expression(b)))
 
   /** Register `vec_dot` / `vec_norm` / `vec_cosine` for SQL use
     * (`SELECT vec_cosine(a.embedding, b.embedding) ...`). */
@@ -187,5 +239,7 @@ object VectorExpressions {
       es => { arity("vec_norm", 1, es); VecNorm(es.head) }, "built-in")
     reg.createOrReplaceTempFunction("vec_cosine",
       es => { arity("vec_cosine", 2, es); VecCosine(es(0), es(1)) }, "built-in")
+    reg.createOrReplaceTempFunction("vec_agree",
+      es => { arity("vec_agree", 2, es); VecAgree(es(0), es(1)) }, "built-in")
   }
 }

@@ -202,9 +202,12 @@ object Dedup {
       .select("a", "b", "estJaccard")
   }
 
-  /** Estimated Jaccard = fraction of agreeing signature slots. */
+  /** Estimated Jaccard = fraction of agreeing signature slots — via the
+    * codegen'd [[graft.functions.VectorExpressions.VecAgree]] kernel (the
+    * HOF form interpreted two lambdas and allocated two arrays per PAIR,
+    * paid N·cap times in the verify streams). */
   private def estJaccard(a: Column, b: Column, numHashes: Int): Column =
-    size(filter(zip_with(a, b, (x, y) => x === y), v => v))
+    graft.functions.VectorExpressions.vec_agree(a, b)
       .cast("double") / lit(numHashes)
 
   // ------------------------------------------------------------------

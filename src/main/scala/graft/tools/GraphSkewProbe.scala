@@ -18,7 +18,16 @@ import org.apache.spark.sql.functions._
   * closes exactly one triangle with the hub → n−1 triangles, checked
   * distributed-side.
   *
-  *   runMain graft.tools.GraphSkewProbe [nSpokes] [cores] [pagerank|triangles|all]
+  * The `kcore` mode peels a pendant-heavy wheel (rim only over the first
+  * half of the spokes): the weak set of round one is n/2 NODES — the
+  * worst case for the anti-join rounds (the "weak set is tiny" fast path
+  * does not hold) — and the survivor count has the closed form n/2 + 1.
+  * Note the synchronous peel's round count equals the graph's peeling
+  * depth (a pure path graph of length L needs ~L/2 rounds); web-shaped
+  * graphs have small peeling depth, which is the regime this kernel is
+  * for.
+  *
+  *   runMain graft.tools.GraphSkewProbe [nSpokes] [cores] [pagerank|triangles|kcore|all]
   */
 object GraphSkewProbe {
   def main(args: Array[String]): Unit = {
@@ -51,6 +60,14 @@ object GraphSkewProbe {
         val rows = pr.count()
         val hub = pr.filter(col("id") === 0L).head().getLong(1)
         s"nodes=$rows hubRank=$hub"
+      }
+      if (op == "kcore" || op == "all") run("kcore") {
+        val rimHalf = spark.range(1, half)
+          .select(col("id").as("src"), (col("id") + 1).as("dst"))
+        val kc = graft.query.GraphAnalytics.kCore(
+          in.unionByName(out).unionByName(rimHalf), k = 2)
+        val survivors = kc.count()
+        s"survivors=$survivors expected=${half + 1} ok=${survivors == half + 1}"
       }
       if (op == "triangles" || op == "all") run("triangles") {
         val tc = graft.query.GraphAnalytics.triangleCounts(edges)

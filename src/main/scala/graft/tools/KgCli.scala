@@ -34,6 +34,7 @@ import graft.store.TableIO
   *   cluster <n> [edgeKind]           ≙ scripts/ml/joern-cluster
   *   rank [k]                         top-k entities by integer PageRank
   *   triangles                        per-entity triangle/wedge census
+  *   kcore [k]                        k-core survivors with in-core degree
   *   export-ref <outDir>              write reference-format nodes/edges TSV
   *
   * Output: header + rows, tab-separated, maps JSON-ish, deterministic order.
@@ -237,6 +238,14 @@ object KgCli {
         pr.join(nodes.filter(col("kind") === "Entity")
             .select(col("code").cast("long").as("id"), col("code")), Seq("id"), "left")
           .orderBy(col("rank").desc, col("id")).limit(k)
+      // k-core survivors (default k=2) with in-core degree
+      case "kcore" =>
+        val k = if (args.nonEmpty) args(0).toInt else 2
+        val triples = graft.Incremental.readTriples(spark, tablesDir)
+        graft.query.GraphAnalytics.kCore(
+          triples.filter(col("obj") >= 0)
+            .select(col("subj").as("src"), col("obj").as("dst")), k)
+          .orderBy(col("deg").desc, col("id"))
       // local clustering census over the same graph: per-entity
       // (deg, wedges, triangles)
       case "triangles" =>
@@ -272,7 +281,7 @@ object KgCli {
         throw new IllegalArgumentException(
           s"unknown verb '$other' (build|import-ref|export-ref|ingest|snapshots|compact|expire|" +
             "lookup|code|location|edges|slice|coref|" +
-            "tag|untag|hide|unhide|features|knn|cluster|rank|triangles|" +
+            "tag|untag|hide|unhide|features|knn|cluster|rank|triangles|kcore|" +
             "plot|plot-slice|list-tags|list-pages|list-entities)")
     }
   }

@@ -99,6 +99,9 @@ class CliSpec extends AnyFunSuite with Matchers {
       r.getLong(2) shouldBe deg * (deg - 1) / 2
       r.getLong(3) should be >= 0L
     }
+    val core = KgCli.run(spark, dir, "kcore", Seq("2")).collect()
+    core.length should be > 0
+    core.foreach(_.getLong(1) should be >= 2L) // in-core degree >= k
   }
 
   test("coref / tag / list-tags verbs") {

@@ -35,6 +35,24 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("vec_agree matches the zip_with HOF form on random long arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 200).map { i =>
+      // ~half the slots agree
+      val a = Array.fill(32)(rnd.nextLong() % 4)
+      val b = a.map(v => if (rnd.nextBoolean()) v else v + 1)
+      (i.toLong, a, b)
+    }.toDF("id", "a", "b")
+      .withColumn("n", vec_agree(col("a"), col("b")))
+      .withColumn("h", expr("size(filter(zip_with(a, b, (x, y) -> x = y), v -> v))"))
+    df.collect().foreach(r => r.getInt(3) shouldBe r.getInt(4))
+    // length mismatch: min-length traversal, same as the padded-null HOF
+    val mm = Seq((Array(1L, 2L, 3L), Array(1L, 9L))).toDF("a", "b")
+      .select(vec_agree(col("a"), col("b"))).head().getInt(0)
+    mm shouldBe 1
+  }
+
   test("null elements and length mismatch are handled") {
     import spark.implicits._
     val df = Seq(
@@ -106,5 +124,16 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     val codegen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
     codegen should include("Found 1 WholeStageCodegen subtrees")
     codegen should include("java.lang.Math.sqrt") // our generated loop, compiled
+    // the signature-agreement kernel fuses the same way
+    import spark.implicits._
+    val sdir = java.nio.file.Files.createTempDirectory("fx_codegen_sig").toString
+    (0 until 50).map(i => (i.toLong, Array.fill(32)(i.toLong), Array.fill(32)(1L)))
+      .toDF("id", "a", "b").write.mode("overwrite").parquet(sdir)
+    val sdf = spark.read.parquet(sdir)
+      .select(vec_agree(col("a"), col("b")).as("n")).filter(col("n") >= 0)
+    val splan = sdf.queryExecution.executedPlan.toString
+    splan should include("*(1) Project [vec_agree")
+    val scg = org.apache.spark.sql.execution.debug.codegenString(sdf.queryExecution.executedPlan)
+    scg should include("Found 1 WholeStageCodegen subtrees")
   }
 }
