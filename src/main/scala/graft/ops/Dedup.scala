@@ -276,12 +276,21 @@ object Dedup {
     val oldSigs = spark.read.parquet(s"$dir/sigs")
     val oldBands = spark.read.parquet(s"$dir/bands")
     val bsig = signatureFrame(batch, shingleN, numHashes, bands).localCheckpoint(true)
-    // re-capped union of the stored bucket lists (all generations) and the
-    // batch's band rows — exact: min-k of per-generation min-k's is the
-    // global min-k
-    val newBands = oldBands
+    // the probe needs capped lists ONLY for the buckets this batch touches:
+    // semi-join the stored generations down to those keys FIRST (without
+    // this, every small ingest exploded and re-capped the whole index —
+    // an O(corpus) shuffle and a corpus-sized checkpoint). The re-cap of
+    // the restricted union is exact: min-k of per-generation min-k's is
+    // the global min-k. The explode stream is DISTINCT'd before the cap —
+    // a re-delivered batch appends duplicate generations, and duplicate
+    // ids would otherwise count twice toward the cap and evict distinct
+    // ids (missed near-dups after a retry).
+    val batchKeys = bandRows(bsig).select("band", "bandHash").distinct()
+    val probeBands = oldBands
+      .join(batchKeys, Seq("band", "bandHash"), "left_semi")
       .select(col("band"), col("bandHash"), explode(col("ids")).as("doc_id"))
       .unionByName(bandRows(bsig).select("band", "bandHash", "doc_id"))
+      .distinct()
       .groupBy("band", "bandHash")
       .agg(graft.functions.MinKAgg.minK(maxBucket)(col("doc_id")).as("ids"))
       .localCheckpoint(true)
@@ -293,7 +302,7 @@ object Dedup {
     // dropDuplicates, which at N identical docs shuffled N·bands·cap
     // exploded rows (measured 200M at the 500k-doc skew probe) to throw
     // 7/8 away.
-    val candL = bandRows(bsig).join(newBands, Seq("band", "bandHash"))
+    val candL = bandRows(bsig).join(probeBands, Seq("band", "bandHash"))
       .groupBy(col("doc_id").as("x"))
       .agg(collect_list(col("ids")).as("idss"))
       .select(col("x"), array_distinct(flatten(col("idss"))).as("ys"))
@@ -334,7 +343,7 @@ object Dedup {
     // `out` is its own checkpoint — release every intermediate's blocks
     // (without this, repeated ingests pile batch-sized checkpoint copies
     // into storage memory until an eviction cliff, the pageRankInt lesson)
-    bsig.unpersist(false); newBands.unpersist(false)
+    bsig.unpersist(false); probeBands.unpersist(false)
     candL.unpersist(false); ySigs.unpersist(false)
     out
   }
@@ -346,12 +355,17 @@ object Dedup {
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                           maxBucket: Int = 50): Unit = {
     healSwap(s"$dir/sigs"); healSwap(s"$dir/bands")
+    // DISTINCT before the re-cap and per-doc sig dedup: an at-least-once
+    // redelivery appends duplicate generations, which must not count twice
+    // toward the cap (evicting distinct ids) nor persist duplicate rows
     val bands2 = spark.read.parquet(s"$dir/bands")
       .select(col("band"), col("bandHash"), explode(col("ids")).as("doc_id"))
+      .distinct()
       .groupBy("band", "bandHash")
       .agg(graft.functions.MinKAgg.minK(maxBucket)(col("doc_id")).as("ids"))
       .localCheckpoint(true)
-    val sigs2 = spark.read.parquet(s"$dir/sigs").localCheckpoint(true)
+    val sigs2 = spark.read.parquet(s"$dir/sigs")
+      .dropDuplicates("doc_id").localCheckpoint(true)
     swapWrite(bands2, s"$dir/bands")
     swapWrite(sigs2, s"$dir/sigs")
     bands2.unpersist(false); sigs2.unpersist(false)
@@ -378,13 +392,19 @@ object Dedup {
 
   /** Crash recovery for [[swapWrite]]: a missing live dir next to a
     * (by-construction complete) `_tmp` means the crash hit between the two
-    * renames — promote the tmp. Any `_old` leftover is stale either way. */
+    * renames — promote the tmp. Any `_old` leftover is stale either way.
+    * Also wipes `_temporary` append debris: Hadoop's FileOutputCommitter
+    * reuses `_temporary/0` across jobs, so committed TASK dirs from a
+    * crashed append would otherwise be published by the NEXT append's job
+    * commit as phantom rows (the index has a single writer by contract, so
+    * the wipe cannot race a live job). */
   private def healSwap(path: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     if (!Files.exists(Paths.get(path)) && Files.exists(Paths.get(path + "_tmp")))
       Files.move(Paths.get(path + "_tmp"), Paths.get(path),
         StandardCopyOption.ATOMIC_MOVE)
     graft.store.TableIO.deleteRecursively(path + "_old")
+    graft.store.TableIO.deleteRecursively(path + "/_temporary")
   }
 
   /** 64-bit SimHash of the token stream: per-bit weighted majority over

@@ -171,25 +171,26 @@ object GraphAnalytics {
     * releases the edge-sized invariant frames (cappedPairs pattern).
     */
   def triangleCounts(edges: DataFrame, materialize: Boolean = true): DataFrame = {
-    val und = edges
+    // the lazy (plan-inspection) path checkpoints NOTHING — eager blocks it
+    // could never release would leak for the session's lifetime
+    def pin(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(eager = true) else df
+    val und = pin(edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(eager = true) // feeds degree, orientation AND closure
-    val deg = und.select(col("u").as("id"))
+      .filter(col("u") =!= col("v")).distinct()) // feeds degree, orientation AND closure
+    val deg = pin(und.select(col("u").as("id"))
       .union(und.select(col("v").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = true)
+      .groupBy("id").agg(count(lit(1)).as("deg")))
     // orient toward the (deg, id)-larger endpoint: wedges form only at the
     // ≺-min vertex, so the hub (≺-max on every incident edge) expands nothing
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = und
+    val oriented = pin(und
       .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
       .select(when(uFirst, col("u")).otherwise(col("v")).as("s"),
-        when(uFirst, col("v")).otherwise(col("u")).as("t"))
-      .localCheckpoint(eager = true) // both sides of the wedge self-join
+        when(uFirst, col("v")).otherwise(col("u")).as("t"))) // both sides of the wedge self-join
     val wedge = oriented.select(col("s"), col("t").as("a"))
       .join(oriented.select(col("s"), col("t").as("b")), "s")
       .filter(col("a") < col("b"))

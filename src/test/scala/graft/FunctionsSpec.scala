@@ -113,27 +113,32 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     // building vectors with transform() (an interpreted HOF) would itself
     // break the codegen span we're asserting on
     val dir = java.nio.file.Files.createTempDirectory("fx_codegen").toString
-    vecs().write.mode("overwrite").parquet(dir)
-    val src = spark.read.parquet(dir)
-    val df = src.select(vec_cosine(col("a"), col("b")).as("c")).filter(col("c") > -2)
-    // `*(n)` prefixes mark operators fused into WholeStageCodegen stage n
-    val plan = df.queryExecution.executedPlan.toString
-    plan should include("*(1) Project [vec_cosine")
-    plan should include("*(1) Filter (vec_cosine")
-    // and the codegen path actually compiles (would fall back silently otherwise):
-    val codegen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
-    codegen should include("Found 1 WholeStageCodegen subtrees")
-    codegen should include("java.lang.Math.sqrt") // our generated loop, compiled
-    // the signature-agreement kernel fuses the same way
-    import spark.implicits._
     val sdir = java.nio.file.Files.createTempDirectory("fx_codegen_sig").toString
-    (0 until 50).map(i => (i.toLong, Array.fill(32)(i.toLong), Array.fill(32)(1L)))
-      .toDF("id", "a", "b").write.mode("overwrite").parquet(sdir)
-    val sdf = spark.read.parquet(sdir)
-      .select(vec_agree(col("a"), col("b")).as("n")).filter(col("n") >= 0)
-    val splan = sdf.queryExecution.executedPlan.toString
-    splan should include("*(1) Project [vec_agree")
-    val scg = org.apache.spark.sql.execution.debug.codegenString(sdf.queryExecution.executedPlan)
-    scg should include("Found 1 WholeStageCodegen subtrees")
+    try {
+      vecs().write.mode("overwrite").parquet(dir)
+      val src = spark.read.parquet(dir)
+      val df = src.select(vec_cosine(col("a"), col("b")).as("c")).filter(col("c") > -2)
+      // `*(n)` prefixes mark operators fused into WholeStageCodegen stage n
+      val plan = df.queryExecution.executedPlan.toString
+      plan should include("*(1) Project [vec_cosine")
+      plan should include("*(1) Filter (vec_cosine")
+      // and the codegen path actually compiles (would fall back silently otherwise):
+      val codegen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+      codegen should include("Found 1 WholeStageCodegen subtrees")
+      codegen should include("java.lang.Math.sqrt") // our generated loop, compiled
+      // the signature-agreement kernel fuses the same way
+      import spark.implicits._
+      (0 until 50).map(i => (i.toLong, Array.fill(32)(i.toLong), Array.fill(32)(1L)))
+        .toDF("id", "a", "b").write.mode("overwrite").parquet(sdir)
+      val sdf = spark.read.parquet(sdir)
+        .select(vec_agree(col("a"), col("b")).as("n")).filter(col("n") >= 0)
+      val splan = sdf.queryExecution.executedPlan.toString
+      splan should include("*(1) Project [vec_agree")
+      val scg = org.apache.spark.sql.execution.debug.codegenString(sdf.queryExecution.executedPlan)
+      scg should include("Found 1 WholeStageCodegen subtrees")
+    } finally {
+      graft.store.TableIO.deleteRecursively(dir)
+      graft.store.TableIO.deleteRecursively(sdir)
+    }
   }
 }

@@ -103,8 +103,32 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     rows.find(_.getLong(0) == 6L).get.getLong(3) shouldBe 0L
   }
 
-  /** Sequential peel twin (the VerifyOracle algorithm). */
-  private def kCoreLocal(es: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+  test("kCore peels pendant trees; survivors match the sequential peel") {
+    import GraphTestOracles.kCoreLocal
+    // triangle 1-2-3 with a pendant path 3-6-7 and an isolated edge 8-9
+    val g2 = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 6L, 6L -> 7L, 8L -> 9L)
+    val got = GraphAnalytics.kCore(edges(g2: _*), k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
+    got shouldBe kCoreLocal(g2, 2)
+    // k=3 peels the triangle too — empty core
+    GraphAnalytics.kCore(edges(g2: _*), k = 3).count() shouldBe 0L
+  }
+
+  test("triangleCounts on a hub star has zero triangles but hub wedges") {
+    val star = (1L to 40L).map(i => 0L -> i)
+    val rows = GraphAnalytics.triangleCounts(edges(star: _*)).collect()
+    rows.map(_.getLong(3)).sum shouldBe 0L
+    rows.find(_.getLong(0) == 0L).get.getLong(2) shouldBe 40L * 39L / 2L
+  }
+}
+
+/** Shared in-memory graph oracles for the spec AND property layers (one
+  * copy — the main-code twin in VerifyOracle stays deliberately separate:
+  * differential testing wants the oracle independent of the tests). */
+object GraphTestOracles {
+  /** Sequential queue peel (the VerifyOracle algorithm). */
+  def kCoreLocal(es: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
     val und = es.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
       .filter(p => p._1 != p._2).distinct
     val adj = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
@@ -125,23 +149,5 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
       }
     }
     adj.keys.filterNot(removed).map(n => n -> deg(n).toLong).toMap
-  }
-
-  test("kCore peels pendant trees; survivors match the sequential peel") {
-    // triangle 1-2-3 with a pendant path 3-6-7 and an isolated edge 8-9
-    val g2 = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 6L, 6L -> 7L, 8L -> 9L)
-    val got = GraphAnalytics.kCore(edges(g2: _*), k = 2)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    got shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
-    got shouldBe kCoreLocal(g2, 2)
-    // k=3 peels the triangle too — empty core
-    GraphAnalytics.kCore(edges(g2: _*), k = 3).count() shouldBe 0L
-  }
-
-  test("triangleCounts on a hub star has zero triangles but hub wedges") {
-    val star = (1L to 40L).map(i => 0L -> i)
-    val rows = GraphAnalytics.triangleCounts(edges(star: _*)).collect()
-    rows.map(_.getLong(3)).sum shouldBe 0L
-    rows.find(_.getLong(0) == 0L).get.getLong(2) shouldBe 40L * 39L / 2L
   }
 }

@@ -141,26 +141,7 @@ class PropertySpec extends AnyFunSuite with Matchers {
     import spark.implicits._
     forAll(edgeGen) { edges =>
       whenever(edges.exists(e => e._1 != e._2)) {
-        val und = edges.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
-          .filter(p => p._1 != p._2).distinct
-        val adj = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
-        und.foreach { case (a, b) =>
-          adj.getOrElseUpdate(a, collection.mutable.Set.empty) += b
-          adj.getOrElseUpdate(b, collection.mutable.Set.empty) += a
-        }
-        val deg = collection.mutable.Map(adj.toSeq.map { case (n, s) => n -> s.size }: _*)
-        val removed = collection.mutable.Set.empty[Long]
-        val queue = collection.mutable.Queue(adj.keys.filter(deg(_) < 2).toSeq: _*)
-        while (queue.nonEmpty) {
-          val v = queue.dequeue()
-          if (!removed.contains(v)) {
-            removed += v
-            adj(v).foreach { u =>
-              if (!removed.contains(u)) { deg(u) -= 1; if (deg(u) < 2) queue.enqueue(u) }
-            }
-          }
-        }
-        val want = adj.keys.filterNot(removed).map(n => n -> deg(n).toLong).toMap
+        val want = GraphTestOracles.kCoreLocal(edges, 2)
         val got = query.GraphAnalytics.kCore(edges.toDF("src", "dst"), k = 2)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         got shouldBe want
