@@ -214,7 +214,7 @@ object Pipeline {
     // label True (adjacent pair — the taken branch) / False (skip pair)
     val sameSentence = flat.filter($"rowKind" === "e")
       .select($"subj".as("src"), $"obj".as("dst"),
-        $"pred".as("kind"), lit(null).cast("string").as("variable"), $"label")
+        lit(EK.SameSentence).as("kind"), lit(null).cast("string").as("variable"), $"label")
 
     // triple-provenance subgraph (≙ CSVDDGExporter.java:18-45 carrying `var`
     // on every REACHES edge): one Triple node per extraction occurrence,

@@ -107,9 +107,18 @@ object Queries {
     "kg_components" -> ((s, d) => kg(s, d).components),
     "kg_nodes" -> ((s, d) => kg(s, d).nodes.drop("props")),
     "kg_edges" -> ((s, d) => kg(s, d).edges),
-    "kg_mentions" -> ((s, d) => kg(s, d).flat
-      .filter(col("rowKind") === "m")
-      .select("pageId", "url", "mentionId", "surface", "norm", "entityId")),
+    // the flat frame carries url only on "p"/"t" rows (cache byte
+    // discipline); the mention view broadcast-joins it back via pageId —
+    // the page dim is |pages|-sized, orders of magnitude under the
+    // mention stream it annotates
+    "kg_mentions" -> ((s, d) => {
+      val t = kg(s, d)
+      val pageUrl = t.flat.filter(col("rowKind") === "p").select(col("pageId"), col("url"))
+      t.flat.filter(col("rowKind") === "m")
+        .select("pageId", "mentionId", "surface", "norm", "entityId")
+        .join(org.apache.spark.sql.functions.broadcast(pageUrl), Seq("pageId"))
+        .select("pageId", "url", "mentionId", "surface", "norm", "entityId")
+    }),
     "kg_pages" -> ((s, d) => kg(s, d).flat
       .filter(col("rowKind") === "p")
       .select("pageId", "url", "host", "nSentences", "error")),

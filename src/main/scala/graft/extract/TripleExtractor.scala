@@ -57,7 +57,8 @@ case class FlatRow(
     entityNodeId: Long,
     nextMentionId: Long, // successor in page order, 0 if last (≙ FLOWS_TO target)
     // triple fields (rowKind = "t"); edge rows (rowKind = "e") reuse
-    // subj/obj as src/dst mention ids and pred as the edge kind
+    // subj/obj as src/dst mention ids (pred is null there — every "e" row
+    // is a SAME_SENTENCE pair by construction, stamped downstream)
     subj: Long,
     pred: String,
     obj: Long,
@@ -172,16 +173,25 @@ object TripleExtractor {
     val hostId = Ids.hash64(ex.host)
     val base = FlatRow("p", ex.pageId, ex.url, ex.host, hostId, ex.nSentences,
       0L, -1, null, null, -1L, 0L, 0L, -1L, null, -1L, null, -1, -1, -1, 0.0, 0L, 0L, 0L, ex.error)
+    // per-row-kind byte discipline: the flat frame is the pipeline's one
+    // big cache AND the input to every downstream scan, so fat string
+    // columns ride only where a consumer reads them — `host` is consumed
+    // from "p" rows alone (page nodes, host/domain hierarchy), `url` from
+    // "p" rows (page nodes; mention consumers broadcast-join it back via
+    // pageId) and "t" rows (the triples table carries provenance urls).
+    // Nulling them elsewhere cuts the cache/scan footprint without
+    // touching any consumed value.
+    val slim = base.copy(url = null, host = null, error = null)
     // the discourse chain (NEXT_MENTION) is emitted HERE, page-locally —
     // deriving it later would cost a pageId window shuffle over every
     // mention stub for information the extractor already holds
     val marr = ex.mentions.toIndexedSeq
     val ms = marr.iterator.zipWithIndex.map { case (m, i) =>
-      base.copy(rowKind = "m", mentionId = m.mentionId, mentionIdx = i,
+      slim.copy(rowKind = "m", mentionId = m.mentionId, mentionIdx = i,
         surface = m.surface, norm = m.norm, entityId = m.entityId,
         entityNodeId = if (m.entityId >= 0) Ids.entityNodeId(m.entityId) else 0L,
         nextMentionId = if (i + 1 < marr.length) marr(i + 1).mentionId else 0L,
-        sentIdx = m.sentIdx, tokStart = m.tokStart, tokEnd = m.tokEnd, error = null,
+        sentIdx = m.sentIdx, tokStart = m.tokStart, tokEnd = m.tokEnd,
         // NEXT_MENTION flow label: 'except' when the successor skips over a
         // mention-less sentence (abnormal transfer), null = unconditional
         label = if (i + 1 < marr.length && marr(i + 1).sentIdx - m.sentIdx > 1)
@@ -197,20 +207,23 @@ object TripleExtractor {
       for {
         i <- ids.indices.iterator
         j <- (i + 1) until ids.length
-      } yield base.copy(rowKind = "e", subj = ids(i), obj = ids(j),
-        pred = graft.model.Schema.EdgeKinds.SameSentence, sentIdx = si, error = null,
+      // pred stays null too: every "e" row is a SAME_SENTENCE pair by
+      // construction (the one consumer, Pipeline.graphTables, stamps the
+      // kind as a literal) — a 13-byte constant on a quadratic row class
+      // would be pure cache/scan weight
+      } yield slim.copy(rowKind = "e", subj = ids(i), obj = ids(j),
+        sentIdx = si,
         // branch label: adjacent pair = the taken branch, skip pair = the
         // bypass (≙ CFGEdge True/False on condition out-edges)
         label = if (j == i + 1) "True" else "False")
     }
     val ts = ex.triples.iterator.map { t =>
-      base.copy(rowKind = "t", subj = t.subj, pred = t.pred, obj = t.obj,
+      slim.copy(rowKind = "t", url = ex.url, subj = t.subj, pred = t.pred, obj = t.obj,
         objValue = t.objValue, sentIdx = t.sentIdx, conf = t.conf,
         tripleNodeId =
           if (t.pred == "same_as") 0L
           else Ids.tripleNodeId(t.subjMentionId, t.pred, t.objMentionId, t.objValue),
-        subjMentionId = t.subjMentionId, objMentionId = t.objMentionId,
-        error = null)
+        subjMentionId = t.subjMentionId, objMentionId = t.objMentionId)
     }
     Iterator(base) ++ ms ++ es ++ ts
   }

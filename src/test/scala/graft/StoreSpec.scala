@@ -296,6 +296,25 @@ class StoreSpec extends AnyFunSuite with Matchers {
     back.select("key").distinct().count() shouldBe 1100L
   }
 
+  test("partKeys places each bucket in exactly its own reduce task") {
+    // writeBucketed's 1-bucket-per-write-task mapping depends on Spark's
+    // INTERNAL HashPartitioning hash (Murmur3_x86_32, seed 42): a Spark
+    // upgrade that changes it would silently degrade the bijection back to
+    // skewed/empty writers (perf, not correctness). This pin fails loudly
+    // instead: after repartitioning on the remapped key, every row's
+    // physical partition id must equal its bucket id, for both the default
+    // bucket count and an odd one.
+    import spark.implicits._
+    for (n <- Seq(TableIO.NumBuckets, 7)) {
+      val keys = TableIO.partKeys(n)
+      keys.distinct.length shouldBe n
+      val placed = (0 until n * 10).map(_ % n).toDF("bucket")
+        .repartition(n, element_at(typedLit(keys.toSeq), col("bucket") + 1))
+        .select(col("bucket"), spark_partition_id().as("pid"))
+      placed.filter(col("bucket") =!= col("pid")).count() shouldBe 0L
+    }
+  }
+
   test("manifest json round-trips") {
     val m = TableIO.Manifest(123L, Map(0 -> 10L, 5 -> 2L), Map("pagesIn" -> 7L))
     val dir = freshDir()
