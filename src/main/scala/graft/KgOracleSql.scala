@@ -91,7 +91,7 @@ object KgOracleSql {
        |  FROM rt LEFT JOIN c cs ON rt.subj = cs.id
        |          LEFT JOIN c co ON rt.obj = co.id
        |  WHERE rt.obj >= 0),
-       |e AS (SELECT src, dst FROM ct WHERE src != dst)""".stripMargin
+       |e AS MATERIALIZED (SELECT src, dst FROM ct WHERE src != dst)""".stripMargin
 
   /** One integer-PageRank round — `//` (DuckDB integer division) mirrors
     * Spark's `div`, and the HUGEINT sum is cast straight back to BIGINT so
@@ -107,6 +107,55 @@ object KgOracleSql {
 
   private def prRounds: String =
     (0 until 10).map(i => prRound(s"r$i", s"x${i + 1}", s"r${i + 1}")).mkString(",\n")
+
+  /** One integer-HITS round — the SAME Long arithmetic as
+    * GraphAnalytics.hitsInt: gather-sum along (then against) the edge
+    * direction, renormalize by `raw // (max(raw) // scale + 1)`. Sums cast
+    * straight back to BIGINT (64-bit on both engines); nodes absent from a
+    * gather score 0.
+    *
+    * MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    * half-round references its raw-sum CTE TWICE (the max-divisor subquery
+    * and the divide) — 16 inlined half-rounds expand the parquet scans
+    * 2^16-fold, which exhausts file handles and surfaces as a bogus
+    * "No files found" IO error. */
+  private def hitsRound(i: Int, scale: Long): String = {
+    val (hp, ar, ad, a, hr, hd, h) =
+      (s"h${i - 1}", s"ar$i", s"ad$i", s"a$i", s"hr$i", s"hd$i", s"h$i")
+    s"""$ar AS MATERIALIZED (SELECT e.dst AS id, CAST(sum(p.score) AS BIGINT) AS raw
+       |  FROM e JOIN $hp p ON p.id = e.src GROUP BY 1),
+       |$ad AS (SELECT max(raw) // $scale + 1 AS d FROM $ar),
+       |$a AS MATERIALIZED (SELECT n.id, coalesce(r.raw, 0) // (SELECT d FROM $ad) AS score
+       |  FROM nodes n LEFT JOIN $ar r ON r.id = n.id),
+       |$hr AS MATERIALIZED (SELECT e.src AS id, CAST(sum(p.score) AS BIGINT) AS raw
+       |  FROM e JOIN $a p ON p.id = e.dst GROUP BY 1),
+       |$hd AS (SELECT max(raw) // $scale + 1 AS d FROM $hr),
+       |$h AS MATERIALIZED (SELECT n.id, coalesce(r.raw, 0) // (SELECT d FROM $hd) AS score
+       |  FROM nodes n LEFT JOIN $hr r ON r.id = n.id)""".stripMargin
+  }
+
+  private def hitsRounds(iters: Int, scale: Long): String =
+    (1 to iters).map(hitsRound(_, scale)).mkString(",\n")
+
+  /** One synchronous label-propagation round: neighbor-label histogram over
+    * the bidirected edge set, then the (count desc, label asc) argmax — here
+    * as max-count join + min(label), the same function hitsInt's Spark twin
+    * computes in one struct-max pass. count(*) is BIGINT already.
+    * MATERIALIZED for the same inlining reason as hitsRound (each round
+    * references the previous labeling 3×: 3^iters-fold expansion). */
+  private def lpRound(i: Int): String = {
+    val (lp, g, m, w, l) = (s"l${i - 1}", s"g$i", s"m$i", s"w$i", s"l$i")
+    s"""$g AS MATERIALIZED (SELECT b.node, p.label, count(*) AS c
+       |  FROM bi b JOIN $lp p ON p.id = b.nb GROUP BY 1, 2),
+       |$m AS (SELECT node, max(c) AS mx FROM $g GROUP BY 1),
+       |$w AS (SELECT g.node AS id, min(g.label) AS nl
+       |  FROM $g g JOIN $m m ON m.node = g.node AND g.c = m.mx GROUP BY 1),
+       |$l AS MATERIALIZED (SELECT p.id, coalesce(w.nl, p.label) AS label
+       |  FROM $lp p LEFT JOIN $w w ON w.id = p.id)""".stripMargin
+  }
+
+  private def lpRounds(iters: Int): String =
+    (1 to iters).map(lpRound).mkString(",\n")
 
   // canonical mapping re-derived relationally: left-join the component map
   // on both slots, coalesce, dedup — the same logical op as Pipeline's
@@ -256,6 +305,28 @@ object KgOracleSql {
          |  FROM nodes n),
          |$prRounds
          |SELECT id, rank FROM r10 ORDER BY id""".stripMargin,
+    // integer fixed-point HITS, 8 rounds unrolled — the same gather-sum +
+    // max-renormalize Long arithmetic as GraphAnalytics.hitsInt, bit-exact
+    "kg_step_hits" ->
+      s"""WITH $entityGraph,
+         |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT id, 1000000000000 AS score FROM nodes),
+         |${hitsRounds(8, 1000000000000L)}
+         |SELECT n.id, h.score AS hub, a.score AS auth
+         |FROM nodes n JOIN h8 h ON h.id = n.id JOIN a8 a ON a.id = n.id
+         |ORDER BY n.id""".stripMargin,
+    // synchronous label propagation, 5 rounds unrolled — max-count join +
+    // min(label) computes the same (count desc, label asc) argmax as the
+    // Spark twin's single struct-max pass
+    "kg_step_communities" ->
+      s"""WITH $entityGraph,
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM e),
+         |bi AS MATERIALIZED (SELECT u AS node, v AS nb FROM und
+         |  UNION ALL SELECT v, u FROM und),
+         |l0 AS (SELECT DISTINCT node AS id, node AS label FROM bi),
+         |${lpRounds(5)}
+         |SELECT id, label FROM l5 ORDER BY id""".stripMargin,
     // triangles re-derived with the SAME degree-ordered orientation: wedges
     // at each edge's (deg,id)-min endpoint, closed against the undirected
     // edge set; wedges = C(deg,2) in integer division

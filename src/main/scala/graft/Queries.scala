@@ -575,6 +575,28 @@ object Queries {
           .select(col("subj").as("src"), col("obj").as("dst")), k = 2)
         .orderBy("id")
     }),
+    // hub/authority scoring over the canonical subj→obj graph: exact integer
+    // fixed-point HITS — the directional twin of kg_step_pagerank (a node
+    // can be a good pointer without being pointed at); max-based integer
+    // renormalization, so the driver hash stays bit-exact
+    "kg_step_hits" -> ((s, d) => {
+      val kt = kg(s, d)
+      graft.query.GraphAnalytics.hitsInt(
+        kt.triples.filter(col("obj") >= 0)
+          .select(col("subj").as("src"), col("obj").as("dst")), iters = 8)
+        .orderBy("id")
+    }),
+    // community detection: synchronous label propagation (most-frequent
+    // neighbor label, min-label ties), 5 bounded rounds — the
+    // modularity-flavored sibling of the CC canonicalizer over the same
+    // undirected entity graph
+    "kg_step_communities" -> ((s, d) => {
+      val kt = kg(s, d)
+      graft.query.GraphAnalytics.labelPropagation(
+        kt.triples.filter(col("obj") >= 0)
+          .select(col("subj").as("src"), col("obj").as("dst")), iters = 5)
+        .orderBy("id")
+    }),
     // local clustering structure over the same canonical graph: per-entity
     // triangle/wedge counts via degree-ordered edge orientation
     "kg_step_triangles" -> ((s, d) => {

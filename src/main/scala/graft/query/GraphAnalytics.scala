@@ -3,6 +3,8 @@ package graft.query
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.util.Materialize
+
 /** Whole-graph analytics over the canonical entity graph — the KG-consumer
   * side the reference's degree/neighborhood steps point at, taken to the two
   * canonical web-scale kernels: PageRank (entity salience) and triangle
@@ -110,6 +112,149 @@ object GraphAnalytics {
     nb.join(contrib, Seq("id"), "left")
       .select(col("id"),
         (col("base") + expr("(85 * coalesce(cx, 0L)) div 100")).as("rank"))
+  }
+
+  /** Exact integer fixed-point HITS (hubs & authorities) over the directed,
+    * deduped, self-loop-free projection of `edges`.
+    *
+    * Semantics (mirrored verbatim by the DuckDB oracle, all `Long` ops):
+    *   h0(i)     = scale
+    *   aRaw(i)   = Σ_{j→i} h(j);  a(i) = aRaw(i) div (max(aRaw) div scale + 1)
+    *   hRaw(i)   = Σ_{i→j} a(j);  h(i) = hRaw(i) div (max(hRaw) div scale + 1)
+    *
+    * The per-half-round divisor replaces the classic L2 normalization: it
+    * keeps every score < scale (the divisor strictly exceeds max/scale), is
+    * a pure function of the max — one bounded driver scalar per half-round,
+    * the kCore/CC probe pattern — and involves no float, so aggregation
+    * order can never change a bit. Ranking converges to the same order as
+    * float HITS (both are power iteration on AᵀA / AAᵀ; only the
+    * normalization constant differs).
+    *
+    * Overflow bound: scores < scale after every half-round, so a raw sum is
+    * < maxInDegree · scale; the default scale 1e12 is safe to in-degree
+    * ~9.2e6 — at web scale pass a smaller scale (the bound is
+    * maxDegree · scale < Long.MaxValue).
+    *
+    * Scale shape: the edge frame is pinned TWICE, pre-partitioned by src and
+    * by dst (each half-round joins on a different side — one pinned copy per
+    * key means no per-round edge reshuffle); the raw sums are map-side
+    * combinable groupBys, so a hub's huge degree is absorbed by partial
+    * aggregation. No window functions.
+    */
+  def hitsInt(edges: DataFrame, iters: Int = 8,
+              scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "hitsInt: iters must be >= 1")
+    require(scale >= 1L, "hitsInt: scale must be >= 1")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(eager = true)
+    require(!e.isEmpty, "hitsInt: empty graph")
+    val eBySrc = e.repartition(col("src")).localCheckpoint(eager = true)
+    val eByDst = e.repartition(col("dst")).localCheckpoint(eager = true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(eager = true)
+    var hubs = nodes.select(col("id"), lit(scale).as("score"))
+    var auths: DataFrame = null
+    for (i <- 0 until iters) {
+      val oldH = hubs
+      val oldA = auths
+      // authority half-round: gather hub mass along edge direction
+      val aRaw = gatherSum(eBySrc, hubs, from = "src", to = "dst")
+        .localCheckpoint(eager = true) // read twice: max probe + divide
+      auths = Materialize.iterate(rescale(nodes, aRaw, scale), 2 * i)
+      aRaw.unpersist(false)
+      // hub half-round: gather authority mass against edge direction
+      val hRaw = gatherSum(eByDst, auths, from = "dst", to = "src")
+        .localCheckpoint(eager = true)
+      hubs = Materialize.iterate(rescale(nodes, hRaw, scale), 2 * i + 1)
+      hRaw.unpersist(false)
+      oldH.unpersist(false)
+      if (oldA != null) oldA.unpersist(false)
+    }
+    val res = nodes
+      .join(hubs.withColumnRenamed("score", "hub"), Seq("id"))
+      .join(auths.withColumnRenamed("score", "auth"), Seq("id"))
+      .select("id", "hub", "auth")
+      .localCheckpoint(eager = true)
+    Seq(e, eBySrc, eByDst, nodes, hubs, auths).foreach(_.unpersist(false))
+    res
+  }
+
+  /** One HITS gather: Σ of `scores` over the `from` endpoint, keyed by the
+    * `to` endpoint — a plain equi-join plus a map-side-combinable sum
+    * (factored out so PlanSpec pins the shape: partial agg, no window). */
+  private[graft] def gatherSum(e: DataFrame, scores: DataFrame,
+                               from: String, to: String): DataFrame = {
+    e.join(scores, col(from) === col("id"))
+      .groupBy(col(to).as("nid")).agg(sum("score").as("raw"))
+  }
+
+  /** Integer renormalization: raw div (max(raw) div scale + 1) over ALL
+    * graph nodes (absent = 0). The max is a bounded driver scalar. */
+  private def rescale(nodes: DataFrame, raw: DataFrame, scale: Long): DataFrame = {
+    val mRow = raw.agg(max("raw")).head()
+    val m = if (mRow.isNullAt(0)) 0L else mRow.getLong(0)
+    val d = m / scale + 1L
+    // `div` (integer division), NOT `/`: Spark's `/` routes through DOUBLE,
+    // which silently rounds above 2^53 and breaks bit-exactness
+    nodes.join(raw, col("id") === col("nid"), "left")
+      .select(col("id"), expr(s"coalesce(raw, 0L) div ${d}L").as("score"))
+  }
+
+  /** Synchronous label propagation over the undirected, deduped,
+    * self-loop-free projection of `edges`: community detection, the
+    * modularity-flavored sibling of the CC canonicalizer.
+    *
+    * l0(i) = i; each round every node adopts the most frequent label among
+    * its neighbors (NOT itself — classic LP), ties broken by the SMALLEST
+    * label. Exactly `iters` synchronous rounds (sync LP can 2-cycle on
+    * bipartite structure, so bounded rounds ARE the semantics — both the
+    * driver twin and the DuckDB oracle run the same count); the
+    * (count desc, label asc) argmax makes every round a pure function of the
+    * previous labeling, independent of partitioning.
+    *
+    * Scale shape: per round one equi-join (labels on the neighbor slot) and
+    * two map-side-combinable groupBys — the (node, label) count, then a
+    * single-pass struct-max argmax (`~label` turns min-label into max, a
+    * bijection with no MinValue overflow). A hub's million neighbors are
+    * absorbed by partial aggregation; no window functions.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1, "labelPropagation: iters must be >= 1")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // both directions, pre-partitioned ONCE by the per-round join key
+    val bi = und.select(col("u").as("node"), col("v").as("nb"))
+      .union(und.select(col("v").as("node"), col("u").as("nb")))
+      .repartition(col("nb"))
+      .localCheckpoint(eager = true)
+    var labels = bi.select(col("node").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    for (i <- 0 until iters) {
+      val old = labels
+      labels = Materialize.iterate(lpStep(bi, labels), i)
+      old.unpersist(false)
+    }
+    bi.unpersist(false)
+    labels
+  }
+
+  /** One LP round (factored for PlanSpec): neighbor-label histogram, then
+    * (count desc, label asc) argmax via a single struct-max aggregation. */
+  private[graft] def lpStep(bi: DataFrame, labels: DataFrame): DataFrame = {
+    val hist = bi
+      .join(labels.select(col("id").as("nb"), col("label")), Seq("nb"))
+      .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+    val nl = hist
+      .select(col("node"),
+        struct(col("c"), expr("~ label").as("invLabel")).as("p"))
+      .groupBy("node").agg(max("p").as("p"))
+      .select(col("node").as("id"), expr("~ p.invLabel").as("newLabel"))
+    labels.join(nl, Seq("id"), "left")
+      .select(col("id"), coalesce(col("newLabel"), col("label")).as("label"))
   }
 
   /** The k-core of the undirected, deduped, self-loop-free projection of

@@ -238,6 +238,27 @@ object KgCli {
         pr.join(nodes.filter(col("kind") === "Entity")
             .select(col("code").cast("long").as("id"), col("code")), Seq("id"), "left")
           .orderBy(col("rank").desc, col("id")).limit(k)
+      // hub/authority top-k: integer-HITS over the canonical triple graph,
+      // entity codes joined in like `rank`
+      case "hits" =>
+        val k = if (args.nonEmpty) args(0).toInt else 20
+        val triples = graft.Incremental.readTriples(spark, tablesDir)
+        val h = graft.query.GraphAnalytics.hitsInt(
+          triples.filter(col("obj") >= 0)
+            .select(col("subj").as("src"), col("obj").as("dst")))
+        h.join(nodes.filter(col("kind") === "Entity")
+            .select(col("code").cast("long").as("id"), col("code")), Seq("id"), "left")
+          .orderBy(col("auth").desc, col("id")).limit(k)
+      // label-propagation communities over the same graph: (community,
+      // n_entities) size report, largest first
+      case "communities" =>
+        val triples = graft.Incremental.readTriples(spark, tablesDir)
+        graft.query.GraphAnalytics.labelPropagation(
+          triples.filter(col("obj") >= 0)
+            .select(col("subj").as("src"), col("obj").as("dst")))
+          .groupBy(col("label").as("community"))
+          .agg(count(lit(1)).as("n_entities"))
+          .orderBy(col("n_entities").desc, col("community"))
       // k-core survivors (default k=2) with in-core degree
       case "kcore" =>
         val k = if (args.nonEmpty) args(0).toInt else 2
@@ -281,7 +302,7 @@ object KgCli {
         throw new IllegalArgumentException(
           s"unknown verb '$other' (build|import-ref|export-ref|ingest|snapshots|compact|expire|" +
             "lookup|code|location|edges|slice|coref|" +
-            "tag|untag|hide|unhide|features|knn|cluster|rank|triangles|kcore|" +
+            "tag|untag|hide|unhide|features|knn|cluster|rank|hits|communities|triangles|kcore|" +
             "plot|plot-slice|list-tags|list-pages|list-entities)")
     }
   }

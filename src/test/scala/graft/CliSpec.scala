@@ -104,6 +104,19 @@ class CliSpec extends AnyFunSuite with Matchers {
     core.foreach(_.getLong(1) should be >= 2L) // in-core degree >= k
   }
 
+  test("hits / communities analytics verbs") {
+    val top = KgCli.run(spark, dir, "hits", Seq("5")).collect()
+    top.length shouldBe 5
+    // descending authority, non-negative integer scores
+    top.map(_.getLong(2)).toSeq shouldBe top.map(_.getLong(2)).sortBy(-_).toSeq
+    top.head.getLong(2) should be > 0L
+    val comms = KgCli.run(spark, dir, "communities", Nil).collect()
+    comms.length should be > 0
+    // sizes descending, every community non-empty
+    comms.map(_.getLong(1)).toSeq shouldBe comms.map(_.getLong(1)).sortBy(-_).toSeq
+    comms.foreach(_.getLong(1) should be > 0L)
+  }
+
   test("coref / tag / list-tags verbs") {
     // coref: a mention expands to all co-referent mentions of its entity
     val m = KgCli.run(spark, dir, "lookup", Seq("Mention", ".*"))

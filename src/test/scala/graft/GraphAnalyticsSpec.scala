@@ -121,6 +121,84 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     rows.map(_.getLong(3)).sum shouldBe 0L
     rows.find(_.getLong(0) == 0L).get.getLong(2) shouldBe 40L * 39L / 2L
   }
+
+  /** Driver-side twin of hitsInt's exact integer recurrence. */
+  private def hitsLocal(es: Seq[(Long, Long)], iters: Int,
+                        scale: Long): Map[Long, (Long, Long)] = {
+    val e = es.filter(p => p._1 != p._2).distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    var h = nodes.map(_ -> scale).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 0 until iters) {
+      val aRaw = e.groupBy(_._2).map { case (d, in) => d -> in.map(x => h(x._1)).sum }
+      val da = (if (aRaw.isEmpty) 0L else aRaw.values.max) / scale + 1L
+      a = nodes.map(n => n -> aRaw.getOrElse(n, 0L) / da).toMap
+      val hRaw = e.groupBy(_._1).map { case (s, out) => s -> out.map(x => a(x._2)).sum }
+      val dh = (if (hRaw.isEmpty) 0L else hRaw.values.max) / scale + 1L
+      h = nodes.map(n => n -> hRaw.getOrElse(n, 0L) / dh).toMap
+    }
+    nodes.map(n => n -> (h(n), a(n))).toMap
+  }
+
+  test("hitsInt matches the driver-side integer recurrence exactly; partition-invariant") {
+    val got = GraphAnalytics.hitsInt(edges(g: _*), iters = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got shouldBe hitsLocal(g, 8, 1000000000000L)
+    val repart = GraphAnalytics.hitsInt(edges(g: _*).repartition(7), iters = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    repart shouldBe got
+  }
+
+  test("hitsInt: pointed-at nodes are authorities, pointers are hubs") {
+    // 1,2,3 -> 4 ; 1,2 -> 5 : node 4 is the top authority, 1/2 the top hubs
+    val bg = Seq(1L -> 4L, 2L -> 4L, 3L -> 4L, 1L -> 5L, 2L -> 5L)
+    val r = GraphAnalytics.hitsInt(edges(bg: _*), iters = 8)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    r(4L)._2 should be > r(5L)._2 // auth: in-degree 3 beats 2
+    r(5L)._2 should be > r(1L)._2 // any authority beats a pure hub
+    r(1L)._1 shouldBe r(2L)._1 // symmetric hubs tie exactly
+    r(1L)._1 should be > r(3L)._1 // 1 points at both authorities, 3 at one
+    r(4L)._1 shouldBe 0L // sink: no out-edges, zero hub
+  }
+
+  /** Driver-side twin of labelPropagation: sync rounds, most-frequent
+    * neighbor label, min-label ties. */
+  private def lpLocal(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = es.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .filter(p => p._1 != p._2).distinct
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var l = adj.keys.map(n => n -> n).toMap
+    for (_ <- 0 until iters) {
+      l = adj.map { case (n, nbs) =>
+        val hist = nbs.map(l).groupBy(identity).map { case (lab, xs) => lab -> xs.size }
+        val mx = hist.values.max
+        n -> hist.filter(_._2 == mx).keys.min
+      }
+    }
+    l
+  }
+
+  test("labelPropagation matches the driver-side twin exactly; partition-invariant") {
+    val got = GraphAnalytics.labelPropagation(edges(tg: _*), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe lpLocal(tg, 5)
+    val repart = GraphAnalytics.labelPropagation(edges(tg: _*).repartition(7), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    repart shouldBe got
+  }
+
+  test("labelPropagation separates two cliques joined by one edge") {
+    val cliques = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L,
+      10L -> 11L, 10L -> 12L, 11L -> 12L, 3L -> 10L)
+    val got = GraphAnalytics.labelPropagation(edges(cliques: _*), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe lpLocal(cliques, 5)
+    // the cliques resolve to two distinct communities split at the bridge
+    Set(got(1L), got(2L), got(3L)).size shouldBe 1
+    Set(got(10L), got(11L), got(12L)).size shouldBe 1
+    got(1L) should not be got(10L)
+  }
 }
 
 /** Shared in-memory graph oracles for the spec AND property layers (one

@@ -140,6 +140,38 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan shouldNot include("BroadcastNestedLoopJoin")
   }
 
+  test("HITS gather: partial-agg sum, no Window, no cartesian") {
+    // same hub argument as the PageRank round: an authority's huge in-degree
+    // is absorbed by map-side combine, never funneled through one task
+    val e = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst")).distinct()
+    val scores = e.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1000000L).as("score"))
+    val plan = physical(graft.query.GraphAnalytics.gatherSum(
+      e, scores, from = "src", to = "dst"))
+    plan should include("partial_sum")
+    plan shouldNot include("Window")
+    plan shouldNot include("CartesianProduct")
+    plan shouldNot include("BroadcastNestedLoopJoin")
+  }
+
+  test("label-propagation round: two partial-agg groupBys, no Window, no cartesian") {
+    // the histogram AND the struct-max argmax must both combine map-side —
+    // a hub's million neighbor labels never sort in one task
+    val e = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+    val bi = e.select(col("src").as("node"), col("dst").as("nb"))
+      .union(e.select(col("dst").as("node"), col("src").as("nb")))
+    val labels = bi.select(col("node").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    val plan = physical(graft.query.GraphAnalytics.lpStep(bi, labels))
+    plan should include("partial_count")
+    plan should include("partial_max")
+    plan shouldNot include("Window")
+    plan shouldNot include("CartesianProduct")
+    plan shouldNot include("BroadcastNestedLoopJoin")
+  }
+
   test("triangle counts: equi-join wedge closure, no Window, no cartesian") {
     val e = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
