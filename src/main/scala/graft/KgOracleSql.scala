@@ -327,6 +327,26 @@ object KgOracleSql {
          |l0 AS (SELECT DISTINCT node AS id, node AS label FROM bi),
          |${lpRounds(5)}
          |SELECT id, label FROM l5 ORDER BY id""".stripMargin,
+    // structural sameAs candidates — shared-witness count with hub witnesses
+    // (deg > 64) dropped, full-degree denominators, cross-multiplied integer
+    // Jaccard test: the same rule GraphAnalytics.sameAsCandidates computes
+    "kg_step_sameas" ->
+      s"""WITH $entityGraph,
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM e),
+         |bi AS MATERIALIZED (SELECT u AS node, v AS nb FROM und
+         |  UNION ALL SELECT v, u FROM und),
+         |deg AS MATERIALIZED (SELECT node, count(*) AS deg FROM bi GROUP BY 1),
+         |inv AS MATERIALIZED (SELECT b.nb AS w, b.node FROM bi b
+         |  JOIN deg d ON d.node = b.nb WHERE d.deg <= 64),
+         |pr AS (SELECT a.node AS u, b.node AS v, count(*) AS inter
+         |  FROM inv a JOIN inv b ON a.w = b.w AND a.node < b.node
+         |  GROUP BY 1, 2)
+         |SELECT pr.u, pr.v, pr.inter, du.deg AS du, dv.deg AS dv
+         |FROM pr JOIN deg du ON du.node = pr.u JOIN deg dv ON dv.node = pr.v
+         |WHERE pr.inter >= 2
+         |  AND pr.inter * 4 >= 1 * (du.deg + dv.deg - pr.inter)
+         |ORDER BY pr.u, pr.v""".stripMargin,
     // triangles re-derived with the SAME degree-ordered orientation: wedges
     // at each edge's (deg,id)-min endpoint, closed against the undirected
     // edge set; wedges = C(deg,2) in integer division

@@ -597,6 +597,17 @@ object Queries {
           .select(col("subj").as("src"), col("obj").as("dst")), iters = 5)
         .orderBy("id")
     }),
+    // structural entity-resolution candidates: shared-neighbor (witness)
+    // overlap with integer cross-multiplied Jaccard — the canonicalizer's
+    // graph-side refinement pass; hub witnesses anti-joined, never windowed
+    "kg_step_sameas" -> ((s, d) => {
+      val kt = kg(s, d)
+      graft.query.GraphAnalytics.sameAsCandidates(
+        kt.triples.filter(col("obj") >= 0)
+          .select(col("subj").as("src"), col("obj").as("dst")),
+        minInter = 2, jacNum = 1, jacDen = 4, hubCap = 64L)
+        .orderBy("u", "v")
+    }),
     // local clustering structure over the same canonical graph: per-entity
     // triangle/wedge counts via degree-ordered edge orientation
     "kg_step_triangles" -> ((s, d) => {

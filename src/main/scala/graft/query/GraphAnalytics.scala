@@ -362,4 +362,63 @@ object GraphAnalytics {
       res
     }
   }
+
+  /** Structural entity-resolution candidates: pairs of entities whose
+    * neighborhoods in the undirected, deduped, self-loop-free projection of
+    * `edges` overlap — the canonicalizer's refinement pass ("two names that
+    * link to the same things are candidates for the same thing"), the graph
+    * sibling of the alias-dictionary linker.
+    *
+    * Semantics (mirrored verbatim by the DuckDB oracle, all integer):
+    * a *witness* is a shared neighbor w ∈ N(u) ∩ N(v) with deg(w) ≤ hubCap
+    * (a neighbor shared by everything — the mega-hub — is uninformative,
+    * the stop-word of similarity joins, and dropping it is what bounds the
+    * pair blowup). Output (u, v, inter, du, dv) for pairs with
+    *   inter ≥ minInter  AND  inter · jacDen ≥ jacNum · (du + dv − inter)
+    * where inter = witness count and du/dv are FULL degrees — the Jaccard
+    * test is the cross-multiplied integer form, so no float ever appears
+    * and the driver hash is exact. Consumers divide for the real ratio.
+    *
+    * Scale shape: hub witnesses are found by a partial-agg degree count and
+    * removed with one anti-join (NOT a window cap — the verdict's hot-bucket
+    * rule); the witness self-join is equi on w with per-key width ≤ hubCap;
+    * the pair count is a map-side-combinable groupBy. No windows anywhere.
+    */
+  def sameAsCandidates(edges: DataFrame, minInter: Int = 2, jacNum: Int = 1,
+                       jacDen: Int = 4, hubCap: Long = 1000L,
+                       materialize: Boolean = true): DataFrame = {
+    require(minInter >= 1, "sameAsCandidates: minInter must be >= 1")
+    require(jacNum >= 0 && jacDen >= 1, "sameAsCandidates: bad jaccard ratio")
+    require(hubCap >= 1, "sameAsCandidates: hubCap must be >= 1")
+    // lazy (plan-inspection) path checkpoints nothing — triangleCounts rule
+    def pin(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(eager = true) else df
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val bi = pin(und.select(col("u").as("node"), col("v").as("nb"))
+      .union(und.select(col("v").as("node"), col("u").as("nb")))) // feeds degree AND the inverted index
+    val deg = pin(bi.groupBy("node").agg(count(lit(1)).as("deg"))) // read 3×: hub drop + both denominators
+    // inverted index witness → member, hub witnesses anti-joined away
+    val inv = pin(bi.select(col("nb").as("w"), col("node"))
+      .join(deg.filter(col("deg") > hubCap).select(col("node").as("w")),
+        Seq("w"), "left_anti")) // read twice: both sides of the pair join
+    val pairs = inv.select(col("w"), col("node").as("u"))
+      .join(inv.select(col("w"), col("node").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("inter"))
+    val cand = pairs
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .filter(col("inter") >= minInter &&
+        col("inter") * jacDen >= (col("du") + col("dv") - col("inter")) * jacNum)
+      .select("u", "v", "inter", "du", "dv")
+    if (!materialize) cand
+    else {
+      val res = cand.localCheckpoint(eager = true)
+      Seq(bi, deg, inv).foreach(_.unpersist(false))
+      res
+    }
+  }
 }

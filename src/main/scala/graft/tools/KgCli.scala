@@ -259,6 +259,15 @@ object KgCli {
           .groupBy(col("label").as("community"))
           .agg(count(lit(1)).as("n_entities"))
           .orderBy(col("n_entities").desc, col("community"))
+      // structural sameAs candidates: entity pairs with overlapping
+      // neighborhoods (witness count + full degrees), strongest first
+      case "sameas" =>
+        val k = if (args.nonEmpty) args(0).toInt else 20
+        val triples = graft.Incremental.readTriples(spark, tablesDir)
+        graft.query.GraphAnalytics.sameAsCandidates(
+          triples.filter(col("obj") >= 0)
+            .select(col("subj").as("src"), col("obj").as("dst")))
+          .orderBy(col("inter").desc, col("u"), col("v")).limit(k)
       // k-core survivors (default k=2) with in-core degree
       case "kcore" =>
         val k = if (args.nonEmpty) args(0).toInt else 2
@@ -302,7 +311,7 @@ object KgCli {
         throw new IllegalArgumentException(
           s"unknown verb '$other' (build|import-ref|export-ref|ingest|snapshots|compact|expire|" +
             "lookup|code|location|edges|slice|coref|" +
-            "tag|untag|hide|unhide|features|knn|cluster|rank|hits|communities|triangles|kcore|" +
+            "tag|untag|hide|unhide|features|knn|cluster|rank|hits|communities|sameas|triangles|kcore|" +
             "plot|plot-slice|list-tags|list-pages|list-entities)")
     }
   }

@@ -104,6 +104,20 @@ class CliSpec extends AnyFunSuite with Matchers {
     core.foreach(_.getLong(1) should be >= 2L) // in-core degree >= k
   }
 
+  test("sameas verb: candidate pairs strongest-overlap first") {
+    val rows = KgCli.run(spark, dir, "sameas", Seq("10")).collect()
+    rows.length should be > 0
+    rows.length should be <= 10
+    // (u, v, inter, du, dv): ordered pairs, descending witness count
+    rows.foreach { r => r.getLong(0) should be < r.getLong(1) }
+    rows.map(_.getLong(2)).toSeq shouldBe rows.map(_.getLong(2)).sortBy(-_).toSeq
+    rows.foreach { r =>
+      r.getLong(2) should be >= 2L // minInter default
+      r.getLong(3) should be >= 1L
+      r.getLong(4) should be >= 1L
+    }
+  }
+
   test("hits / communities analytics verbs") {
     val top = KgCli.run(spark, dir, "hits", Seq("5")).collect()
     top.length shouldBe 5

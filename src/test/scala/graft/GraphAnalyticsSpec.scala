@@ -188,6 +188,62 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     repart shouldBe got
   }
 
+  /** Driver-side twin of sameAsCandidates: witness counting with hub
+    * witnesses dropped, full-degree denominators, integer Jaccard test. */
+  private def sameAsLocal(es: Seq[(Long, Long)], minInter: Int, jacNum: Int,
+                          jacDen: Int, hubCap: Long): Map[(Long, Long), (Long, Long, Long)] = {
+    val und = es.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .filter(p => p._1 != p._2).distinct
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val deg = adj.map { case (k, v) => k -> v.size.toLong }
+    val nodes = adj.keys.toSeq.sorted
+    (for {
+      u <- nodes; v <- nodes if u < v
+      inter = (adj(u) & adj(v)).count(w => deg(w) <= hubCap).toLong
+      if inter >= minInter && inter * jacDen >= jacNum * (deg(u) + deg(v) - inter)
+    } yield (u, v) -> (inter, deg(u), deg(v))).toMap
+  }
+
+  test("sameAsCandidates matches the driver-side twin exactly; partition-invariant") {
+    val got = GraphAnalytics.sameAsCandidates(edges(tg: _*), minInter = 1,
+      jacNum = 0, jacDen = 1, hubCap = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    got shouldBe sameAsLocal(tg, 1, 0, 1, 1000L)
+    got should not be empty
+    val repart = GraphAnalytics.sameAsCandidates(edges(tg: _*).repartition(7),
+      minInter = 1, jacNum = 0, jacDen = 1, hubCap = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    repart shouldBe got
+  }
+
+  test("sameAsCandidates: hub witnesses are dropped, Jaccard threshold filters") {
+    // 1 and 2 share witnesses {3 (hub, deg 5), 4, 5}; 6,7,8 hang off 3
+    val hg = Seq(1L -> 3L, 2L -> 3L, 1L -> 4L, 2L -> 4L, 1L -> 5L, 2L -> 5L,
+      6L -> 3L, 7L -> 3L, 8L -> 3L)
+    // hubCap 4: node 3 (deg 5) is not a witness — inter(1,2) = 2, not 3
+    val capped = GraphAnalytics.sameAsCandidates(edges(hg: _*), minInter = 2,
+      jacNum = 0, jacDen = 1, hubCap = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    capped shouldBe sameAsLocal(hg, 2, 0, 1, 4L).map { case (k, v) => k -> v._1 }
+    capped((1L, 2L)) shouldBe 2L
+    // degrees in the output stay FULL degrees (3 counts toward deg, not inter)
+    val full = GraphAnalytics.sameAsCandidates(edges(hg: _*), minInter = 2,
+      jacNum = 0, jacDen = 1, hubCap = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    full((1L, 2L)) shouldBe ((3L, 3L, 3L)) // perfect overlap without the cap
+    // the Jaccard gate: inter·den >= num·(du+dv-inter) — 1/1 keeps only
+    // perfect-overlap pairs
+    val strict = GraphAnalytics.sameAsCandidates(edges(hg: _*), minInter = 1,
+      jacNum = 1, jacDen = 1, hubCap = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    strict shouldBe sameAsLocal(hg, 1, 1, 1, 1000L).keySet
+    strict should contain((1L, 2L))
+  }
+
   test("labelPropagation separates two cliques joined by one edge") {
     val cliques = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L,
       10L -> 11L, 10L -> 12L, 11L -> 12L, 3L -> 10L)

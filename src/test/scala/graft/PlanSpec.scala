@@ -172,6 +172,20 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan shouldNot include("BroadcastNestedLoopJoin")
   }
 
+  test("sameAs candidates: anti-join hub drop, partial-agg pair count, no Window") {
+    // the hub defense must be groupBy-count + anti-join (map-side combine),
+    // never a row_number window — the verdict's hot-bucket rule
+    val e = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+    val plan = physical(graft.query.GraphAnalytics.sameAsCandidates(
+      e, materialize = false))
+    plan should include("partial_count")
+    plan should include("LeftAnti")
+    plan shouldNot include("Window")
+    plan shouldNot include("CartesianProduct")
+    plan shouldNot include("BroadcastNestedLoopJoin")
+  }
+
   test("triangle counts: equi-join wedge closure, no Window, no cartesian") {
     val e = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
