@@ -154,6 +154,13 @@ object GraphAnalytics {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(eager = true)
+    // Intermediate scores are SPARSE: a node absent from a gather has score
+    // 0, and a 0 row is indistinguishable from an absent row to both the
+    // next gather (inner join, contributes 0) and the max divisor — so the
+    // per-half-round nodes zero-fill join is dropped entirely (≈2× less
+    // per-round work on the probe wheel) and zero-filling happens once, on
+    // the final output. Bit-exact equivalent of the dense recurrence the
+    // oracle runs.
     var hubs = nodes.select(col("id"), lit(scale).as("score"))
     var auths: DataFrame = null
     for (i <- 0 until iters) {
@@ -162,20 +169,21 @@ object GraphAnalytics {
       // authority half-round: gather hub mass along edge direction
       val aRaw = gatherSum(eBySrc, hubs, from = "src", to = "dst")
         .localCheckpoint(eager = true) // read twice: max probe + divide
-      auths = Materialize.iterate(rescale(nodes, aRaw, scale), 2 * i)
+      auths = Materialize.iterate(rescale(aRaw, scale), 2 * i)
       aRaw.unpersist(false)
       // hub half-round: gather authority mass against edge direction
       val hRaw = gatherSum(eByDst, auths, from = "dst", to = "src")
         .localCheckpoint(eager = true)
-      hubs = Materialize.iterate(rescale(nodes, hRaw, scale), 2 * i + 1)
+      hubs = Materialize.iterate(rescale(hRaw, scale), 2 * i + 1)
       hRaw.unpersist(false)
       oldH.unpersist(false)
       if (oldA != null) oldA.unpersist(false)
     }
     val res = nodes
-      .join(hubs.withColumnRenamed("score", "hub"), Seq("id"))
-      .join(auths.withColumnRenamed("score", "auth"), Seq("id"))
-      .select("id", "hub", "auth")
+      .join(hubs.withColumnRenamed("score", "hub"), Seq("id"), "left")
+      .join(auths.withColumnRenamed("score", "auth"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
       .localCheckpoint(eager = true)
     Seq(e, eBySrc, eByDst, nodes, hubs, auths).foreach(_.unpersist(false))
     res
@@ -190,16 +198,16 @@ object GraphAnalytics {
       .groupBy(col(to).as("nid")).agg(sum("score").as("raw"))
   }
 
-  /** Integer renormalization: raw div (max(raw) div scale + 1) over ALL
-    * graph nodes (absent = 0). The max is a bounded driver scalar. */
-  private def rescale(nodes: DataFrame, raw: DataFrame, scale: Long): DataFrame = {
+  /** Integer renormalization: raw div (max(raw) div scale + 1), sparse —
+    * nodes absent from `raw` implicitly score 0 (see hitsInt). The max is a
+    * bounded driver scalar. */
+  private def rescale(raw: DataFrame, scale: Long): DataFrame = {
     val mRow = raw.agg(max("raw")).head()
     val m = if (mRow.isNullAt(0)) 0L else mRow.getLong(0)
     val d = m / scale + 1L
     // `div` (integer division), NOT `/`: Spark's `/` routes through DOUBLE,
     // which silently rounds above 2^53 and breaks bit-exactness
-    nodes.join(raw, col("id") === col("nid"), "left")
-      .select(col("id"), expr(s"coalesce(raw, 0L) div ${d}L").as("score"))
+    raw.select(col("nid").as("id"), expr(s"raw div ${d}L").as("score"))
   }
 
   /** Synchronous label propagation over the undirected, deduped,

@@ -27,7 +27,18 @@ import org.apache.spark.sql.functions._
   * graphs have small peeling depth, which is the regime this kernel is
   * for.
   *
-  *   runMain graft.tools.GraphSkewProbe [nSpokes] [cores] [pagerank|triangles|kcore|all]
+  * The `sameas` mode is the hub-witness kill test: on the wheel, the hub is
+  * a neighbor of EVERY spoke, so as a witness it alone would emit
+  * C(n,2) ≈ 1.25e13 candidate pairs at n=5M — the job only terminates
+  * because the degree-capped anti-join drops it. With the hub dropped each
+  * spoke witness (deg 3) emits ≤ 3 pairs, and the (0, interior-spoke) pairs
+  * are exactly the ones with inter=2 → closed form n−2 candidates.
+  *
+  * The `hits`/`communities` modes exercise the same mega-hub key through
+  * the gather-sum and histogram groupBys (partial-agg absorption; sanity:
+  * the hub is the top authority — half the spokes point at it).
+  *
+  *   runMain graft.tools.GraphSkewProbe [nSpokes] [cores] [pagerank|triangles|kcore|hits|communities|sameas|all]
   */
 object GraphSkewProbe {
   def main(args: Array[String]): Unit = {
@@ -68,6 +79,24 @@ object GraphSkewProbe {
           in.unionByName(out).unionByName(rimHalf), k = 2)
         val survivors = kc.count()
         s"survivors=$survivors expected=${half + 1} ok=${survivors == half + 1}"
+      }
+      if (op == "hits" || op == "all") run("hits") {
+        val h = graft.query.GraphAnalytics.hitsInt(edges, iters = 8)
+        val rows = h.count()
+        val hubAuth = h.filter(col("id") === 0L).head().getLong(2)
+        val topAuth = h.agg(max("auth")).head().getLong(0)
+        s"nodes=$rows hubAuth=$hubAuth topIsHub=${hubAuth == topAuth}"
+      }
+      if (op == "communities" || op == "all") run("communities") {
+        val lp = graft.query.GraphAnalytics.labelPropagation(edges, iters = 5)
+        val nComm = lp.select("label").distinct().count()
+        s"nodes+hub communities=$nComm"
+      }
+      if (op == "sameas" || op == "all") run("sameas") {
+        val sa = graft.query.GraphAnalytics.sameAsCandidates(
+          edges, minInter = 2, jacNum = 0, jacDen = 1)
+        val cands = sa.count()
+        s"candidates=$cands expected=${n - 2} ok=${cands == n - 2}"
       }
       if (op == "triangles" || op == "all") run("triangles") {
         val tc = graft.query.GraphAnalytics.triangleCounts(edges)
