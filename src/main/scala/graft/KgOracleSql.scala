@@ -23,6 +23,7 @@ object KgOracleSql {
   private val L = "read_parquet('{{ORA}}/labelmap/*.parquet')"
   private val MEDIA = "read_parquet('{{ORA}}/media/*.parquet')"
   private val KCORE = "read_parquet('{{ORA}}/kcore/*.parquet')"
+  private val SCC = "read_parquet('{{ORA}}/scc/*.parquet')"
   private val SIG = "read_parquet('{{ORA}}/docsigs/*.parquet')"
 
   /** Leaf CTEs shared by the graph-shaped oracles. */
@@ -377,6 +378,10 @@ object KgOracleSql {
     // with a sequential queue, and the k-core's uniqueness makes the
     // synchronous distributed rounds and the queue peel comparable rowwise
     "kg_step_kcore" -> s"SELECT id, deg FROM $KCORE ORDER BY id",
+    // sequential iterative Tarjan in the VerifyOracle dump vs the
+    // distributed trim+FW-BW rounds: the SCC partition is unique and both
+    // label by min member, so the rows must agree exactly
+    "kg_step_scc" -> s"SELECT id, scc FROM $SCC ORDER BY id",
     "kg_step_entity_degree" ->
       s"""SELECT entityNodeId AS entity_node, count(*) AS n_mentions
          |FROM $M WHERE entityId >= 0

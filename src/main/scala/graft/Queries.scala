@@ -608,6 +608,16 @@ object Queries {
         minInter = 2, jacNum = 1, jacDen = 4, hubCap = 64L)
         .orderBy("u", "v")
     }),
+    // strongly connected components of the DIRECTED canonical graph — the
+    // web bow-tie kernel; labels = min member id (canonical), distributed
+    // trim+FW-BW vs the dump's sequential Tarjan
+    "kg_step_scc" -> ((s, d) => {
+      val kt = kg(s, d)
+      graft.query.GraphAnalytics.scc(
+        kt.triples.filter(col("obj") >= 0)
+          .select(col("subj").as("src"), col("obj").as("dst")))
+        .orderBy("id")
+    }),
     // local clustering structure over the same canonical graph: per-entity
     // triangle/wedge counts via degree-ordered edge orientation
     "kg_step_triangles" -> ((s, d) => {

@@ -80,6 +80,7 @@ object VerifyOracle {
                                 subjMentionId: Long, objMentionId: Long)
   final case class OraComp(id: Long, component: Long, idNode: Long, compNode: Long)
   final case class OraCore(id: Long, deg: Long)
+  final case class OraScc(id: Long, scc: Long)
   final case class OraHost(hostId: Long, host: String, domainId: Long, domain: String)
   final case class OraLabel(kind: String, code: String, label: Long)
   final case class OraMedia(media_id: Long, kind: String, width: Int, height: Int,
@@ -170,6 +171,73 @@ object VerifyOracle {
       }
       adj.keys.filterNot(removed).toSeq.sorted.map(n => OraCore(n, deg(n).toLong))
     }
+    // SCC of the canonical DIRECTED entity graph by sequential iterative
+    // Tarjan — a genuinely different algorithm than the distributed
+    // trim + forward-backward rounds (GraphAnalytics.scc); the SCC
+    // partition is unique and both sides label by min member id, so they
+    // must agree rowwise.
+    val sccDump = {
+      val comp = uf.components
+      def canon(x: Long): Long = comp.getOrElse(x, x)
+      val dir = triplesV.iterator
+        .filter(t => t.obj >= 0)
+        .map(t => (canon(t.subj), canon(t.obj)))
+        .filter { case (a, b) => a != b }
+        .toSet
+      val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      val nodes = scala.collection.mutable.SortedSet.empty[Long]
+      dir.foreach { case (a, b) =>
+        adj(a) = b :: adj.getOrElse(a, Nil); nodes += a; nodes += b
+      }
+      val adjArr = adj.map { case (k, v) => k -> v.toArray }
+      val index = scala.collection.mutable.Map.empty[Long, Int]
+      val low = scala.collection.mutable.Map.empty[Long, Int]
+      val onstk = scala.collection.mutable.Set.empty[Long]
+      val stk = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val sccOf = scala.collection.mutable.Map.empty[Long, Long]
+      var counter = 0
+      for (root <- nodes; if !index.contains(root)) {
+        // explicit work stack: (node, next child offset) — no recursion
+        val work = scala.collection.mutable.Stack[(Long, Int)]((root, 0))
+        while (work.nonEmpty) {
+          val (v, pi) = work.top
+          if (pi == 0) {
+            index(v) = counter; low(v) = counter; counter += 1
+            stk += v; onstk += v
+          }
+          val ns = adjArr.getOrElse(v, Array.empty[Long])
+          var i = pi
+          var recursed = false
+          while (i < ns.length && !recursed) {
+            val w = ns(i)
+            if (!index.contains(w)) {
+              work.pop(); work.push((v, i + 1)); work.push((w, 0))
+              recursed = true
+            } else {
+              if (onstk.contains(w)) low(v) = math.min(low(v), index(w))
+              i += 1
+            }
+          }
+          if (!recursed) {
+            if (low(v) == index(v)) {
+              val members = scala.collection.mutable.ArrayBuffer.empty[Long]
+              var w = 0L
+              do {
+                w = stk.remove(stk.length - 1); onstk -= w; members += w
+              } while (w != v)
+              val m = members.min
+              members.foreach(x => sccOf(x) = m)
+            }
+            work.pop()
+            if (work.nonEmpty) {
+              val u = work.top._1
+              low(u) = math.min(low(u), low(v))
+            }
+          }
+        }
+      }
+      nodes.toSeq.map(n => OraScc(n, sccOf(n)))
+    }
     // the edge oracle derives SAME_SENTENCE as ALL same-sentence pairs; the
     // extractor caps at MaxSameSentenceMentions mentions/sentence — assert
     // the cap is unreachable on THIS corpus so a denser config fails loudly
@@ -222,6 +290,7 @@ object VerifyOracle {
     write("rawtriples", triplesV)
     write("components", comps)
     write("kcore", kcore)
+    write("scc", sccDump)
     write("hosts", hosts)
     write("labelmap", labels)
     write("media", media)

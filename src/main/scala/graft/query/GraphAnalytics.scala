@@ -429,4 +429,130 @@ object GraphAnalytics {
       res
     }
   }
+
+  /** Strongly connected components of the directed, deduped, self-loop-free
+    * projection of `edges` — the web's bow-tie kernel. Output (id, scc)
+    * with scc = the SCC's minimum member id (the partition is unique, so
+    * this labeling is canonical and rowwise-comparable against a sequential
+    * Tarjan).
+    *
+    * Algorithm: trim + deterministic forward-backward splitting.
+    * Each outer round, over the current node partition (`part` labels):
+    *   1. TRIM to fixpoint: a node with no in- or no out-edge INSIDE its
+    *      part is a singleton SCC — emit and drop (kCore's peel shape:
+    *      partial-agg distincts + semi/anti joins).
+    *   2. Per part, pivot = min id (one partial-agg groupBy). Propagate
+    *      fwd/bwd reachability flags from the pivot along within-part
+    *      edges to fixpoint (wavefront = semi-join + map-side-combinable
+    *      distinct; termination = flag-count unchanged, the CC
+    *      changed-count pattern — one bounded driver scalar per round).
+    *   3. fwd ∧ bwd = the pivot's SCC — emit with scc = pivot. The rest
+    *      splits into (fwd-only, bwd-only, neither); new part label = the
+    *      sub-group's min id (deterministic, collision-free — no hash).
+    * Edges crossing parts can never close a cycle again and are dropped by
+    * the per-round within-part filter.
+    *
+    * Rounds: trim depth is the DAG peeling depth, FW-BW depth is the
+    * reach diameter, outer rounds the SCC nesting depth — all small on
+    * web-shaped graphs (same caveat class as kCore). Every step is an
+    * equi-join or partial aggregation; no windows; a mega-hub's fan-in
+    * collapses in map-side combine. Requires a non-empty edge set.
+    */
+  def scc(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(eager = true)
+    require(!e0.isEmpty, "scc: empty graph")
+    var active = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct()
+      .select(col("id"), lit(0L).as("part"))
+      .localCheckpoint(eager = true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var outer = 0
+    while (!active.isEmpty) {
+      // within-part edge set for this round
+      var aE = e0
+        .join(active.select(col("id").as("src"), col("part").as("ps")), Seq("src"))
+        .join(active.select(col("id").as("dst"), col("part").as("pd")), Seq("dst"))
+        .filter(col("ps") === col("pd"))
+        .select(col("src"), col("dst"))
+        .localCheckpoint(eager = true)
+      // 1. trim to fixpoint
+      var nActive = active.count()
+      var trimming = true
+      while (trimming) {
+        val keep = active
+          .join(aE.select(col("src").as("id")).distinct(), Seq("id"), "left_semi")
+          .join(aE.select(col("dst").as("id")).distinct(), Seq("id"), "left_semi")
+          .localCheckpoint(eager = true)
+        val nKeep = keep.count()
+        if (nKeep == nActive) { keep.unpersist(false); trimming = false }
+        else {
+          out += active.join(keep.select("id"), Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("scc"))
+            .localCheckpoint(eager = true)
+          active.unpersist(false); active = keep; nActive = nKeep
+          val oldE = aE
+          aE = aE
+            .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+            .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+            .localCheckpoint(eager = true)
+          oldE.unpersist(false)
+        }
+      }
+      if (nActive == 0L) { aE.unpersist(false) }
+      else {
+        // 2. pivot reach fixpoint
+        val pivots = active.groupBy("part").agg(min(col("id")).as("pivot"))
+          .localCheckpoint(eager = true)
+        var r = active.join(pivots, Seq("part"))
+          .select(col("id"), col("part"),
+            (col("id") === col("pivot")).as("fwd"),
+            (col("id") === col("pivot")).as("bwd"))
+          .localCheckpoint(eager = true)
+        def flags(df: DataFrame): Long = df
+          .agg(sum(col("fwd").cast("long") + col("bwd").cast("long")))
+          .head().getLong(0)
+        var prev = -1L
+        var cur = flags(r)
+        var it = 0
+        while (cur != prev) {
+          prev = cur
+          val f = aE.join(r.filter(col("fwd")).select(col("id").as("src")),
+              Seq("src"), "left_semi")
+            .select(col("dst").as("id")).distinct()
+          val b = aE.join(r.filter(col("bwd")).select(col("id").as("dst")),
+              Seq("dst"), "left_semi")
+            .select(col("src").as("id")).distinct()
+          val old = r
+          r = Materialize.iterate(
+            r.join(f.withColumn("fIn", lit(true)), Seq("id"), "left")
+              .join(b.withColumn("bIn", lit(true)), Seq("id"), "left")
+              .select(col("id"), col("part"),
+                (col("fwd") || col("fIn").isNotNull).as("fwd"),
+                (col("bwd") || col("bIn").isNotNull).as("bwd")),
+            outer * 1000 + it)
+          old.unpersist(false)
+          cur = flags(r)
+          it += 1
+        }
+        // 3. emit the pivot SCCs, split the rest
+        out += r.filter(col("fwd") && col("bwd"))
+          .join(pivots, Seq("part")).select(col("id"), col("pivot").as("scc"))
+          .localCheckpoint(eager = true)
+        val rest = r.filter(!(col("fwd") && col("bwd")))
+        val np = rest.groupBy("part", "fwd", "bwd").agg(min("id").as("npart"))
+        val oldActive = active
+        active = rest.join(np, Seq("part", "fwd", "bwd"))
+          .select(col("id"), col("npart").as("part"))
+          .localCheckpoint(eager = true)
+        Seq(oldActive, r, pivots, aE).foreach(_.unpersist(false))
+      }
+      outer += 1
+    }
+    active.unpersist(false)
+    val res = out.reduce(_ unionByName _).localCheckpoint(eager = true)
+    out.foreach(_.unpersist(false)); e0.unpersist(false)
+    res
+  }
 }

@@ -38,7 +38,7 @@ import org.apache.spark.sql.functions._
   * the gather-sum and histogram groupBys (partial-agg absorption; sanity:
   * the hub is the top authority — half the spokes point at it).
   *
-  *   runMain graft.tools.GraphSkewProbe [nSpokes] [cores] [pagerank|triangles|kcore|hits|communities|sameas|all]
+  *   runMain graft.tools.GraphSkewProbe [nSpokes] [cores] [pagerank|triangles|kcore|hits|communities|sameas|scc|all]
   */
 object GraphSkewProbe {
   def main(args: Array[String]): Unit = {
@@ -97,6 +97,22 @@ object GraphSkewProbe {
           edges, minInter = 2, jacNum = 0, jacDen = 1)
         val cands = sa.count()
         s"candidates=$cands expected=${n - 2} ok=${cands == n - 2}"
+      }
+      if (op == "scc" || op == "all") run("scc") {
+        // different shape: SCC needs cycles. Bidirected hub (hub ↔ every
+        // spoke) = one giant SCC of n+1 nodes with diameter 2 (the web
+        // core's regime), plus n/10 pendant feeders (n+i → 0) that the
+        // trim pass must remove in ONE round. The mega-hub is the
+        // wavefront key: its n reach contributions collapse map-side.
+        val m = n / 10
+        val toHub = spark.range(1, n + 1).select(col("id").as("src"), lit(0L).as("dst"))
+        val fromHub = spark.range(1, n + 1).select(lit(0L).as("src"), col("id").as("dst"))
+        val feeders = spark.range(n + 1, n + m + 1).select(col("id").as("src"), lit(0L).as("dst"))
+        val sccRes = graft.query.GraphAnalytics.scc(
+          toHub.unionByName(fromHub).unionByName(feeders))
+        val giant = sccRes.filter(col("scc") === 0L).count()
+        val singles = sccRes.filter(col("scc") =!= 0L).count()
+        s"giant=$giant expected=${n + 1} singles=$singles expectedSingles=$m ok=${giant == n + 1 && singles == m}"
       }
       if (op == "triangles" || op == "all") run("triangles") {
         val tc = graft.query.GraphAnalytics.triangleCounts(edges)

@@ -268,6 +268,16 @@ object KgCli {
           triples.filter(col("obj") >= 0)
             .select(col("subj").as("src"), col("obj").as("dst")))
           .orderBy(col("inter").desc, col("u"), col("v")).limit(k)
+      // strongly connected components: (scc, n_entities) size report for
+      // non-trivial components, largest first — the bow-tie core surface
+      case "scc" =>
+        val triples = graft.Incremental.readTriples(spark, tablesDir)
+        graft.query.GraphAnalytics.scc(
+          triples.filter(col("obj") >= 0)
+            .select(col("subj").as("src"), col("obj").as("dst")))
+          .groupBy(col("scc")).agg(count(lit(1)).as("n_entities"))
+          .filter(col("n_entities") > 1)
+          .orderBy(col("n_entities").desc, col("scc"))
       // k-core survivors (default k=2) with in-core degree
       case "kcore" =>
         val k = if (args.nonEmpty) args(0).toInt else 2
@@ -311,7 +321,7 @@ object KgCli {
         throw new IllegalArgumentException(
           s"unknown verb '$other' (build|import-ref|export-ref|ingest|snapshots|compact|expire|" +
             "lookup|code|location|edges|slice|coref|" +
-            "tag|untag|hide|unhide|features|knn|cluster|rank|hits|communities|sameas|triangles|kcore|" +
+            "tag|untag|hide|unhide|features|knn|cluster|rank|hits|communities|sameas|scc|triangles|kcore|" +
             "plot|plot-slice|list-tags|list-pages|list-entities)")
     }
   }

@@ -118,6 +118,13 @@ class CliSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("scc verb: non-trivial components, largest first") {
+    val rows = KgCli.run(spark, dir, "scc", Nil).collect()
+    // only components with >1 member; sizes descending
+    rows.foreach(_.getLong(1) should be > 1L)
+    rows.map(_.getLong(1)).toSeq shouldBe rows.map(_.getLong(1)).sortBy(-_).toSeq
+  }
+
   test("hits / communities analytics verbs") {
     val top = KgCli.run(spark, dir, "hits", Seq("5")).collect()
     top.length shouldBe 5

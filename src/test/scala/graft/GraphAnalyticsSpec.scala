@@ -244,6 +244,73 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     strict should contain((1L, 2L))
   }
 
+  /** Driver-side twin of scc: plain iterative Tarjan, labels = min member. */
+  private def sccLocal(es: Seq[(Long, Long)]): Map[Long, Long] = {
+    val e = es.filter(p => p._1 != p._2).distinct
+    val adj = e.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val index = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onstk = scala.collection.mutable.Set.empty[Long]
+    val stk = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val res = scala.collection.mutable.Map.empty[Long, Long]
+    var counter = 0
+    for (root <- nodes; if !index.contains(root)) {
+      val work = scala.collection.mutable.Stack[(Long, Int)]((root, 0))
+      while (work.nonEmpty) {
+        val (v, pi) = work.top
+        if (pi == 0) {
+          index(v) = counter; low(v) = counter; counter += 1; stk += v; onstk += v
+        }
+        val ns = adj.getOrElse(v, Seq.empty)
+        var i = pi
+        var recursed = false
+        while (i < ns.length && !recursed) {
+          val w = ns(i)
+          if (!index.contains(w)) {
+            work.pop(); work.push((v, i + 1)); work.push((w, 0)); recursed = true
+          } else { if (onstk.contains(w)) low(v) = math.min(low(v), index(w)); i += 1 }
+        }
+        if (!recursed) {
+          if (low(v) == index(v)) {
+            val members = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var w = 0L
+            do { w = stk.remove(stk.length - 1); onstk -= w; members += w } while (w != v)
+            val m = members.min
+            members.foreach(x => res(x) = m)
+          }
+          work.pop()
+          if (work.nonEmpty) { val u = work.top._1; low(u) = math.min(low(u), low(v)) }
+        }
+      }
+    }
+    res.toMap
+  }
+
+  test("scc matches driver-side Tarjan exactly; partition-invariant") {
+    val got = GraphAnalytics.scc(edges(g: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe sccLocal(g)
+    got(1L) shouldBe 1L; got(2L) shouldBe 1L; got(3L) shouldBe 1L // the cycle
+    got(4L) shouldBe 4L // DAG feeder is a singleton
+    val repart = GraphAnalytics.scc(edges(g: _*).repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    repart shouldBe got
+  }
+
+  test("scc decomposes a bow-tie: IN tail, core cycle, OUT tail, disjoint cycle") {
+    // IN: 10→11→1; core: 1→2→3→1; OUT: 3→20→21; second cycle: 30↔31;
+    // cross edge OUT→second cycle: 21→30
+    val bt = Seq(10L -> 11L, 11L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 1L,
+      3L -> 20L, 20L -> 21L, 21L -> 30L, 30L -> 31L, 31L -> 30L)
+    val got = GraphAnalytics.scc(edges(bt: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe sccLocal(bt)
+    Set(got(1L), got(2L), got(3L)) shouldBe Set(1L)
+    Set(got(30L), got(31L)) shouldBe Set(30L)
+    Seq(10L, 11L, 20L, 21L).foreach(v => got(v) shouldBe v)
+  }
+
   test("labelPropagation separates two cliques joined by one edge") {
     val cliques = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L,
       10L -> 11L, 10L -> 12L, 11L -> 12L, 3L -> 10L)
