@@ -24,6 +24,7 @@ object KgOracleSql {
   private val MEDIA = "read_parquet('{{ORA}}/media/*.parquet')"
   private val KCORE = "read_parquet('{{ORA}}/kcore/*.parquet')"
   private val SCC = "read_parquet('{{ORA}}/scc/*.parquet')"
+  private val BOWTIE = "read_parquet('{{ORA}}/bowtie/*.parquet')"
   private val SIG = "read_parquet('{{ORA}}/docsigs/*.parquet')"
 
   /** Leaf CTEs shared by the graph-shaped oracles. */
@@ -382,6 +383,9 @@ object KgOracleSql {
     // distributed trim+FW-BW rounds: the SCC partition is unique and both
     // label by min member, so the rows must agree exactly
     "kg_step_scc" -> s"SELECT id, scc FROM $SCC ORDER BY id",
+    // Broder bow-tie regions by sequential BFS in the dump vs one scc()
+    // pass + two distributed BFS fixpoints
+    "kg_step_bowtie" -> s"SELECT id, region FROM $BOWTIE ORDER BY id",
     "kg_step_entity_degree" ->
       s"""SELECT entityNodeId AS entity_node, count(*) AS n_mentions
          |FROM $M WHERE entityId >= 0

@@ -618,6 +618,15 @@ object Queries {
           .select(col("subj").as("src"), col("obj").as("dst")))
         .orderBy("id")
     }),
+    // Broder bow-tie macro-structure: CORE (largest SCC) / IN / OUT / OTHER
+    // per entity — one scc() pass + two BFS fixpoints seeded at the core
+    "kg_step_bowtie" -> ((s, d) => {
+      val kt = kg(s, d)
+      graft.query.GraphAnalytics.bowTie(
+        kt.triples.filter(col("obj") >= 0)
+          .select(col("subj").as("src"), col("obj").as("dst")))
+        .orderBy("id")
+    }),
     // local clustering structure over the same canonical graph: per-entity
     // triangle/wedge counts via degree-ordered edge orientation
     "kg_step_triangles" -> ((s, d) => {

@@ -81,6 +81,7 @@ object VerifyOracle {
   final case class OraComp(id: Long, component: Long, idNode: Long, compNode: Long)
   final case class OraCore(id: Long, deg: Long)
   final case class OraScc(id: Long, scc: Long)
+  final case class OraBowtie(id: Long, region: String)
   final case class OraHost(hostId: Long, host: String, domainId: Long, domain: String)
   final case class OraLabel(kind: String, code: String, label: Long)
   final case class OraMedia(media_id: Long, kind: String, width: Int, height: Int,
@@ -176,7 +177,7 @@ object VerifyOracle {
     // trim + forward-backward rounds (GraphAnalytics.scc); the SCC
     // partition is unique and both sides label by min member id, so they
     // must agree rowwise.
-    val sccDump = {
+    val (sccDump, bowtieDump) = {
       val comp = uf.components
       def canon(x: Long): Long = comp.getOrElse(x, x)
       val dir = triplesV.iterator
@@ -236,7 +237,37 @@ object VerifyOracle {
           }
         }
       }
-      nodes.toSeq.map(n => OraScc(n, sccOf(n)))
+      val sccs = nodes.toSeq.map(n => OraScc(n, sccOf(n)))
+      // bow-tie regions by sequential BFS — the GraphAnalytics.bowTie twin:
+      // CORE = largest SCC (smaller-label tiebreak), IN reaches it, OUT is
+      // reached from it, OTHER = tendrils/tubes/disconnected
+      val sizes = scala.collection.mutable.Map.empty[Long, Int]
+      sccOf.values.foreach(c => sizes(c) = sizes.getOrElse(c, 0) + 1)
+      val coreId = sizes.toSeq.minBy { case (k, n) => (-n, k) }._1
+      val coreSet = sccOf.iterator.filter(_._2 == coreId).map(_._1).toSet
+      val radj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      dir.foreach { case (a, b) => radj(b) = a :: radj.getOrElse(b, Nil) }
+      def bfs(a: scala.collection.Map[Long, List[Long]]): Set[Long] = {
+        val vis = scala.collection.mutable.Set(coreSet.toSeq: _*)
+        val q = scala.collection.mutable.Queue(coreSet.toSeq: _*)
+        while (q.nonEmpty) {
+          val v = q.dequeue()
+          a.getOrElse(v, Nil).foreach { w =>
+            if (!vis.contains(w)) { vis += w; q += w }
+          }
+        }
+        vis.toSet
+      }
+      val fromCore = bfs(adj)
+      val toCore = bfs(radj)
+      val bowtie = nodes.toSeq.map { n =>
+        val r = if (coreSet(n)) "CORE"
+          else if (toCore(n)) "IN"
+          else if (fromCore(n)) "OUT"
+          else "OTHER"
+        OraBowtie(n, r)
+      }
+      (sccs, bowtie)
     }
     // the edge oracle derives SAME_SENTENCE as ALL same-sentence pairs; the
     // extractor caps at MaxSameSentenceMentions mentions/sentence — assert
@@ -291,6 +322,7 @@ object VerifyOracle {
     write("components", comps)
     write("kcore", kcore)
     write("scc", sccDump)
+    write("bowtie", bowtieDump)
     write("hosts", hosts)
     write("labelmap", labels)
     write("media", media)

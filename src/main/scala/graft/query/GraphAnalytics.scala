@@ -555,4 +555,75 @@ object GraphAnalytics {
     out.foreach(_.unpersist(false)); e0.unpersist(false)
     res
   }
+
+  /** Bow-tie decomposition (Broder et al.'s web-graph macro-structure) of
+    * the directed, deduped, self-loop-free projection of `edges`:
+    * every node classified as
+    *   CORE — member of the LARGEST SCC (ties broken by smaller scc label,
+    *          so the pick is deterministic),
+    *   IN   — reaches the core but is not in it,
+    *   OUT  — reachable from the core but not in it,
+    *   OTHER — everything else (tendrils, tubes, disconnected).
+    * Output (id, region) — rowwise-checked against a sequential BFS twin
+    * over the Tarjan dump.
+    *
+    * Composition: one scc() pass, then two BFS fixpoints seeded at the
+    * core (backward for IN, forward for OUT) — wavefront = semi-join +
+    * map-side-combinable distinct, changed-count termination; rounds =
+    * reach diameter. The giant-SCC pick is a partial-agg count.
+    */
+  def bowTie(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(eager = true)
+    val s = scc(e0) // (id, scc), already materialized
+    // largest SCC, deterministic tie-break on the smaller label
+    val coreRow = s.groupBy("scc").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("scc").asc).head()
+    val coreId = coreRow.getLong(0)
+    val core = s.filter(col("scc") === lit(coreId)).select("id")
+      .localCheckpoint(eager = true)
+    val toCore = reachSet(e0, core, forward = false) // nodes that reach the core
+    val fromCore = reachSet(e0, core, forward = true) // nodes the core reaches
+    val res = s.select("id")
+      .join(core.withColumn("inCore", lit(true)), Seq("id"), "left")
+      .join(toCore.withColumn("inTo", lit(true)), Seq("id"), "left")
+      .join(fromCore.withColumn("inFrom", lit(true)), Seq("id"), "left")
+      .select(col("id"),
+        when(col("inCore").isNotNull, "CORE")
+          .when(col("inTo").isNotNull, "IN")
+          .when(col("inFrom").isNotNull, "OUT")
+          .otherwise("OTHER").as("region"))
+      .localCheckpoint(eager = true)
+    Seq(e0, s, core, toCore, fromCore).foreach(_.unpersist(false))
+    res
+  }
+
+  /** BFS closure from `seeds` over `edges`, excluding the seeds themselves:
+    * forward = true follows src→dst, false follows dst→src. Returns a
+    * single-column (id) frame, eagerly materialized. Wavefront rounds are
+    * semi-joins + distinct (partial-agg); termination = size unchanged. */
+  private[graft] def reachSet(edges: DataFrame, seeds: DataFrame,
+                              forward: Boolean): DataFrame = {
+    val (from, to) = if (forward) ("src", "dst") else ("dst", "src")
+    var visited = seeds.select("id").localCheckpoint(eager = true)
+    var n = visited.count()
+    var prev = -1L
+    var it = 0
+    while (n != prev) {
+      prev = n
+      val nxt = edges
+        .join(visited.select(col("id").as(from)), Seq(from), "left_semi")
+        .select(col(to).as("id")).distinct()
+      val old = visited
+      visited = Materialize.iterate(visited.union(nxt).distinct(), it)
+      old.unpersist(false)
+      n = visited.count()
+      it += 1
+    }
+    val res = visited.join(seeds.select("id"), Seq("id"), "left_anti")
+      .localCheckpoint(eager = true)
+    visited.unpersist(false)
+    res
+  }
 }

@@ -278,6 +278,14 @@ object KgCli {
           .groupBy(col("scc")).agg(count(lit(1)).as("n_entities"))
           .filter(col("n_entities") > 1)
           .orderBy(col("n_entities").desc, col("scc"))
+      // bow-tie macro-structure report: (region, n_entities)
+      case "bowtie" =>
+        val triples = graft.Incremental.readTriples(spark, tablesDir)
+        graft.query.GraphAnalytics.bowTie(
+          triples.filter(col("obj") >= 0)
+            .select(col("subj").as("src"), col("obj").as("dst")))
+          .groupBy(col("region")).agg(count(lit(1)).as("n_entities"))
+          .orderBy(col("region"))
       // k-core survivors (default k=2) with in-core degree
       case "kcore" =>
         val k = if (args.nonEmpty) args(0).toInt else 2
@@ -321,7 +329,7 @@ object KgCli {
         throw new IllegalArgumentException(
           s"unknown verb '$other' (build|import-ref|export-ref|ingest|snapshots|compact|expire|" +
             "lookup|code|location|edges|slice|coref|" +
-            "tag|untag|hide|unhide|features|knn|cluster|rank|hits|communities|sameas|scc|triangles|kcore|" +
+            "tag|untag|hide|unhide|features|knn|cluster|rank|hits|communities|sameas|scc|bowtie|triangles|kcore|" +
             "plot|plot-slice|list-tags|list-pages|list-entities)")
     }
   }

@@ -125,6 +125,14 @@ class CliSpec extends AnyFunSuite with Matchers {
     rows.map(_.getLong(1)).toSeq shouldBe rows.map(_.getLong(1)).sortBy(-_).toSeq
   }
 
+  test("bowtie verb: region census covers every entity exactly once") {
+    val rows = KgCli.run(spark, dir, "bowtie", Nil).collect()
+    val regions = rows.map(_.getString(0)).toSet
+    regions should contain("CORE")
+    regions.subsetOf(Set("CORE", "IN", "OUT", "OTHER")) shouldBe true
+    rows.map(_.getLong(1)).foreach(_ should be > 0L)
+  }
+
   test("hits / communities analytics verbs") {
     val top = KgCli.run(spark, dir, "hits", Seq("5")).collect()
     top.length shouldBe 5

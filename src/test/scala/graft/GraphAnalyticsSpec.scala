@@ -311,6 +311,32 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     Seq(10L, 11L, 20L, 21L).foreach(v => got(v) shouldBe v)
   }
 
+  test("bowTie classifies CORE / IN / OUT / OTHER; partition-invariant") {
+    // IN: 10→11→core; CORE: 1→2→3→1 (largest SCC); OUT: 3→20→21→{30↔31};
+    // OTHER: disconnected pair 40→41
+    val bt = Seq(10L -> 11L, 11L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 1L,
+      3L -> 20L, 20L -> 21L, 21L -> 30L, 30L -> 31L, 31L -> 30L,
+      40L -> 41L)
+    val got = GraphAnalytics.bowTie(edges(bt: _*))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Seq(1L, 2L, 3L).foreach(v => got(v) shouldBe "CORE")
+    Seq(10L, 11L).foreach(v => got(v) shouldBe "IN")
+    Seq(20L, 21L, 30L, 31L).foreach(v => got(v) shouldBe "OUT")
+    Seq(40L, 41L).foreach(v => got(v) shouldBe "OTHER")
+    val repart = GraphAnalytics.bowTie(edges(bt: _*).repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    repart shouldBe got
+  }
+
+  test("bowTie core tiebreak: equal-size SCCs pick the smaller scc label") {
+    // two 2-cycles, no path between them: core = SCC labeled 1
+    val tie = Seq(1L -> 2L, 2L -> 1L, 5L -> 6L, 6L -> 5L)
+    val got = GraphAnalytics.bowTie(edges(tie: _*))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got(1L) shouldBe "CORE"; got(2L) shouldBe "CORE"
+    got(5L) shouldBe "OTHER"; got(6L) shouldBe "OTHER"
+  }
+
   test("labelPropagation separates two cliques joined by one edge") {
     val cliques = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L,
       10L -> 11L, 10L -> 12L, 11L -> 12L, 3L -> 10L)
