@@ -550,8 +550,7 @@ object Queries {
     "kg_step_pagerank" -> ((s, d) => {
       val kt = kg(s, d)
       graft.query.GraphAnalytics.pageRankInt(
-        kt.triples.filter(col("obj") >= 0)
-          .select(col("subj").as("src"), col("obj").as("dst")))
+        graft.query.GraphAnalytics.entityEdges(kt.triples))
         .orderBy("id")
     }),
     // personalized PageRank: teleport restricted to a seed set (every 10th
@@ -559,8 +558,7 @@ object Queries {
     // X" relatedness query over the same graph
     "kg_step_ppr" -> ((s, d) => {
       val kt = kg(s, d)
-      val e = kt.triples.filter(col("obj") >= 0)
-        .select(col("subj").as("src"), col("obj").as("dst"))
+      val e = graft.query.GraphAnalytics.entityEdges(kt.triples)
       val seeds = e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id")))
         .distinct().filter(pmod(col("id"), lit(10)) === 0)
@@ -571,8 +569,7 @@ object Queries {
     "kg_step_kcore" -> ((s, d) => {
       val kt = kg(s, d)
       graft.query.GraphAnalytics.kCore(
-        kt.triples.filter(col("obj") >= 0)
-          .select(col("subj").as("src"), col("obj").as("dst")), k = 2)
+        graft.query.GraphAnalytics.entityEdges(kt.triples), k = 2)
         .orderBy("id")
     }),
     // hub/authority scoring over the canonical subj→obj graph: exact integer
@@ -582,8 +579,7 @@ object Queries {
     "kg_step_hits" -> ((s, d) => {
       val kt = kg(s, d)
       graft.query.GraphAnalytics.hitsInt(
-        kt.triples.filter(col("obj") >= 0)
-          .select(col("subj").as("src"), col("obj").as("dst")), iters = 8)
+        graft.query.GraphAnalytics.entityEdges(kt.triples), iters = 8)
         .orderBy("id")
     }),
     // community detection: synchronous label propagation (most-frequent
@@ -593,8 +589,7 @@ object Queries {
     "kg_step_communities" -> ((s, d) => {
       val kt = kg(s, d)
       graft.query.GraphAnalytics.labelPropagation(
-        kt.triples.filter(col("obj") >= 0)
-          .select(col("subj").as("src"), col("obj").as("dst")), iters = 5)
+        graft.query.GraphAnalytics.entityEdges(kt.triples), iters = 5)
         .orderBy("id")
     }),
     // structural entity-resolution candidates: shared-neighbor (witness)
@@ -603,8 +598,7 @@ object Queries {
     "kg_step_sameas" -> ((s, d) => {
       val kt = kg(s, d)
       graft.query.GraphAnalytics.sameAsCandidates(
-        kt.triples.filter(col("obj") >= 0)
-          .select(col("subj").as("src"), col("obj").as("dst")),
+        graft.query.GraphAnalytics.entityEdges(kt.triples),
         minInter = 2, jacNum = 1, jacDen = 4, hubCap = 64L)
         .orderBy("u", "v")
     }),
@@ -614,8 +608,7 @@ object Queries {
     "kg_step_scc" -> ((s, d) => {
       val kt = kg(s, d)
       graft.query.GraphAnalytics.scc(
-        kt.triples.filter(col("obj") >= 0)
-          .select(col("subj").as("src"), col("obj").as("dst")))
+        graft.query.GraphAnalytics.entityEdges(kt.triples))
         .orderBy("id")
     }),
     // Broder bow-tie macro-structure: CORE (largest SCC) / IN / OUT / OTHER
@@ -623,8 +616,7 @@ object Queries {
     "kg_step_bowtie" -> ((s, d) => {
       val kt = kg(s, d)
       graft.query.GraphAnalytics.bowTie(
-        kt.triples.filter(col("obj") >= 0)
-          .select(col("subj").as("src"), col("obj").as("dst")))
+        graft.query.GraphAnalytics.entityEdges(kt.triples))
         .orderBy("id")
     }),
     // local clustering structure over the same canonical graph: per-entity
@@ -632,8 +624,7 @@ object Queries {
     "kg_step_triangles" -> ((s, d) => {
       val kt = kg(s, d)
       graft.query.GraphAnalytics.triangleCounts(
-        kt.triples.filter(col("obj") >= 0)
-          .select(col("subj").as("src"), col("obj").as("dst")))
+        graft.query.GraphAnalytics.entityEdges(kt.triples))
         .orderBy("id")
     }),
     // computed per-page dominance (≙ CHK iterative idom,

@@ -82,6 +82,67 @@ object VerifyOracle {
   final case class OraCore(id: Long, deg: Long)
   final case class OraScc(id: Long, scc: Long)
   final case class OraBowtie(id: Long, region: String)
+
+  /** Sequential iterative Tarjan (explicit work stack, no recursion) over a
+    * directed edge list: scc label = min member id for every node incident
+    * to an edge. ONE implementation shared by the oracle dump and the
+    * GraphAnalyticsSpec driver twin — the frame-resumption/low-link code is
+    * the trickiest sequential logic in the oracle and must not fork. */
+  private[graft] def tarjanScc(dir: Iterable[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+    val nodes = scala.collection.mutable.SortedSet.empty[Long]
+    dir.foreach { case (a, b) =>
+      adj(a) = b :: adj.getOrElse(a, Nil); nodes += a; nodes += b
+    }
+    val adjArr = adj.map { case (k, v) => k -> v.toArray }
+    val index = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onstk = scala.collection.mutable.Set.empty[Long]
+    val stk = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sccOf = scala.collection.mutable.Map.empty[Long, Long]
+    var counter = 0
+    for (root <- nodes; if !index.contains(root)) {
+      // explicit work stack: (node, next child offset)
+      val work = scala.collection.mutable.Stack[(Long, Int)]((root, 0))
+      while (work.nonEmpty) {
+        val (v, pi) = work.top
+        if (pi == 0) {
+          index(v) = counter; low(v) = counter; counter += 1
+          stk += v; onstk += v
+        }
+        val ns = adjArr.getOrElse(v, Array.empty[Long])
+        var i = pi
+        var recursed = false
+        while (i < ns.length && !recursed) {
+          val w = ns(i)
+          if (!index.contains(w)) {
+            work.pop(); work.push((v, i + 1)); work.push((w, 0))
+            recursed = true
+          } else {
+            if (onstk.contains(w)) low(v) = math.min(low(v), index(w))
+            i += 1
+          }
+        }
+        if (!recursed) {
+          if (low(v) == index(v)) {
+            val members = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var w = 0L
+            do {
+              w = stk.remove(stk.length - 1); onstk -= w; members += w
+            } while (w != v)
+            val m = members.min
+            members.foreach(x => sccOf(x) = m)
+          }
+          work.pop()
+          if (work.nonEmpty) {
+            val u = work.top._1
+            low(u) = math.min(low(u), low(v))
+          }
+        }
+      }
+    }
+    sccOf.toMap
+  }
   final case class OraHost(hostId: Long, host: String, domainId: Long, domain: String)
   final case class OraLabel(kind: String, code: String, label: Long)
   final case class OraMedia(media_id: Long, kind: String, width: Int, height: Int,
@@ -185,89 +246,46 @@ object VerifyOracle {
         .map(t => (canon(t.subj), canon(t.obj)))
         .filter { case (a, b) => a != b }
         .toSet
-      val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
-      val nodes = scala.collection.mutable.SortedSet.empty[Long]
-      dir.foreach { case (a, b) =>
-        adj(a) = b :: adj.getOrElse(a, Nil); nodes += a; nodes += b
-      }
-      val adjArr = adj.map { case (k, v) => k -> v.toArray }
-      val index = scala.collection.mutable.Map.empty[Long, Int]
-      val low = scala.collection.mutable.Map.empty[Long, Int]
-      val onstk = scala.collection.mutable.Set.empty[Long]
-      val stk = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val sccOf = scala.collection.mutable.Map.empty[Long, Long]
-      var counter = 0
-      for (root <- nodes; if !index.contains(root)) {
-        // explicit work stack: (node, next child offset) — no recursion
-        val work = scala.collection.mutable.Stack[(Long, Int)]((root, 0))
-        while (work.nonEmpty) {
-          val (v, pi) = work.top
-          if (pi == 0) {
-            index(v) = counter; low(v) = counter; counter += 1
-            stk += v; onstk += v
-          }
-          val ns = adjArr.getOrElse(v, Array.empty[Long])
-          var i = pi
-          var recursed = false
-          while (i < ns.length && !recursed) {
-            val w = ns(i)
-            if (!index.contains(w)) {
-              work.pop(); work.push((v, i + 1)); work.push((w, 0))
-              recursed = true
-            } else {
-              if (onstk.contains(w)) low(v) = math.min(low(v), index(w))
-              i += 1
-            }
-          }
-          if (!recursed) {
-            if (low(v) == index(v)) {
-              val members = scala.collection.mutable.ArrayBuffer.empty[Long]
-              var w = 0L
-              do {
-                w = stk.remove(stk.length - 1); onstk -= w; members += w
-              } while (w != v)
-              val m = members.min
-              members.foreach(x => sccOf(x) = m)
-            }
-            work.pop()
-            if (work.nonEmpty) {
-              val u = work.top._1
-              low(u) = math.min(low(u), low(v))
-            }
-          }
+      val sccOf = tarjanScc(dir)
+      val nodes = sccOf.keys.toSeq.sorted
+      val sccs = nodes.map(n => OraScc(n, sccOf(n)))
+      if (nodes.isEmpty) (sccs, Seq.empty[OraBowtie]) // edge-free corpus: no crash
+      else {
+        // bow-tie regions by sequential BFS — the GraphAnalytics.bowTie
+        // twin: CORE = largest SCC (smaller-label tiebreak), IN reaches it,
+        // OUT is reached from it, OTHER = tendrils/tubes/disconnected
+        val sizes = scala.collection.mutable.Map.empty[Long, Int]
+        sccOf.values.foreach(c => sizes(c) = sizes.getOrElse(c, 0) + 1)
+        val coreId = sizes.toSeq.minBy { case (k, n) => (-n, k) }._1
+        val coreSet = sccOf.iterator.filter(_._2 == coreId).map(_._1).toSet
+        val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+        val radj = scala.collection.mutable.Map.empty[Long, List[Long]]
+        dir.foreach { case (a, b) =>
+          adj(a) = b :: adj.getOrElse(a, Nil)
+          radj(b) = a :: radj.getOrElse(b, Nil)
         }
-      }
-      val sccs = nodes.toSeq.map(n => OraScc(n, sccOf(n)))
-      // bow-tie regions by sequential BFS — the GraphAnalytics.bowTie twin:
-      // CORE = largest SCC (smaller-label tiebreak), IN reaches it, OUT is
-      // reached from it, OTHER = tendrils/tubes/disconnected
-      val sizes = scala.collection.mutable.Map.empty[Long, Int]
-      sccOf.values.foreach(c => sizes(c) = sizes.getOrElse(c, 0) + 1)
-      val coreId = sizes.toSeq.minBy { case (k, n) => (-n, k) }._1
-      val coreSet = sccOf.iterator.filter(_._2 == coreId).map(_._1).toSet
-      val radj = scala.collection.mutable.Map.empty[Long, List[Long]]
-      dir.foreach { case (a, b) => radj(b) = a :: radj.getOrElse(b, Nil) }
-      def bfs(a: scala.collection.Map[Long, List[Long]]): Set[Long] = {
-        val vis = scala.collection.mutable.Set(coreSet.toSeq: _*)
-        val q = scala.collection.mutable.Queue(coreSet.toSeq: _*)
-        while (q.nonEmpty) {
-          val v = q.dequeue()
-          a.getOrElse(v, Nil).foreach { w =>
-            if (!vis.contains(w)) { vis += w; q += w }
+        def bfs(a: scala.collection.Map[Long, List[Long]]): Set[Long] = {
+          val vis = scala.collection.mutable.Set(coreSet.toSeq: _*)
+          val q = scala.collection.mutable.Queue(coreSet.toSeq: _*)
+          while (q.nonEmpty) {
+            val v = q.dequeue()
+            a.getOrElse(v, Nil).foreach { w =>
+              if (!vis.contains(w)) { vis += w; q += w }
+            }
           }
+          vis.toSet
         }
-        vis.toSet
+        val fromCore = bfs(adj)
+        val toCore = bfs(radj)
+        val bowtie = nodes.map { n =>
+          val r = if (coreSet(n)) "CORE"
+            else if (toCore(n)) "IN"
+            else if (fromCore(n)) "OUT"
+            else "OTHER"
+          OraBowtie(n, r)
+        }
+        (sccs, bowtie)
       }
-      val fromCore = bfs(adj)
-      val toCore = bfs(radj)
-      val bowtie = nodes.toSeq.map { n =>
-        val r = if (coreSet(n)) "CORE"
-          else if (toCore(n)) "IN"
-          else if (fromCore(n)) "OUT"
-          else "OTHER"
-        OraBowtie(n, r)
-      }
-      (sccs, bowtie)
     }
     // the edge oracle derives SAME_SENTENCE as ALL same-sentence pairs; the
     // extractor caps at MaxSameSentenceMentions mentions/sentence — assert

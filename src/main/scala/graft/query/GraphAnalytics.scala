@@ -29,6 +29,13 @@ import graft.util.Materialize
   */
 object GraphAnalytics {
 
+  /** The canonical directed entity graph as (src, dst): entity→entity
+    * triples only (obj ≥ 0 — literal objects carry negative slots). The
+    * ONE projection every analytics entry/verb runs over. */
+  def entityEdges(triples: DataFrame): DataFrame =
+    triples.filter(col("obj") >= 0)
+      .select(col("subj").as("src"), col("obj").as("dst"))
+
   /** Exact integer fixed-point PageRank, optionally personalized.
     *
     * Semantics (mirrored verbatim by the DuckDB oracle, all `Long` ops;
@@ -154,6 +161,7 @@ object GraphAnalytics {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(eager = true)
+    e.unpersist(false) // last read above — don't hold a third edge copy all rounds
     // Intermediate scores are SPARSE: a node absent from a gather has score
     // 0, and a 0 row is indistinguishable from an absent row to both the
     // next gather (inner join, contributes 0) and the max divisor — so the
@@ -185,7 +193,7 @@ object GraphAnalytics {
       .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"),
         coalesce(col("auth"), lit(0L)).as("auth"))
       .localCheckpoint(eager = true)
-    Seq(e, eBySrc, eByDst, nodes, hubs, auths).foreach(_.unpersist(false))
+    Seq(eBySrc, eByDst, nodes, hubs, auths).foreach(_.unpersist(false))
     res
   }
 
@@ -463,6 +471,15 @@ object GraphAnalytics {
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(eager = true)
     require(!e0.isEmpty, "scc: empty graph")
+    val res = sccCanonical(e0)
+    e0.unpersist(false)
+    res
+  }
+
+  /** scc body over an already canonical (deduped, self-loop-free, pinned)
+    * edge frame — shared with bowTie so the canonicalization shuffle and
+    * the pinned edge copy are paid once. */
+  private def sccCanonical(e0: DataFrame): DataFrame = {
     var active = e0.select(col("src").as("id"))
       .union(e0.select(col("dst").as("id"))).distinct()
       .select(col("id"), lit(0L).as("part"))
@@ -502,57 +519,37 @@ object GraphAnalytics {
       }
       if (nActive == 0L) { aE.unpersist(false) }
       else {
-        // 2. pivot reach fixpoint
+        // 2. pivot reach closures — frontier BFS over the within-part edge
+        // set. Parts are disjoint and aE edges never cross parts, so ONE
+        // closure from the union of all pivots equals the per-part
+        // closures run simultaneously.
         val pivots = active.groupBy("part").agg(min(col("id")).as("pivot"))
           .localCheckpoint(eager = true)
-        var r = active.join(pivots, Seq("part"))
-          .select(col("id"), col("part"),
-            (col("id") === col("pivot")).as("fwd"),
-            (col("id") === col("pivot")).as("bwd"))
-          .localCheckpoint(eager = true)
-        def flags(df: DataFrame): Long = df
-          .agg(sum(col("fwd").cast("long") + col("bwd").cast("long")))
-          .head().getLong(0)
-        var prev = -1L
-        var cur = flags(r)
-        var it = 0
-        while (cur != prev) {
-          prev = cur
-          val f = aE.join(r.filter(col("fwd")).select(col("id").as("src")),
-              Seq("src"), "left_semi")
-            .select(col("dst").as("id")).distinct()
-          val b = aE.join(r.filter(col("bwd")).select(col("id").as("dst")),
-              Seq("dst"), "left_semi")
-            .select(col("src").as("id")).distinct()
-          val old = r
-          r = Materialize.iterate(
-            r.join(f.withColumn("fIn", lit(true)), Seq("id"), "left")
-              .join(b.withColumn("bIn", lit(true)), Seq("id"), "left")
-              .select(col("id"), col("part"),
-                (col("fwd") || col("fIn").isNotNull).as("fwd"),
-                (col("bwd") || col("bIn").isNotNull).as("bwd")),
-            outer * 1000 + it)
-          old.unpersist(false)
-          cur = flags(r)
-          it += 1
-        }
-        // 3. emit the pivot SCCs, split the rest
-        out += r.filter(col("fwd") && col("bwd"))
+        val seeds = pivots.select(col("pivot").as("id"))
+        val fwd = reachClosure(aE, seeds, forward = true)
+        val bwd = reachClosure(aE, seeds, forward = false)
+        // 3. emit the pivot SCCs (fwd ∩ bwd), split the rest
+        val inBoth = fwd.join(bwd, Seq("id"), "left_semi")
+        out += active.join(inBoth, Seq("id"), "left_semi")
           .join(pivots, Seq("part")).select(col("id"), col("pivot").as("scc"))
           .localCheckpoint(eager = true)
-        val rest = r.filter(!(col("fwd") && col("bwd")))
+        val rest = active.join(inBoth, Seq("id"), "left_anti")
+          .join(fwd.withColumn("fIn", lit(true)), Seq("id"), "left")
+          .join(bwd.withColumn("bIn", lit(true)), Seq("id"), "left")
+          .select(col("id"), col("part"),
+            col("fIn").isNotNull.as("fwd"), col("bIn").isNotNull.as("bwd"))
         val np = rest.groupBy("part", "fwd", "bwd").agg(min("id").as("npart"))
         val oldActive = active
         active = rest.join(np, Seq("part", "fwd", "bwd"))
           .select(col("id"), col("npart").as("part"))
           .localCheckpoint(eager = true)
-        Seq(oldActive, r, pivots, aE).foreach(_.unpersist(false))
+        Seq(oldActive, pivots, fwd, bwd, aE).foreach(_.unpersist(false))
       }
       outer += 1
     }
     active.unpersist(false)
     val res = out.reduce(_ unionByName _).localCheckpoint(eager = true)
-    out.foreach(_.unpersist(false)); e0.unpersist(false)
+    out.foreach(_.unpersist(false))
     res
   }
 
@@ -576,15 +573,16 @@ object GraphAnalytics {
     val e0 = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(eager = true)
-    val s = scc(e0) // (id, scc), already materialized
+    require(!e0.isEmpty, "bowTie: empty graph")
+    val s = sccCanonical(e0) // reuse the pinned canonical edge frame
     // largest SCC, deterministic tie-break on the smaller label
     val coreRow = s.groupBy("scc").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("scc").asc).head()
     val coreId = coreRow.getLong(0)
     val core = s.filter(col("scc") === lit(coreId)).select("id")
       .localCheckpoint(eager = true)
-    val toCore = reachSet(e0, core, forward = false) // nodes that reach the core
-    val fromCore = reachSet(e0, core, forward = true) // nodes the core reaches
+    val toCore = reachClosure(e0, core, forward = false) // core ∪ who reaches it
+    val fromCore = reachClosure(e0, core, forward = true) // core ∪ whom it reaches
     val res = s.select("id")
       .join(core.withColumn("inCore", lit(true)), Seq("id"), "left")
       .join(toCore.withColumn("inTo", lit(true)), Seq("id"), "left")
@@ -599,31 +597,34 @@ object GraphAnalytics {
     res
   }
 
-  /** BFS closure from `seeds` over `edges`, excluding the seeds themselves:
-    * forward = true follows src→dst, false follows dst→src. Returns a
-    * single-column (id) frame, eagerly materialized. Wavefront rounds are
-    * semi-joins + distinct (partial-agg); termination = size unchanged. */
-  private[graft] def reachSet(edges: DataFrame, seeds: DataFrame,
-                              forward: Boolean): DataFrame = {
+  /** BFS closure from `seeds` over `edges`, seeds included: forward = true
+    * follows src→dst, false follows dst→src. Frontier expansion (the
+    * Steps.reachable shape): each round touches only the NEW wavefront's
+    * edges — a frontier semi-join + map-side-combinable distinct + one
+    * anti-join against the visited set — and stops on an empty frontier.
+    * Returns a single-column (id) frame, eagerly materialized. */
+  private[graft] def reachClosure(edges: DataFrame, seeds: DataFrame,
+                                  forward: Boolean): DataFrame = {
     val (from, to) = if (forward) ("src", "dst") else ("dst", "src")
     var visited = seeds.select("id").localCheckpoint(eager = true)
-    var n = visited.count()
-    var prev = -1L
+    var frontier = visited
     var it = 0
-    while (n != prev) {
-      prev = n
-      val nxt = edges
-        .join(visited.select(col("id").as(from)), Seq(from), "left_semi")
-        .select(col(to).as("id")).distinct()
-      val old = visited
-      visited = Materialize.iterate(visited.union(nxt).distinct(), it)
-      old.unpersist(false)
-      n = visited.count()
+    var done = false
+    while (!done) {
+      val next = Materialize.iterate(
+        edges.join(frontier.select(col("id").as(from)), Seq(from), "left_semi")
+          .select(col(to).as("id")).distinct()
+          .join(visited, Seq("id"), "left_anti"), it)
+      if (next.isEmpty) { next.unpersist(false); done = true }
+      else {
+        val old = visited
+        visited = Materialize.iterate(visited.union(next), it)
+        old.unpersist(false)
+        if (frontier ne old) frontier.unpersist(false)
+        frontier = next
+      }
       it += 1
     }
-    val res = visited.join(seeds.select("id"), Seq("id"), "left_anti")
-      .localCheckpoint(eager = true)
-    visited.unpersist(false)
-    res
+    visited
   }
 }

@@ -233,8 +233,7 @@ object KgCli {
         val k = if (args.nonEmpty) args(0).toInt else 20
         val triples = graft.Incremental.readTriples(spark, tablesDir)
         val pr = graft.query.GraphAnalytics.pageRankInt(
-          triples.filter(col("obj") >= 0)
-            .select(col("subj").as("src"), col("obj").as("dst")))
+          graft.query.GraphAnalytics.entityEdges(triples))
         pr.join(nodes.filter(col("kind") === "Entity")
             .select(col("code").cast("long").as("id"), col("code")), Seq("id"), "left")
           .orderBy(col("rank").desc, col("id")).limit(k)
@@ -244,8 +243,7 @@ object KgCli {
         val k = if (args.nonEmpty) args(0).toInt else 20
         val triples = graft.Incremental.readTriples(spark, tablesDir)
         val h = graft.query.GraphAnalytics.hitsInt(
-          triples.filter(col("obj") >= 0)
-            .select(col("subj").as("src"), col("obj").as("dst")))
+          graft.query.GraphAnalytics.entityEdges(triples))
         h.join(nodes.filter(col("kind") === "Entity")
             .select(col("code").cast("long").as("id"), col("code")), Seq("id"), "left")
           .orderBy(col("auth").desc, col("id")).limit(k)
@@ -254,8 +252,7 @@ object KgCli {
       case "communities" =>
         val triples = graft.Incremental.readTriples(spark, tablesDir)
         graft.query.GraphAnalytics.labelPropagation(
-          triples.filter(col("obj") >= 0)
-            .select(col("subj").as("src"), col("obj").as("dst")))
+          graft.query.GraphAnalytics.entityEdges(triples))
           .groupBy(col("label").as("community"))
           .agg(count(lit(1)).as("n_entities"))
           .orderBy(col("n_entities").desc, col("community"))
@@ -265,16 +262,14 @@ object KgCli {
         val k = if (args.nonEmpty) args(0).toInt else 20
         val triples = graft.Incremental.readTriples(spark, tablesDir)
         graft.query.GraphAnalytics.sameAsCandidates(
-          triples.filter(col("obj") >= 0)
-            .select(col("subj").as("src"), col("obj").as("dst")))
+          graft.query.GraphAnalytics.entityEdges(triples))
           .orderBy(col("inter").desc, col("u"), col("v")).limit(k)
       // strongly connected components: (scc, n_entities) size report for
       // non-trivial components, largest first — the bow-tie core surface
       case "scc" =>
         val triples = graft.Incremental.readTriples(spark, tablesDir)
         graft.query.GraphAnalytics.scc(
-          triples.filter(col("obj") >= 0)
-            .select(col("subj").as("src"), col("obj").as("dst")))
+          graft.query.GraphAnalytics.entityEdges(triples))
           .groupBy(col("scc")).agg(count(lit(1)).as("n_entities"))
           .filter(col("n_entities") > 1)
           .orderBy(col("n_entities").desc, col("scc"))
@@ -282,8 +277,7 @@ object KgCli {
       case "bowtie" =>
         val triples = graft.Incremental.readTriples(spark, tablesDir)
         graft.query.GraphAnalytics.bowTie(
-          triples.filter(col("obj") >= 0)
-            .select(col("subj").as("src"), col("obj").as("dst")))
+          graft.query.GraphAnalytics.entityEdges(triples))
           .groupBy(col("region")).agg(count(lit(1)).as("n_entities"))
           .orderBy(col("region"))
       // k-core survivors (default k=2) with in-core degree
@@ -291,16 +285,14 @@ object KgCli {
         val k = if (args.nonEmpty) args(0).toInt else 2
         val triples = graft.Incremental.readTriples(spark, tablesDir)
         graft.query.GraphAnalytics.kCore(
-          triples.filter(col("obj") >= 0)
-            .select(col("subj").as("src"), col("obj").as("dst")), k)
+          graft.query.GraphAnalytics.entityEdges(triples), k)
           .orderBy(col("deg").desc, col("id"))
       // local clustering census over the same graph: per-entity
       // (deg, wedges, triangles)
       case "triangles" =>
         val triples = graft.Incremental.readTriples(spark, tablesDir)
         graft.query.GraphAnalytics.triangleCounts(
-          triples.filter(col("obj") >= 0)
-            .select(col("subj").as("src"), col("obj").as("dst")))
+          graft.query.GraphAnalytics.entityEdges(triples))
           .orderBy(col("triangles").desc, col("id"))
       // ≙ joern-plot-proggraph: one page's subgraph as graphviz DOT (the
       // reference's plot tools are client-side too — the server only

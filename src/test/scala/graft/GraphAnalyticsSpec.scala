@@ -244,48 +244,11 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     strict should contain((1L, 2L))
   }
 
-  /** Driver-side twin of scc: plain iterative Tarjan, labels = min member. */
-  private def sccLocal(es: Seq[(Long, Long)]): Map[Long, Long] = {
-    val e = es.filter(p => p._1 != p._2).distinct
-    val adj = e.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
-    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
-    val index = scala.collection.mutable.Map.empty[Long, Int]
-    val low = scala.collection.mutable.Map.empty[Long, Int]
-    val onstk = scala.collection.mutable.Set.empty[Long]
-    val stk = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val res = scala.collection.mutable.Map.empty[Long, Long]
-    var counter = 0
-    for (root <- nodes; if !index.contains(root)) {
-      val work = scala.collection.mutable.Stack[(Long, Int)]((root, 0))
-      while (work.nonEmpty) {
-        val (v, pi) = work.top
-        if (pi == 0) {
-          index(v) = counter; low(v) = counter; counter += 1; stk += v; onstk += v
-        }
-        val ns = adj.getOrElse(v, Seq.empty)
-        var i = pi
-        var recursed = false
-        while (i < ns.length && !recursed) {
-          val w = ns(i)
-          if (!index.contains(w)) {
-            work.pop(); work.push((v, i + 1)); work.push((w, 0)); recursed = true
-          } else { if (onstk.contains(w)) low(v) = math.min(low(v), index(w)); i += 1 }
-        }
-        if (!recursed) {
-          if (low(v) == index(v)) {
-            val members = scala.collection.mutable.ArrayBuffer.empty[Long]
-            var w = 0L
-            do { w = stk.remove(stk.length - 1); onstk -= w; members += w } while (w != v)
-            val m = members.min
-            members.foreach(x => res(x) = m)
-          }
-          work.pop()
-          if (work.nonEmpty) { val u = work.top._1; low(u) = math.min(low(u), low(v)) }
-        }
-      }
-    }
-    res.toMap
-  }
+  /** Driver-side twin of scc: the shared sequential Tarjan (one
+    * implementation — VerifyOracle.tarjanScc; its own correctness is pinned
+    * by the hand-computed expectations below). */
+  private def sccLocal(es: Seq[(Long, Long)]): Map[Long, Long] =
+    VerifyOracle.tarjanScc(es.filter(p => p._1 != p._2).distinct)
 
   test("scc matches driver-side Tarjan exactly; partition-invariant") {
     val got = GraphAnalytics.scc(edges(g: _*))
