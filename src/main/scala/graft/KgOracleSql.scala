@@ -329,6 +329,29 @@ object KgOracleSql {
          |l0 AS (SELECT DISTINCT node AS id, node AS label FROM bi),
          |${lpRounds(5)}
          |SELECT id, label FROM l5 ORDER BY id""".stripMargin,
+    // power-law degree census over the undirected canonical graph
+    "kg_step_degdist" ->
+      s"""WITH $entityGraph,
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM e),
+         |bi AS (SELECT u AS node FROM und UNION ALL SELECT v FROM und),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM bi
+         |  GROUP BY 1)
+         |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes FROM deg
+         |GROUP BY 1 ORDER BY deg""".stripMargin,
+    // ontology summary over the SAME canonical distinct triple set the
+    // kg_triples oracle re-derives
+    "kg_step_predstats" ->
+      s"""WITH rt AS (SELECT * FROM $RT), c AS (SELECT id, component FROM $C),
+         |ct AS (SELECT DISTINCT coalesce(cs.component, rt.subj) AS subj,
+         |    rt.pred AS pred, coalesce(co.component, rt.obj) AS obj,
+         |    rt.objValue AS ov, rt.url AS url
+         |  FROM rt LEFT JOIN c cs ON rt.subj = cs.id
+         |          LEFT JOIN c co ON rt.obj = co.id)
+         |SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+         |  CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+         |  CAST(count(DISTINCT obj) AS BIGINT) AS n_obj
+         |FROM ct GROUP BY pred ORDER BY pred""".stripMargin,
     // structural sameAs candidates — shared-witness count with hub witnesses
     // (deg > 64) dropped, full-degree denominators, cross-multiplied integer
     // Jaccard test: the same rule GraphAnalytics.sameAsCandidates computes

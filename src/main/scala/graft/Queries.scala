@@ -448,6 +448,11 @@ object Queries {
       graft.ops.CorpusOps.stratifiedSample(t(s, d, "documents"),
         Map("en" -> 2500, "de" -> 5000, "zh" -> 10000), defaultBp = 1000)
         .orderBy("doc_id")),
+    // leakage-safe train/val/test split: the assignment hashes the GROUP
+    // (source), never the doc — dups inside a group can't straddle splits
+    "d20_leakage_split" -> ((s, d) =>
+      graft.ops.CorpusOps.leakageSafeSplit(t(s, d, "documents"))
+        .orderBy("doc_id")),
     // sequence packing: shard token streams cut into fixed-length training
     // rows; per-shard state bounded by the shard budget
     "d18_seq_pack" -> ((s, d) =>
@@ -618,6 +623,24 @@ object Queries {
       graft.query.GraphAnalytics.bowTie(
         graft.query.GraphAnalytics.entityEdges(kt.triples))
         .orderBy("id")
+    }),
+    // power-law census: (deg, n_nodes) histogram of the canonical
+    // undirected entity graph — two partial-agg groupBys
+    "kg_step_degdist" -> ((s, d) => {
+      val kt = kg(s, d)
+      graft.query.GraphAnalytics.degreeHistogram(
+        graft.query.GraphAnalytics.entityEdges(kt.triples))
+        .orderBy("deg")
+    }),
+    // ontology summary: per predicate, triple count and distinct
+    // subject/object cardinalities over the canonical triple set
+    "kg_step_predstats" -> ((s, d) => {
+      val kt = kg(s, d)
+      kt.triples.groupBy("pred")
+        .agg(count(lit(1)).as("n_triples"),
+          countDistinct(col("subj")).as("n_subj"),
+          countDistinct(col("obj")).as("n_obj"))
+        .orderBy("pred")
     }),
     // local clustering structure over the same canonical graph: per-entity
     // triangle/wedge counts via degree-ordered edge orientation
@@ -1140,6 +1163,17 @@ object Queries {
         |SELECT shard_id, s.si AS seq_idx, CAST(len(s.arr) AS BIGINT) AS n_tokens,
         |  md5(array_to_string(s.arr, ' ')) AS seq_md5
         |FROM sq ORDER BY shard_id, seq_idx""".stripMargin,
+    // split is a pure function of md5('split:' || source) — the Spark
+    // leakageSafeSplit selector, bit-exact
+    "d20_leakage_split" ->
+      """SELECT doc_id, lang, source,
+        |  CASE WHEN sel < 8000 THEN 'train'
+        |       WHEN sel < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang, source,
+        |  CAST('0x' || substr(md5('split:' || source), 1, 12) AS BIGINT) % 10000 AS sel
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // selector mirrors CorpusOps.stratifiedSample bit-exactly: first 12 md5
     // hex chars of 'strat:<doc_id>' as an integer, mod 10000
     "d16_stratified_sample" ->

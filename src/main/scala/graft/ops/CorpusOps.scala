@@ -213,4 +213,25 @@ object CorpusOps {
     }
     docs.filter(sel < quota).select("doc_id", "lang", "source")
   }
+
+  /** Leakage-safe train/val/test assignment: the split is a function of the
+    * GROUP key (source/domain), never the document — every document of one
+    * group lands in the same split, so near-duplicates and templated pages
+    * inside a group can never straddle the train/eval boundary (the
+    * contamination mode d13 detects, prevented structurally). Same
+    * cross-engine md5 selector as stratifiedSample; thresholds in basis
+    * points: [0, trainBp) → train, [trainBp, trainBp+valBp) → val, rest →
+    * test. Pure per-row column arithmetic — no shuffle at all. */
+  def leakageSafeSplit(docs: DataFrame, groupCol: String = "source",
+                       trainBp: Int = 8000, valBp: Int = 1000,
+                       salt: String = "split:"): DataFrame = {
+    require(trainBp >= 0 && valBp >= 0 && trainBp + valBp <= 10000,
+      "leakageSafeSplit: basis points must fit in [0, 10000]")
+    val sel = conv(substring(md5(concat(lit(salt), col(groupCol))), 1, 12),
+      16, 10).cast("long") % 10000L
+    docs.select(col("doc_id"), col("lang"), col(groupCol),
+      when(sel < trainBp, "train")
+        .when(sel < trainBp + valBp, "val")
+        .otherwise("test").as("split"))
+  }
 }

@@ -379,6 +379,20 @@ object GraphAnalytics {
     }
   }
 
+  /** Degree histogram (deg, n_nodes) of the undirected, deduped,
+    * self-loop-free projection of `edges` — the power-law census every
+    * web-graph paper opens with. Two map-side-combinable groupBys; the
+    * mega-hub contributes one row to the tail, never a hot task. */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Structural entity-resolution candidates: pairs of entities whose
     * neighborhoods in the undirected, deduped, self-loop-free projection of
     * `edges` overlap — the canonicalizer's refinement pass ("two names that

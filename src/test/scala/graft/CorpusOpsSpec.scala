@@ -135,4 +135,30 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers {
     CorpusOps.stratifiedSample(corpus, Map("en" -> 5000), defaultBp = 0)
       .collect().map(_.getLong(0)).toSet shouldBe half
   }
+
+  test("leakageSafeSplit: split is a pure function of the group; all splits non-degenerate") {
+    import spark.implicits._
+    // 400 docs over 40 sources — enough groups that train/val/test all hit
+    val corpus = (0L until 400L).map(i =>
+      (i, "en", s"src${i % 40}")).toDF("doc_id", "lang", "source")
+    val rows = CorpusOps.leakageSafeSplit(corpus).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3)))
+    rows.length shouldBe 400
+    // LEAKAGE property: every group maps to exactly one split
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      g.map(_._3).toSet.size shouldBe 1
+    }
+    val bySplit = rows.groupBy(_._3).map { case (k, v) => k -> v.size }
+    bySplit.keySet shouldBe Set("train", "val", "test")
+    bySplit("train") should be > bySplit("test") // 80/10/10 shape
+    // deterministic + monotone thresholds: train ⊆ train∪val under a wider val
+    val wider = CorpusOps.leakageSafeSplit(corpus, trainBp = 8000, valBp = 2000)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    rows.filter(_._3 == "train").foreach { case (id, _, _) =>
+      wider(id) shouldBe "train"
+    }
+    rows.filter(_._3 == "val").foreach { case (id, _, _) =>
+      wider(id) shouldBe "val"
+    }
+  }
 }
