@@ -124,21 +124,8 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
 
   /** Driver-side twin of hitsInt's exact integer recurrence. */
   private def hitsLocal(es: Seq[(Long, Long)], iters: Int,
-                        scale: Long): Map[Long, (Long, Long)] = {
-    val e = es.filter(p => p._1 != p._2).distinct
-    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
-    var h = nodes.map(_ -> scale).toMap
-    var a = Map.empty[Long, Long]
-    for (_ <- 0 until iters) {
-      val aRaw = e.groupBy(_._2).map { case (d, in) => d -> in.map(x => h(x._1)).sum }
-      val da = (if (aRaw.isEmpty) 0L else aRaw.values.max) / scale + 1L
-      a = nodes.map(n => n -> aRaw.getOrElse(n, 0L) / da).toMap
-      val hRaw = e.groupBy(_._1).map { case (s, out) => s -> out.map(x => a(x._2)).sum }
-      val dh = (if (hRaw.isEmpty) 0L else hRaw.values.max) / scale + 1L
-      h = nodes.map(n => n -> hRaw.getOrElse(n, 0L) / dh).toMap
-    }
-    nodes.map(n => n -> (h(n), a(n))).toMap
-  }
+                        scale: Long): Map[Long, (Long, Long)] =
+    GraphTestOracles.hitsLocal(es, iters, scale)
 
   test("hitsInt matches the driver-side integer recurrence exactly; partition-invariant") {
     val got = GraphAnalytics.hitsInt(edges(g: _*), iters = 8)
@@ -163,21 +150,8 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
 
   /** Driver-side twin of labelPropagation: sync rounds, most-frequent
     * neighbor label, min-label ties. */
-  private def lpLocal(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
-    val und = es.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
-      .filter(p => p._1 != p._2).distinct
-    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
-      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
-    var l = adj.keys.map(n => n -> n).toMap
-    for (_ <- 0 until iters) {
-      l = adj.map { case (n, nbs) =>
-        val hist = nbs.map(l).groupBy(identity).map { case (lab, xs) => lab -> xs.size }
-        val mx = hist.values.max
-        n -> hist.filter(_._2 == mx).keys.min
-      }
-    }
-    l
-  }
+  private def lpLocal(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    GraphTestOracles.lpLocal(es, iters)
 
   test("labelPropagation matches the driver-side twin exactly; partition-invariant") {
     val got = GraphAnalytics.labelPropagation(edges(tg: _*), iters = 5)
@@ -191,19 +165,8 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
   /** Driver-side twin of sameAsCandidates: witness counting with hub
     * witnesses dropped, full-degree denominators, integer Jaccard test. */
   private def sameAsLocal(es: Seq[(Long, Long)], minInter: Int, jacNum: Int,
-                          jacDen: Int, hubCap: Long): Map[(Long, Long), (Long, Long, Long)] = {
-    val und = es.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
-      .filter(p => p._1 != p._2).distinct
-    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
-      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
-    val deg = adj.map { case (k, v) => k -> v.size.toLong }
-    val nodes = adj.keys.toSeq.sorted
-    (for {
-      u <- nodes; v <- nodes if u < v
-      inter = (adj(u) & adj(v)).count(w => deg(w) <= hubCap).toLong
-      if inter >= minInter && inter * jacDen >= jacNum * (deg(u) + deg(v) - inter)
-    } yield (u, v) -> (inter, deg(u), deg(v))).toMap
-  }
+                          jacDen: Int, hubCap: Long): Map[(Long, Long), (Long, Long, Long)] =
+    GraphTestOracles.sameAsLocal(es, minInter, jacNum, jacDen, hubCap)
 
   test("sameAsCandidates matches the driver-side twin exactly; partition-invariant") {
     val got = GraphAnalytics.sameAsCandidates(edges(tg: _*), minInter = 1,
@@ -339,5 +302,57 @@ object GraphTestOracles {
       }
     }
     adj.keys.filterNot(removed).map(n => n -> deg(n).toLong).toMap
+  }
+
+  /** Exact integer HITS recurrence (dense form — the oracle's shape). */
+  def hitsLocal(es: Seq[(Long, Long)], iters: Int,
+                scale: Long): Map[Long, (Long, Long)] = {
+    val e = es.filter(p => p._1 != p._2).distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    var h = nodes.map(_ -> scale).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 0 until iters) {
+      val aRaw = e.groupBy(_._2).map { case (d, in) => d -> in.map(x => h(x._1)).sum }
+      val da = (if (aRaw.isEmpty) 0L else aRaw.values.max) / scale + 1L
+      a = nodes.map(n => n -> aRaw.getOrElse(n, 0L) / da).toMap
+      val hRaw = e.groupBy(_._1).map { case (s, out) => s -> out.map(x => a(x._2)).sum }
+      val dh = (if (hRaw.isEmpty) 0L else hRaw.values.max) / scale + 1L
+      h = nodes.map(n => n -> hRaw.getOrElse(n, 0L) / dh).toMap
+    }
+    nodes.map(n => n -> (h(n), a(n))).toMap
+  }
+
+  /** Synchronous LP: most-frequent neighbor label, min-label ties. */
+  def lpLocal(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = es.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .filter(p => p._1 != p._2).distinct
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var l = adj.keys.map(n => n -> n).toMap
+    for (_ <- 0 until iters) {
+      l = adj.map { case (n, nbs) =>
+        val hist = nbs.map(l).groupBy(identity).map { case (lab, xs) => lab -> xs.size }
+        val mx = hist.values.max
+        n -> hist.filter(_._2 == mx).keys.min
+      }
+    }
+    l
+  }
+
+  /** Witness-count sameAs: hub witnesses dropped, full-degree denominators,
+    * cross-multiplied integer Jaccard gate. */
+  def sameAsLocal(es: Seq[(Long, Long)], minInter: Int, jacNum: Int,
+                  jacDen: Int, hubCap: Long): Map[(Long, Long), (Long, Long, Long)] = {
+    val und = es.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .filter(p => p._1 != p._2).distinct
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val deg = adj.map { case (k, v) => k -> v.size.toLong }
+    val nodes = adj.keys.toSeq.sorted
+    (for {
+      u <- nodes; v <- nodes if u < v
+      inter = (adj(u) & adj(v)).count(w => deg(w) <= hubCap).toLong
+      if inter >= minInter && inter * jacDen >= jacNum * (deg(u) + deg(v) - inter)
+    } yield (u, v) -> (inter, deg(u), deg(v))).toMap
   }
 }

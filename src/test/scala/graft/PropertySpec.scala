@@ -174,4 +174,57 @@ class PropertySpec extends AnyFunSuite with Matchers {
       }
     }
   }
+
+  test("property: distributed SCC == sequential Tarjan, any random digraph") {
+    import spark.implicits._
+    forAll(edgeGen) { edges =>
+      whenever(edges.exists(e => e._1 != e._2)) {
+        val want = VerifyOracle.tarjanScc(edges.filter(p => p._1 != p._2).distinct)
+        val got = query.GraphAnalytics.scc(edges.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got shouldBe want
+      }
+    }
+  }
+
+  test("property: integer HITS == driver recurrence, any random digraph") {
+    import spark.implicits._
+    forAll(edgeGen) { edges =>
+      whenever(edges.exists(e => e._1 != e._2)) {
+        val want = GraphTestOracles.hitsLocal(edges, 4, 1000000000000L)
+        val got = query.GraphAnalytics.hitsInt(edges.toDF("src", "dst"), iters = 4)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        got shouldBe want
+      }
+    }
+  }
+
+  test("property: label propagation == driver rounds, any random graph") {
+    import spark.implicits._
+    forAll(edgeGen) { edges =>
+      whenever(edges.exists(e => e._1 != e._2)) {
+        val want = GraphTestOracles.lpLocal(edges, 3)
+        val got = query.GraphAnalytics.labelPropagation(
+          edges.toDF("src", "dst"), iters = 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got shouldBe want
+      }
+    }
+  }
+
+  test("property: sameAs candidates == all-pairs witness count, any random graph") {
+    import spark.implicits._
+    forAll(edgeGen) { edges =>
+      whenever(edges.exists(e => e._1 != e._2)) {
+        // hubCap 5 low enough that random 26-node graphs exercise the drop
+        val want = GraphTestOracles.sameAsLocal(edges, 1, 0, 1, 5L)
+        val got = query.GraphAnalytics.sameAsCandidates(
+          edges.toDF("src", "dst"), minInter = 1, jacNum = 0, jacDen = 1,
+          hubCap = 5L)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+            (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        got shouldBe want
+      }
+    }
+  }
 }
