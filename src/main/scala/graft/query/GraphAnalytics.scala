@@ -611,6 +611,68 @@ object GraphAnalytics {
     res
   }
 
+  /** Deterministic shortest path between two entities over the directed,
+    * deduped, self-loop-free projection of `edges` — the "how are X and Y
+    * related?" query. BFS guarantees minimal hop count; among equal-length
+    * paths the MIN-parent rule at every level makes the returned path
+    * unique (a pure function of the graph, partition-invariant).
+    *
+    * Scale shape: frontier rounds are one equi-join + a min-parent groupBy
+    * (map-side combine at in-degree hubs) + one anti-join against visited;
+    * the found-check is a bounded driver scalar per round, and backtracking
+    * touches pathLength singleton lookups. Returns None when `to` is not
+    * reachable within `maxDepth` hops. */
+  def shortestPath(edges: DataFrame, from: Long, to: Long,
+                   maxDepth: Int = 30): Option[Seq[Long]] = {
+    require(maxDepth >= 1, "shortestPath: maxDepth must be >= 1")
+    if (from == to) return Some(Seq(from))
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(eager = true)
+    // visited carries the chosen (min) BFS parent per node; the seed's
+    // parent slot is unused
+    var visited = spark.range(1)
+      .select(lit(from).as("id"), lit(from).as("parent"))
+      .localCheckpoint(eager = true)
+    var frontier = visited.select("id")
+    var frontPin: DataFrame = null // the checkpoint backing the frontier
+    var found = false
+    var depth = 0
+    while (!found && depth < maxDepth) {
+      val next = Materialize.iterate(
+        e.join(frontier.select(col("id").as("src")), Seq("src"))
+          .groupBy(col("dst").as("id")).agg(min(col("src")).as("parent"))
+          .join(visited.select("id"), Seq("id"), "left_anti"), depth)
+      if (next.isEmpty) { next.unpersist(false); depth = maxDepth } // dead end
+      else {
+        val old = visited
+        visited = Materialize.iterate(visited.union(next), depth)
+        old.unpersist(false)
+        if (frontPin != null) frontPin.unpersist(false)
+        frontPin = next
+        frontier = next.select("id")
+        found = !next.filter(col("id") === to).isEmpty
+      }
+      depth += 1
+    }
+    val res = if (!found) None
+    else {
+      // backtrack: pathLength tiny lookups against the pinned visited frame
+      val parentOf = scala.collection.mutable.Map.empty[Long, Long]
+      var path = List(to)
+      while (path.head != from) {
+        val p = parentOf.getOrElseUpdate(path.head,
+          visited.filter(col("id") === path.head).head().getLong(1))
+        path = p :: path
+      }
+      Some(path)
+    }
+    e.unpersist(false); visited.unpersist(false)
+    if (frontPin != null) frontPin.unpersist(false)
+    res
+  }
+
   /** BFS closure from `seeds` over `edges`, seeds included: forward = true
     * follows src→dst, false follows dst→src. Frontier expansion (the
     * Steps.reachable shape): each round touches only the NEW wavefront's

@@ -273,6 +273,22 @@ object KgCli {
           .groupBy(col("scc")).agg(count(lit(1)).as("n_entities"))
           .filter(col("n_entities") > 1)
           .orderBy(col("n_entities").desc, col("scc"))
+      // shortest entity path: "how are X and Y related" — one row per hop,
+      // entity codes joined in; empty frame = not reachable
+      case "path" =>
+        require(args.length >= 2, "usage: path <fromEntityId> <toEntityId> [maxDepth]")
+        val (a, b) = (args(0).toLong, args(1).toLong)
+        val maxD = if (args.length > 2) args(2).toInt else 30
+        val triples = graft.Incremental.readTriples(spark, tablesDir)
+        val hops = graft.query.GraphAnalytics.shortestPath(
+          graft.query.GraphAnalytics.entityEdges(triples), a, b, maxD)
+          .getOrElse(Seq.empty)
+        import spark.implicits._
+        hops.zipWithIndex.map { case (id, i) => (i.toLong, id) }
+          .toDF("step", "id")
+          .join(nodes.filter(col("kind") === "Entity")
+            .select(col("code").cast("long").as("id"), col("code")), Seq("id"), "left")
+          .select("step", "id", "code").orderBy("step")
       // bow-tie macro-structure report: (region, n_entities)
       case "bowtie" =>
         val triples = graft.Incremental.readTriples(spark, tablesDir)
@@ -321,7 +337,7 @@ object KgCli {
         throw new IllegalArgumentException(
           s"unknown verb '$other' (build|import-ref|export-ref|ingest|snapshots|compact|expire|" +
             "lookup|code|location|edges|slice|coref|" +
-            "tag|untag|hide|unhide|features|knn|cluster|rank|hits|communities|sameas|scc|bowtie|triangles|kcore|" +
+            "tag|untag|hide|unhide|features|knn|cluster|rank|hits|communities|sameas|scc|bowtie|path|triangles|kcore|" +
             "plot|plot-slice|list-tags|list-pages|list-entities)")
     }
   }

@@ -118,6 +118,19 @@ class CliSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("path verb: hop rows from an entity to a neighbor; empty when unreachable") {
+    // pick a real edge from the materialized triples: guaranteed 1-hop path
+    val t = graft.Incremental.readTriples(spark, dir)
+      .filter(col("obj") >= 0).select("subj", "obj").head()
+    val (a, b) = (t.getLong(0), t.getLong(1))
+    val rows = KgCli.run(spark, dir, "path", Seq(a.toString, b.toString)).collect()
+    rows.map(_.getLong(1)).headOption shouldBe Some(a)
+    rows.map(_.getLong(1)).lastOption shouldBe Some(b)
+    rows.map(_.getLong(0)).toSeq shouldBe rows.indices.map(_.toLong)
+    // unreachable: a fresh id that is not a node at all → empty frame
+    KgCli.run(spark, dir, "path", Seq(a.toString, "999999999")).collect() shouldBe empty
+  }
+
   test("scc verb: non-trivial components, largest first") {
     val rows = KgCli.run(spark, dir, "scc", Nil).collect()
     // only components with >1 member; sizes descending

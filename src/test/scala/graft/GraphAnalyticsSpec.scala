@@ -263,6 +263,22 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     got(5L) shouldBe "OTHER"; got(6L) shouldBe "OTHER"
   }
 
+  test("shortestPath: minimal hops, min-parent determinism, unreachable, self") {
+    // two equal-length 1→5 paths: 1→2→5 and 1→3→5 — min-parent picks 2
+    val pg = Seq(1L -> 2L, 1L -> 3L, 2L -> 5L, 3L -> 5L,
+      1L -> 4L, 4L -> 6L, 6L -> 5L, // longer detour, must lose
+      7L -> 1L) // 7 unreachable FROM 1 (edge points the wrong way)
+    GraphAnalytics.shortestPath(edges(pg: _*), 1L, 5L) shouldBe
+      Some(Seq(1L, 2L, 5L))
+    GraphAnalytics.shortestPath(edges(pg: _*).repartition(7), 1L, 5L) shouldBe
+      Some(Seq(1L, 2L, 5L)) // partition-invariant
+    GraphAnalytics.shortestPath(edges(pg: _*), 1L, 7L) shouldBe None
+    GraphAnalytics.shortestPath(edges(pg: _*), 1L, 1L) shouldBe Some(Seq(1L))
+    // maxDepth bound: 1→4→6→5 is 3 hops; cap at 2 forbids any route? no —
+    // 1→2→5 is 2 hops and still found; cap at 1 finds nothing
+    GraphAnalytics.shortestPath(edges(pg: _*), 1L, 5L, maxDepth = 1) shouldBe None
+  }
+
   test("labelPropagation separates two cliques joined by one edge") {
     val cliques = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L,
       10L -> 11L, 10L -> 12L, 11L -> 12L, 3L -> 10L)
