@@ -638,33 +638,35 @@ object GraphAnalytics {
     var frontier = visited.select("id")
     var frontPin: DataFrame = null // the checkpoint backing the frontier
     var found = false
+    var done = false
     var depth = 0
-    while (!found && depth < maxDepth) {
+    while (!found && !done && depth < maxDepth) {
       val next = Materialize.iterate(
         e.join(frontier.select(col("id").as("src")), Seq("src"))
           .groupBy(col("dst").as("id")).agg(min(col("src")).as("parent"))
           .join(visited.select("id"), Seq("id"), "left_anti"), depth)
-      if (next.isEmpty) { next.unpersist(false); depth = maxDepth } // dead end
+      // ONE scan answers both "dead end?" and "target reached?"
+      val probe = next.agg(count(lit(1)),
+        max(when(col("id") === lit(to), 1).otherwise(0))).head()
+      if (probe.getLong(0) == 0L) { next.unpersist(false); done = true }
       else {
+        found = probe.getInt(1) == 1
         val old = visited
         visited = Materialize.iterate(visited.union(next), depth)
         old.unpersist(false)
         if (frontPin != null) frontPin.unpersist(false)
         frontPin = next
         frontier = next.select("id")
-        found = !next.filter(col("id") === to).isEmpty
       }
       depth += 1
     }
     val res = if (!found) None
     else {
-      // backtrack: pathLength tiny lookups against the pinned visited frame
-      val parentOf = scala.collection.mutable.Map.empty[Long, Long]
+      // backtrack: pathLength singleton lookups against the pinned visited
+      // frame (a BFS parent chain never revisits a node)
       var path = List(to)
       while (path.head != from) {
-        val p = parentOf.getOrElseUpdate(path.head,
-          visited.filter(col("id") === path.head).head().getLong(1))
-        path = p :: path
+        path = visited.filter(col("id") === path.head).head().getLong(1) :: path
       }
       Some(path)
     }

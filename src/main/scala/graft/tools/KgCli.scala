@@ -234,8 +234,7 @@ object KgCli {
         val triples = graft.Incremental.readTriples(spark, tablesDir)
         val pr = graft.query.GraphAnalytics.pageRankInt(
           graft.query.GraphAnalytics.entityEdges(triples))
-        pr.join(nodes.filter(col("kind") === "Entity")
-            .select(col("code").cast("long").as("id"), col("code")), Seq("id"), "left")
+        pr.join(entityCodes(nodes), Seq("id"), "left")
           .orderBy(col("rank").desc, col("id")).limit(k)
       // hub/authority top-k: integer-HITS over the canonical triple graph,
       // entity codes joined in like `rank`
@@ -244,8 +243,7 @@ object KgCli {
         val triples = graft.Incremental.readTriples(spark, tablesDir)
         val h = graft.query.GraphAnalytics.hitsInt(
           graft.query.GraphAnalytics.entityEdges(triples))
-        h.join(nodes.filter(col("kind") === "Entity")
-            .select(col("code").cast("long").as("id"), col("code")), Seq("id"), "left")
+        h.join(entityCodes(nodes), Seq("id"), "left")
           .orderBy(col("auth").desc, col("id")).limit(k)
       // label-propagation communities over the same graph: (community,
       // n_entities) size report, largest first
@@ -286,8 +284,7 @@ object KgCli {
         import spark.implicits._
         hops.zipWithIndex.map { case (id, i) => (i.toLong, id) }
           .toDF("step", "id")
-          .join(nodes.filter(col("kind") === "Entity")
-            .select(col("code").cast("long").as("id"), col("code")), Seq("id"), "left")
+          .join(entityCodes(nodes), Seq("id"), "left")
           .select("step", "id", "code").orderBy("step")
       // bow-tie macro-structure report: (region, n_entities)
       case "bowtie" =>
@@ -359,6 +356,12 @@ object KgCli {
       .map(r => s"""  "n${r.getLong(0)}" -> "n${r.getLong(1)}" [label="${esc(r.getString(2))}"];""")
     Seq((ns ++ es).mkString("digraph g {\n", "\n", "\n}")).toDF("dot")
   }
+
+  /** Entity id -> display code dim frame (entity node codes ARE the
+    * canonical ids rendered as strings) — shared by rank/hits/path. */
+  private def entityCodes(nodes: DataFrame): DataFrame =
+    nodes.filter(col("kind") === "Entity")
+      .select(col("code").cast("long").as("id"), col("code"))
 
   private def tagRows(spark: SparkSession, ids: Seq[Long], tag: String) = {
     import spark.implicits._
