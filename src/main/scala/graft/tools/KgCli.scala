@@ -33,6 +33,12 @@ import graft.store.TableIO
   *   knn <k> <pageId> [edgeKind]      ≙ scripts/ml/joern-knn
   *   cluster <n> [edgeKind]           ≙ scripts/ml/joern-cluster
   *   rank [k]                         top-k entities by integer PageRank
+  *   hits [k]                         top-k by integer-HITS authority
+  *   communities                      label-propagation community sizes
+  *   sameas [k]                       structural sameAs candidate pairs
+  *   scc                              non-trivial SCC sizes (bow-tie core)
+  *   bowtie                           CORE/IN/OUT/OTHER region census
+  *   path <a> <b> [maxDepth]          shortest entity path, one row per hop
   *   triangles                        per-entity triangle/wedge census
   *   kcore [k]                        k-core survivors with in-core degree
   *   export-ref <outDir>              write reference-format nodes/edges TSV
