@@ -186,6 +186,23 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan shouldNot include("BroadcastNestedLoopJoin")
   }
 
+  test("shortest-path round: partial-agg min-parent, no Window, no cartesian") {
+    // the BFS frontier expansion: equi-join + min-parent groupBy (map-side
+    // combine at in-degree hubs) + anti-join — same hub discipline as the
+    // other kernels
+    val e = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+    val frontier = e.select(col("src").as("id")).distinct().limit(5)
+    val visited = frontier
+    val round = e.join(frontier.select(col("id").as("src")), Seq("src"))
+      .groupBy(col("dst").as("id")).agg(min(col("src")).as("parent"))
+      .join(visited.select("id"), Seq("id"), "left_anti")
+    val plan = physical(round)
+    plan should include("partial_min")
+    plan shouldNot include("Window")
+    plan shouldNot include("CartesianProduct")
+  }
+
   test("triangle counts: equi-join wedge closure, no Window, no cartesian") {
     val e = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
