@@ -448,6 +448,17 @@ object Queries {
       graft.ops.CorpusOps.stratifiedSample(t(s, d, "documents"),
         Map("en" -> 2500, "de" -> 5000, "zh" -> 10000), defaultBp = 1000)
         .orderBy("doc_id")),
+    // PII scan + redaction over deterministically PII-augmented text (the
+    // corpus itself is digit-free, so both engines derive the same
+    // synthetic contact strings — redaction is genuinely exercised)
+    "d21_pii_redact" -> ((s, d) => {
+      val aug = t(s, d, "documents").withColumn("text",
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com or "),
+          format_string("%03d-%03d-%04d", col("doc_id") % 1000,
+            col("doc_id") % 1000, col("doc_id") % 10000)))
+      graft.ops.TextAnalysis.piiRedact(aug).orderBy("doc_id")
+    }),
     // leakage-safe train/val/test split: the assignment hashes the GROUP
     // (source), never the doc — dups inside a group can't straddle splits
     "d20_leakage_split" -> ((s, d) =>
@@ -1163,6 +1174,20 @@ object Queries {
         |SELECT shard_id, s.si AS seq_idx, CAST(len(s.arr) AS BIGINT) AS n_tokens,
         |  md5(array_to_string(s.arr, ' ')) AS seq_md5
         |FROM sq ORDER BY shard_id, seq_idx""".stripMargin,
+    // same augmentation, RE2 twins of the Java patterns, 'g'-flagged
+    // replaces (Spark regexp_replace is global by default)
+    "d21_pii_redact" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or '
+        |    || printf('%03d-%03d-%04d', doc_id % 1000, doc_id % 1000, doc_id % 10000) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g')) AS redacted_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
     // split is a pure function of md5('split:' || source) — the Spark
     // leakageSafeSplit selector, bit-exact
     "d20_leakage_split" ->

@@ -76,4 +76,28 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       slice(array_sort(shingleHashes), 1, keep).as("fingerprint"))
   }
+
+  /** PII patterns deliberately restricted to syntax with IDENTICAL
+    * semantics in Java regex (Spark) and RE2 (the DuckDB oracle): plain
+    * classes, no backrefs, no lookaround, no \b. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** PII scan + redaction — the compliance pass every training-data
+    * pipeline runs before a corpus ships: per-document match counts for
+    * email addresses and phone-shaped numbers, plus the md5 of the text
+    * with every match replaced by its placeholder (emails first, then
+    * phones — order is part of the contract). Pure per-row column
+    * expressions, zero shuffle; the md5 keeps the redacted text
+    * hash-comparable without dumping megabytes through the driver gate. */
+  def piiRedact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(t, lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PhonePattern), lit(0)))
+        .cast("long").as("n_phones"),
+      md5(regexp_replace(regexp_replace(t, EmailPattern, "[EMAIL]"),
+        PhonePattern, "[PHONE]")).as("redacted_md5"))
+  }
 }

@@ -276,6 +276,26 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     val r = TextAnalysis.bpeTokenEstimate(docs).collect()(0)
     r.getInt(1) shouldBe 5 // hello world it s 42
   }
+
+  test("piiRedact counts and redacts emails + phone shapes deterministically") {
+    val docs = Seq(
+      (1L, "mail a.b+c@ex-1.org and X@y.io, call 555-123-4567 now"),
+      (2L, "no pii here"),
+      (3L, "999-000-1234 999-000-1234")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiRedact(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    r(1L)._1 shouldBe 2L // both email shapes
+    r(1L)._2 shouldBe 1L
+    r(2L) shouldBe ((0L, 0L,
+      TextAnalysis.piiRedact(docs).filter(col("doc_id") === 2L)
+        .head().getString(3))) // deterministic md5, no matches
+    r(3L)._2 shouldBe 2L // duplicate phone counted per occurrence
+    // the redacted text hash differs from the raw-text hash iff matches hit
+    val raw = docs.select(col("doc_id"), md5(col("text"))).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    r(1L)._3 should not be raw(1L)
+    r(2L)._3 shouldBe raw(2L)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with Matchers {
