@@ -62,9 +62,8 @@ object GraphAnalytics {
     // the returned frame must be its OWN checkpoint (we release every input
     // frame below); with zero rounds it would still be lazy over them
     require(iters >= 1, "pageRankInt: iters must be >= 1")
-    val e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(eager = true) // reused every round: pin it once
+    val e = Materialize.pin(edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()) // reused every round: pin it once (reliable under the fault interval)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // pre-partition the (invariant) edge side by the per-round join key ONCE:
     // `e` comes out of distinct() hashed by (src,dst), which would reshuffle
@@ -72,8 +71,7 @@ object GraphAnalytics {
     // pinned here (localCheckpoint preserves outputPartitioning) and ranks
     // emerging id-hashed from the previous round's node join, each round
     // pays exactly one real shuffle — the contribution groupBy on dst.
-    val withDeg = e.join(outdeg, "src").repartition(col("src"))
-      .localCheckpoint(eager = true)
+    val withDeg = Materialize.pin(e.join(outdeg, "src").repartition(col("src")))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val flagged = (seeds match {
@@ -82,16 +80,16 @@ object GraphAnalytics {
         Seq("id"), "left")
         .select(col("id"), coalesce(col("isSeed"), lit(false)).as("isSeed"))
       case None => nodes.withColumn("isSeed", lit(true))
-    }).localCheckpoint(eager = true)
+    })
+    val flaggedP = Materialize.pin(flagged)
     // one bounded driver scalar each (like the CC probe)
-    val nSeeds = flagged.filter(col("isSeed")).count()
+    val nSeeds = flaggedP.filter(col("isSeed")).count()
     require(nSeeds > 0, "pageRankInt: empty graph or no seed is a graph node")
     val perSeed = totalMass / nSeeds
     // per-node teleport base — the frame every round's final join reuses
-    val nb = flagged.select(col("id"),
-      when(col("isSeed"), lit(perSeed * 15L / 100L)).otherwise(lit(0L)).as("base"))
-      .localCheckpoint(eager = true)
-    var ranks = flagged.select(col("id"),
+    val nb = Materialize.pin(flaggedP.select(col("id"),
+      when(col("isSeed"), lit(perSeed * 15L / 100L)).otherwise(lit(0L)).as("base")))
+    var ranks = flaggedP.select(col("id"),
       when(col("isSeed"), lit(perSeed)).otherwise(lit(0L)).as("rank"))
     for (i <- 0 until iters) {
       val old = ranks
@@ -104,7 +102,7 @@ object GraphAnalytics {
     }
     // the result is its own checkpoint; the invariant frames can go too
     e.unpersist(false); withDeg.unpersist(false)
-    flagged.unpersist(false); nb.unpersist(false)
+    flaggedP.unpersist(false); nb.unpersist(false)
     ranks
   }
 
@@ -622,6 +620,12 @@ object GraphAnalytics {
     * the found-check is a bounded driver scalar per round, and backtracking
     * touches pathLength singleton lookups. Returns None when `to` is not
     * reachable within `maxDepth` hops. */
+  /** Above this many visited nodes the backtrack falls back to per-hop
+    * lookups instead of one driver-side collect (~64 MB of (id, parent)
+    * longs at the cap — the same driver-budget argument as
+    * Pipeline.CanonBroadcastCutover). */
+  val BacktrackCollectCap: Long = 4000000L
+
   def shortestPath(edges: DataFrame, from: Long, to: Long,
                    maxDepth: Int = 30): Option[Seq[Long]] = {
     require(maxDepth >= 1, "shortestPath: maxDepth must be >= 1")
@@ -640,6 +644,7 @@ object GraphAnalytics {
     var found = false
     var done = false
     var depth = 0
+    var visitedCount = 1L
     while (!found && !done && depth < maxDepth) {
       val next = Materialize.iterate(
         e.join(frontier.select(col("id").as("src")), Seq("src"))
@@ -650,6 +655,7 @@ object GraphAnalytics {
         max(when(col("id") === lit(to), 1).otherwise(0))).head()
       if (probe.getLong(0) == 0L) { next.unpersist(false); done = true }
       else {
+        visitedCount += probe.getLong(0)
         found = probe.getInt(1) == 1
         val old = visited
         visited = Materialize.iterate(visited.union(next), depth)
@@ -661,9 +667,23 @@ object GraphAnalytics {
       depth += 1
     }
     val res = if (!found) None
-    else {
-      // backtrack: pathLength singleton lookups against the pinned visited
-      // frame (a BFS parent chain never revisits a node)
+    else if (visitedCount <= BacktrackCollectCap) {
+      // backtrack with ONE action: the visited set fits a driver map (the
+      // common case for a ≤30-hop relatedness query — the round probes above
+      // tracked its exact size), so chase the ≤ maxDepth parent hops in
+      // memory instead of issuing one sequential Spark job per hop
+      import org.apache.spark.sql.Row
+      val parentOf = new scala.collection.mutable.LongMap[Long](visitedCount.toInt * 2)
+      visited.select("id", "parent").collect().foreach {
+        case Row(id: Long, parent: Long) => parentOf.update(id, parent)
+      }
+      var path = List(to)
+      while (path.head != from) path = parentOf(path.head) :: path
+      Some(path)
+    } else {
+      // bounded-memory fallback past the cap: pathLength singleton lookups
+      // against the pinned visited frame (a BFS parent chain never revisits
+      // a node), ≤ maxDepth jobs
       var path = List(to)
       while (path.head != from) {
         path = visited.filter(col("id") === path.head).head().getLong(1) :: path
@@ -703,6 +723,10 @@ object GraphAnalytics {
       }
       it += 1
     }
+    // the loop exits on an empty `next` with the last NON-empty frontier
+    // still checkpointed — release it (it is only the seed/visited frame on
+    // a zero-expansion run, which is the returned frame and must stay)
+    if (frontier ne visited) frontier.unpersist(false)
     visited
   }
 }

@@ -88,6 +88,43 @@ class CanonSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("Materialize interval: intermediate rounds keep recomputable lineage, Nth is reliable") {
+    import graft.util.Materialize
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-sem").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(Materialize.IntervalKey, "3")
+    try {
+      def frame = spark.range(50).toDF("id")
+        .withColumn("x", org.apache.spark.sql.functions.col("id") * 2)
+      // iterations 0 and 1 (interval 3): eager persist, lineage KEPT — the
+      // plan is still the original tree, NOT a lineage-severing LogicalRDD,
+      // so a block lost with its executor is recomputable back to the last
+      // reliable checkpoint by normal task retry
+      val mid = Materialize.iterate(frame, 0)
+      mid.storageLevel.useMemory shouldBe true
+      mid.queryExecution.logical
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD] shouldBe false
+      mid.unpersist(false)
+      // iteration 2 (the Nth): reliable checkpoint — plan replaced by a
+      // checkpoint-backed LogicalRDD AND data files on the checkpoint dir
+      val nth = Materialize.iterate(frame, 2)
+      nth.queryExecution.logical
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD] shouldBe true
+      val dataFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.startsWith("part-"))
+        .count()
+      dataFiles should be > 0L
+      // pin: inputs the whole fixpoint depends on are reliable under the
+      // interval (an executor loss must not take their only copy)
+      val pinned = Materialize.pin(frame)
+      pinned.queryExecution.logical
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD] shouldBe true
+    } finally {
+      spark.conf.set(Materialize.IntervalKey, "0")
+    }
+  }
+
   test("property: CC equals union-find on random graphs; invariant under edge order") {
     (0 until 5).foreach { trial =>
       val e = (0 until 60).map { i =>
