@@ -109,16 +109,40 @@ object CorpusOps {
     *      sampling pass, preserves global order across chunks);
     *   2. per-chunk token totals via groupBy (map-side partial agg);
     *   3. O(#chunks) driver-side exclusive prefix — the only driver data is
-    *      one row per chunk;
+    *      one row per chunk, and #chunks is BOUNDED: with the default
+    *      `chunk = 0` the width is derived from the observed id span so the
+    *      driver collects ≤ [[MaxChunks]] rows no matter the corpus size
+    *      (at 10^12 docs a fixed width would itself collect corpus-scale
+    *      driver state);
     *   4. per-chunk running sum (window bounded by chunk size) + offset.
-    * At 10^12 docs: #chunks ~ tens of thousands of rows on the driver,
-    * every shuffle keyed and partial-agged, no single-task stage. */
-  def shardPack(docs: DataFrame, budget: Long, chunk: Long = 100L): DataFrame =
+    * Output (doc_id, n_toks, shard_id) is chunk-width-INVARIANT — the
+    * prefix sums don't depend on where the chunk cuts fall — so the
+    * auto-derivation never changes results, only the plan's driver state.
+    * Density note: the span-derived width bounds #chunks by construction;
+    * per-chunk row counts stay balanced when doc_ids are near-dense
+    * (sequence numbers — the corpus contract here). A corpus with wildly
+    * sparse ids should pass an explicit `chunk`. */
+  def shardPack(docs: DataFrame, budget: Long, chunk: Long = 0L): DataFrame = {
+    val c = if (chunk > 0) chunk else autoChunk(docs)
     shardIdsFromCounts(
       docs.select(col("doc_id"),
         size(toks(col("text"))).cast("long").as("n_toks"),
-        expr(s"doc_id div ${chunk}L").as("cid")),
+        expr(s"doc_id div ${c}L").as("cid")),
       budget)
+  }
+
+  /** Driver-collected prefix rows are capped at this many chunks. 65,536
+    * (cid, ctoks) pairs ≈ 1 MB of driver state at any corpus size. */
+  val MaxChunks: Long = 65536L
+
+  /** Chunk width from the observed doc_id span: one cheap 2-scalar agg
+    * (min/max push down to parquet footers), then width = span/MaxChunks
+    * rounded up — #chunks ≤ MaxChunks by construction. */
+  private[graft] def autoChunk(docs: DataFrame): Long = {
+    val r = docs.agg(min("doc_id"), max("doc_id")).head()
+    if (r.isNullAt(0)) 1L
+    else math.max(1L, (r.getLong(1) - r.getLong(0)) / MaxChunks + 1L)
+  }
 
   /** The prefix-sum core over a (doc_id, n_toks, cid) frame. The frame is
     * read by TWO jobs (chunk totals, then the windowed output), so it is
@@ -154,12 +178,13 @@ object CorpusOps {
     * budget + one document — a groupBy on shard_id with bounded state, never
     * a corpus-wide concatenation. */
   def packSequences(docs: DataFrame, budget: Long, seqLen: Int,
-                    chunk: Long = 100L): DataFrame = {
+                    chunk: Long = 0L): DataFrame = {
+    val c = if (chunk > 0) chunk else autoChunk(docs)
     // tokenize ONCE: shard assignment and stream assembly both derive from
     // this checkpointed token frame (naively composing shardPack + a token
     // join re-runs the whitespace split, the dominant per-row cost, 3x)
     val tk = docs.select(col("doc_id"), toks(col("text")).as("t"),
-      expr(s"doc_id div ${chunk}L").as("cid")).localCheckpoint(true)
+      expr(s"doc_id div ${c}L").as("cid")).localCheckpoint(true)
     val sharded = shardIdsFromCounts(
       tk.select(col("doc_id"), size(col("t")).cast("long").as("n_toks"), col("cid")),
       budget).select("doc_id", "shard_id")
@@ -221,7 +246,10 @@ object CorpusOps {
     * contamination mode d13 detects, prevented structurally). Same
     * cross-engine md5 selector as stratifiedSample; thresholds in basis
     * points: [0, trainBp) → train, [trainBp, trainBp+valBp) → val, rest →
-    * test. Pure per-row column arithmetic — no shuffle at all. */
+    * test. Pure per-row column arithmetic — no shuffle at all. Returns the
+    * input columns unchanged plus `split` — callers group by any key their
+    * frame actually has (a fixed doc_id/lang projection broke frames
+    * without those columns despite the generic groupCol signature). */
   def leakageSafeSplit(docs: DataFrame, groupCol: String = "source",
                        trainBp: Int = 8000, valBp: Int = 1000,
                        salt: String = "split:"): DataFrame = {
@@ -229,9 +257,9 @@ object CorpusOps {
       "leakageSafeSplit: basis points must fit in [0, 10000]")
     val sel = conv(substring(md5(concat(lit(salt), col(groupCol))), 1, 12),
       16, 10).cast("long") % 10000L
-    docs.select(col("doc_id"), col("lang"), col(groupCol),
+    docs.withColumn("split",
       when(sel < trainBp, "train")
         .when(sel < trainBp + valBp, "val")
-        .otherwise("test").as("split"))
+        .otherwise("test"))
   }
 }

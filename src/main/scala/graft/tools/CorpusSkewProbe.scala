@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   *    doc matches — the distinct + semi-join + count path at its hottest.
   *  - packSequences: shard state stays bounded by the budget regardless
   *    of N (the groupBy key count grows with N, state per key does not).
+  *  - shardPack: the auto-derived chunk width bounds the driver-collected
+  *    prefix rows at CorpusOps.MaxChunks no matter the corpus size — the
+  *    cell logs the actual collected-chunk count alongside the wall.
   *
-  *   runMain graft.tools.CorpusSkewProbe [nDocs] [cores] [spans|contam|pack|all]
+  *   runMain graft.tools.CorpusSkewProbe [nDocs] [cores] [spans|contam|pack|shard|all]
   */
 object CorpusSkewProbe {
   def main(args: Array[String]): Unit = {
@@ -57,6 +60,19 @@ object CorpusSkewProbe {
       if (op == "pack" || op == "all")
         run("pack")(graft.ops.CorpusOps.packSequences(
           docs, budget = 4096L, seqLen = 512, chunk = 256L).count())
+      if (op == "shard" || op == "all")
+        // auto chunk width: the driver prefix collects ≤ MaxChunks rows
+        // (the count below) even at 10M+ docs; output invariance vs an
+        // explicit width is covered by CorpusOpsSpec
+        run("shard") {
+          val out = graft.ops.CorpusOps.shardPack(docs, budget = 4096L).count()
+          val width = graft.ops.CorpusOps.autoChunk(docs)
+          val nChunks = docs.agg(
+            countDistinct(expr(s"doc_id div ${width}L"))).head().getLong(0)
+          println(s"[corpusskew] shard chunk width=$width driver-collected " +
+            s"chunk rows=$nChunks (cap ${graft.ops.CorpusOps.MaxChunks})")
+          out
+        }
     } finally spark.stop()
   }
 }

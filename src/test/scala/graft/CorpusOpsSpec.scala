@@ -72,6 +72,12 @@ class CorpusOpsSpec extends AnyFunSuite with Matchers {
     }
     r.toSeq shouldBe expected
     run(1000L).toSeq shouldBe expected // one chunk ≡ many chunks
+    // the auto-derived width (default chunk = 0) — the bounded-driver path —
+    // is output-invariant too, and bounds the width by the id span
+    CorpusOps.shardPack(corpus, budget = 10L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .sortBy(_._1).toSeq shouldBe expected
+    CorpusOps.autoChunk(corpus) shouldBe 1L // span 36 « MaxChunks
   }
 
   test("packSequences: shard streams cut into seqLen rows, short tail kept") {
