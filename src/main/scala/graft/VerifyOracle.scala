@@ -310,15 +310,35 @@ object VerifyOracle {
         triplesV.map(t => (Schema.NodeKinds.TripleN, t.pred))).distinct
     val labels = labelPairs.map { case (k, c) => OraLabel(k, c, initialLabel(k, c)) }
 
-    // ---- media leaves: the same pure row function + stub codec ----
+    // ---- media leaves: the same pure row function + decode dispatch
+    // (REAL javax.imageio for images, stub for A/V), run sequentially ----
     // (f0 is NULL on decode failure, matching the query's when(ok, ...) —
     // element_at over the empty failure array would error under ANSI)
     val media = (0L until Queries.MmN.toLong).map { mi =>
       val m = graft.ops.Multimodal.mediaRow(mi)
       val (ok, f0) =
-        try (true, Some(graft.ops.Multimodal.FakeCodec.decode(m.bytes)(0)))
+        try (true, Some(graft.ops.Multimodal.decodeFeature(m.kind, m.bytes)(0)))
         catch { case _: Exception => (false, None) }
       OraMedia(m.media_id, m.kind, m.width, m.height, m.durationMs, ok, f0)
+    }
+
+    // integer-exact image stats re-derived by the SAME single-threaded
+    // decode the mm4 entry distributes (channel sums + luminance bins)
+    val mediaImg = (0L until Queries.MmN.toLong).flatMap { mi =>
+      val m = graft.ops.Multimodal.mediaRow(mi)
+      if (m.kind != "image") None
+      else Some(
+        try {
+          val s = graft.ops.Multimodal.ImageCodec.decode(m.bytes)
+          graft.ops.Multimodal.ImageStatRow(mi, ok = true, s.width, s.height,
+            s.sumR, s.sumG, s.sumB,
+            s.hist(0), s.hist(1), s.hist(2), s.hist(3),
+            s.hist(4), s.hist(5), s.hist(6), s.hist(7))
+        } catch {
+          case _: Exception =>
+            graft.ops.Multimodal.ImageStatRow(mi, ok = false, 0, 0, 0L, 0L, 0L,
+              0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+        })
     }
 
     // ---- document-signature leaves: same pure per-doc functions ----
@@ -344,6 +364,7 @@ object VerifyOracle {
     write("hosts", hosts)
     write("labelmap", labels)
     write("media", media)
+    write("mediaimg", mediaImg)
     write("docsigs", sigs.toSeq)
   }
 }

@@ -8,9 +8,12 @@ import graft.model.{Det, Ids}
 /** Multimodal-column plumbing for training-data pipelines: image/audio/video
   * as opaque `binary` columns with typed metadata, processed in batches.
   *
-  * The decode step is STUBBED (this container has no image/audio codecs):
-  * `FakeCodec` produces deterministic features from the bytes. Everything
-  * Spark-side is real and tested — schema, partitioning, batch shape,
+  * The IMAGE path decodes for real: `ImageCodec` runs `javax.imageio`
+  * (PNG/BMP/GIF in any stock JDK — zero external dependencies), and the
+  * synthetic corpus carries genuine deterministic PNG payloads. Audio/video
+  * remain STUBBED (`FakeCodec` — this container has no A/V codecs); a real
+  * deployment swaps that one function for an FFI codec, the Spark plumbing
+  * around both is identical and tested — schema, partitioning, batch shape,
   * and the mapPartitions batching contract (the JVM equivalent of a
   * `mapInPandas` Arrow-batch UDF: process a partition as a stream of
   * fixed-size batches, never materialize the partition, reuse buffers).
@@ -28,20 +31,49 @@ object Multimodal {
   case class MediaFeature(
       media_id: Long,
       kind: String,
-      feature: Array[Float], // decoded-feature embedding (stub)
+      feature: Array[Float], // decoded-feature embedding (real for images)
       ok: Boolean,
       error: String)
 
   /** One synthetic media row — pure in (seed, i), shared by the distributed
     * synth and the single-threaded oracle dump (same differential pattern as
-    * PageGen.page). */
+    * PageGen.page). Image rows carry a REAL deterministic PNG: pixel RGB is
+    * a pure function of (seed, i, x, y), dims are capped small so encode
+    * stays cheap; audio/video stay opaque deterministic bytes. */
   def mediaRow(i: Long, seed: Long = 42L): MediaRow = {
     val kind = Vector("image", "audio", "video")(Det.nextInt(Det.rand(seed, i, 1), 3))
-    val len = 64 + Det.nextInt(Det.rand(seed, i, 2), 192)
-    val bytes = Array.tabulate(len)(j => (Det.rand(seed, i, 3 + j) & 0xff).toByte)
-    val w = 16 * (1 + Det.nextInt(Det.rand(seed, i, 4), 64))
-    val h = 16 * (1 + Det.nextInt(Det.rand(seed, i, 5), 64))
-    MediaRow(i, kind, bytes, w, h, 16000, 1000 + Det.nextInt(Det.rand(seed, i, 6), 60000))
+    if (kind == "image") {
+      val w = 8 * (1 + Det.nextInt(Det.rand(seed, i, 4), 6)) // 8..48 px
+      val h = 8 * (1 + Det.nextInt(Det.rand(seed, i, 5), 6))
+      MediaRow(i, kind, synthPng(i, seed, w, h), w, h, 0,
+        1000 + Det.nextInt(Det.rand(seed, i, 6), 60000))
+    } else {
+      val len = 64 + Det.nextInt(Det.rand(seed, i, 2), 192)
+      val bytes = Array.tabulate(len)(j => (Det.rand(seed, i, 3 + j) & 0xff).toByte)
+      val w = 16 * (1 + Det.nextInt(Det.rand(seed, i, 4), 64))
+      val h = 16 * (1 + Det.nextInt(Det.rand(seed, i, 5), 64))
+      MediaRow(i, kind, bytes, w, h, 16000, 1000 + Det.nextInt(Det.rand(seed, i, 6), 60000))
+    }
+  }
+
+  /** Deterministic PNG payload: every pixel a pure function of
+    * (seed, i, x, y), encoded by the stock-JDK PNG writer. */
+  def synthPng(i: Long, seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = Det.rand(seed, i, 100L + y.toLong * w + x)
+        img.setRGB(x, y, (r & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Deterministic synthetic media table (no external data). */
@@ -50,9 +82,50 @@ object Multimodal {
     spark.range(0L, n.toLong).map(i => mediaRow(i, seed))
   }
 
-  /** STUB decoder: a real deployment replaces this one function with an
-    * actual codec (JNI/FFI); the Spark plumbing around it is unchanged.
-    * Deterministic: feature[d] = f(bytes, d). */
+  /** REAL image decode via the stock JDK (`javax.imageio` reads PNG/BMP/GIF
+    * everywhere, usually JPEG too — no external codec needed). Stats are
+    * INTEGER-exact (channel sums + an 8-bin luminance histogram), so the
+    * driver gate hash-compares them against the single-threaded oracle
+    * re-derivation with no float tolerance. */
+  object ImageCodec {
+    final case class ImageStats(width: Int, height: Int,
+                                sumR: Long, sumG: Long, sumB: Long,
+                                hist: Array[Long]) // 8 luminance bins
+    def decode(bytes: Array[Byte]): ImageStats = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) throw new IllegalArgumentException("not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      val hist = new Array[Long](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          sr += r; sg += g; sb += b
+          // integer BT.601 luma; 256/8 = 32-wide bins
+          hist((r * 299 + g * 587 + b * 114) / 1000 / 32) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      ImageStats(w, h, sr, sg, sb, hist)
+    }
+    /** The mm1 feature view of a real decode: [w, h, meanR, meanG, meanB]
+      * (means of ≤255 are float-exact enough for the driver's rounded f0;
+      * f0 itself is the exact width). */
+    def feature(bytes: Array[Byte]): Array[Float] = {
+      val s = decode(bytes)
+      val n = s.width.toLong * s.height
+      Array(s.width.toFloat, s.height.toFloat,
+        (s.sumR / n).toFloat, (s.sumG / n).toFloat, (s.sumB / n).toFloat)
+    }
+  }
+
+  /** STUB decoder for audio/video: a real deployment replaces this one
+    * function with an actual codec (JNI/FFI); the Spark plumbing around it
+    * is unchanged. Deterministic: feature[d] = f(bytes, d). */
   object FakeCodec {
     val Dim = 16
     def decode(bytes: Array[Byte]): Array[Float] = {
@@ -72,6 +145,12 @@ object Multimodal {
 
   val BatchSize = 64
 
+  /** Decode dispatch: real `javax.imageio` for images, stub for A/V —
+    * shared verbatim by the distributed batches and the single-threaded
+    * oracle dump. */
+  def decodeFeature(kind: String, bytes: Array[Byte]): Array[Float] =
+    if (kind == "image") ImageCodec.feature(bytes) else FakeCodec.decode(bytes)
+
   /** Batched feature extraction: the partition iterator is consumed in
     * `BatchSize` groups (the Arrow-batch shape), each batch decoded together
     * — per-row errors isolated, never fatal (≙ per-unit error isolation,
@@ -83,10 +162,43 @@ object Multimodal {
       it.grouped(BatchSize).flatMap { batch =>
         // batch-level setup would amortize codec init here
         batch.iterator.map { m =>
-          try MediaFeature(m.media_id, m.kind, FakeCodec.decode(m.bytes), ok = true, null)
+          try MediaFeature(m.media_id, m.kind, decodeFeature(m.kind, m.bytes), ok = true, null)
           catch {
             case e: Exception =>
               MediaFeature(m.media_id, m.kind, Array.empty, ok = false, e.getMessage)
+          }
+        }
+      }
+    }
+  }
+
+  case class ImageStatRow(
+      media_id: Long, ok: Boolean,
+      img_w: Int, img_h: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      lum0: Long, lum1: Long, lum2: Long, lum3: Long,
+      lum4: Long, lum5: Long, lum6: Long, lum7: Long)
+
+  /** Real per-image stats over the corpus's image rows — same batching
+    * contract as [[extractFeatures]], integer-exact output (mm4's
+    * driver-gated columns). Failed decodes keep the row (ok = false,
+    * zeroed stats) so the gate also audits error isolation. */
+  def imageStats(media: Dataset[MediaRow]): Dataset[ImageStatRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          try {
+            val s = ImageCodec.decode(m.bytes)
+            ImageStatRow(m.media_id, ok = true, s.width, s.height,
+              s.sumR, s.sumG, s.sumB,
+              s.hist(0), s.hist(1), s.hist(2), s.hist(3),
+              s.hist(4), s.hist(5), s.hist(6), s.hist(7))
+          } catch {
+            case _: Exception =>
+              ImageStatRow(m.media_id, ok = false, 0, 0, 0L, 0L, 0L,
+                0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
           }
         }
       }

@@ -307,7 +307,10 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     val rows = f.collect()
     rows.length shouldBe 200
     rows.forall(_.ok) shouldBe true
-    rows.head.feature.length shouldBe Multimodal.FakeCodec.Dim
+    // real decode for images ([w, h, meanR, meanG, meanB]), stub for A/V
+    rows.foreach { r =>
+      r.feature.length shouldBe (if (r.kind == "image") 5 else Multimodal.FakeCodec.Dim)
+    }
     // determinism across runs
     val f2 = Multimodal.extractFeatures(Multimodal.synthMedia(spark, 200)).collect()
     f2.map(_.feature.toSeq).toSeq shouldBe rows.map(_.feature.toSeq).toSeq
@@ -315,10 +318,36 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
 
   test("decode failure is isolated per row") {
     import spark.implicits._
-    val bad = Seq(Multimodal.MediaRow(999L, "image", Array.empty, 0, 0, 0, 0)).toDS()
-    val f = Multimodal.extractFeatures(bad).collect()
-    f(0).ok shouldBe false
-    f(0).error should include("empty")
+    val bad = Seq(Multimodal.MediaRow(999L, "image", Array.tabulate(16)(_.toByte), 0, 0, 0, 0),
+      Multimodal.MediaRow(1000L, "audio", Array.empty, 0, 0, 0, 0)).toDS()
+    val f = Multimodal.extractFeatures(bad).collect().sortBy(_.media_id)
+    f(0).ok shouldBe false // junk bytes are not a decodable image
+    f(0).error should include("decodable")
+    f(1).ok shouldBe false
+    f(1).error should include("empty")
+  }
+
+  test("image rows carry real PNGs; imageStats decode matches metadata and is exact") {
+    val media = Multimodal.synthMedia(spark, 120)
+    val imgMeta = media.collect().filter(_.kind == "image").map(m => m.media_id -> m).toMap
+    imgMeta should not be empty
+    val stats = Multimodal.imageStats(media).collect()
+    stats.length shouldBe imgMeta.size
+    stats.foreach { s =>
+      s.ok shouldBe true
+      // decoded dims == the row's claimed metadata dims (the PNG is real)
+      s.img_w shouldBe imgMeta(s.media_id).width
+      s.img_h shouldBe imgMeta(s.media_id).height
+      // histogram is a partition of the pixels
+      val n = s.img_w.toLong * s.img_h
+      Seq(s.lum0, s.lum1, s.lum2, s.lum3, s.lum4, s.lum5, s.lum6, s.lum7).sum shouldBe n
+      s.sum_r should be <= 255L * n
+    }
+    // distributed == single-threaded decode (the mm4 oracle identity)
+    val one = imgMeta.values.minBy(_.media_id)
+    val local = Multimodal.ImageCodec.decode(one.bytes)
+    val dist = stats.find(_.media_id == one.media_id).get
+    (local.sumR, local.sumG, local.sumB) shouldBe ((dist.sum_r, dist.sum_g, dist.sum_b))
   }
 
   test("resize cap holds on rounding boundary; zero-duration video filtered") {
