@@ -32,6 +32,10 @@ import graft.store.TableIO
   *   list-tags                        list the tags table
   *   knn <k> <pageId> [edgeKind]      ≙ scripts/ml/joern-knn
   *   cluster <n> [edgeKind]           ≙ scripts/ml/joern-cluster
+  *   apiembed <k> <pageId>            ≙ joern-apiembedder + joern-knn
+  *   transform <sqlExpr> <id>...      ≙ joern-transform (projection expr)
+  *   regex <id> [id...]               ≙ joern-regex (StringSetToRegex)
+  *   astlabel <pageId>                ≙ joern-astlabel (kind-only plot labels)
   *   rank [k]                         top-k entities by integer PageRank
   *   hits [k]                         top-k by integer-HITS authority
   *   communities                      label-propagation community sizes
@@ -313,21 +317,53 @@ object KgCli {
         graft.query.GraphAnalytics.triangleCounts(
           graft.query.GraphAnalytics.entityEdges(triples))
           .orderBy(col("triangles").desc, col("id"))
+      // ≙ joern-transform (python/joern-tools/scripts/lowLevel/
+      // joern-transform:17-24): evaluate an arbitrary per-node projection
+      // expression over an id list — the reference pipes ids through a
+      // user-supplied expression; here it is ANSI SQL over the node row
+      case "transform" =>
+        require(args.length >= 2, "usage: transform <sqlExpr> <id> [id...]")
+        nodes.filter(col("id").isin(args.tail.map(_.toLong): _*))
+          .select(col("id"), expr(args.head).as("value"))
+          .orderBy("id")
+      // ≙ joern-regex (scripts/ml/joern-regex, StringSetToRegex): one
+      // discriminating anchored regex from the given nodes' code strings —
+      // feed it back into `lookup <kind> <regex>`
+      case "regex" =>
+        val codes = nodes.filter(col("id").isin(args.map(_.toLong): _*))
+          .select("code").distinct().collect().map(_.getString(0)).toSeq.sorted
+        import spark.implicits._
+        Seq(graft.util.StringSetRegex.compile(codes)).toDF("regex")
       // ≙ joern-plot-proggraph: one page's subgraph as graphviz DOT (the
       // reference's plot tools are client-side too — the server only
       // answers the subgraph query)
       case "plot" =>
-        val pid = args(0).toLong
-        val kinds = if (args.length > 1) args.drop(1) else
-          Seq("MENTIONS", "NEXT_MENTION", "SAME_SENTENCE", "LINKS_TO", "SUBJ", "OBJ")
-        // include the entity endpoints of the page's LINKS_TO edges —
-        // Entity nodes carry pageId 0, so a page-only node set would make
-        // every LINKS_TO edge dangle out of the induced subgraph
-        val pageNodes = Steps.nodesOfPage(nodes, pid)
-        val ns = pageNodes
-          .unionByName(Steps.out(pageNodes, edges, nodes, "LINKS_TO"))
-          .dropDuplicates("id")
-        dotFrame(spark, ns, Steps.inducedEdges(ns, edges.filter(col("kind").isin(kinds: _*))))
+        val (ns, es) = pageSubgraph(nodes, edges, args(0).toLong,
+          if (args.length > 1) args.drop(1)
+          else Seq("MENTIONS", "NEXT_MENTION", "SAME_SENTENCE", "LINKS_TO", "SUBJ", "OBJ"))
+        dotFrame(spark, ns, es)
+      // ≙ joern-astlabel (scripts/ml/joern-astlabel:1-25): the same plot
+      // with every node relabeled to its AST type (kind) only — the
+      // reference rewrites an existing DOT's labels, the subgraph query is
+      // plot's
+      case "astlabel" =>
+        val (ns, es) = pageSubgraph(nodes, edges, args(0).toLong,
+          Seq("MENTIONS", "NEXT_MENTION", "SAME_SENTENCE", "LINKS_TO", "SUBJ", "OBJ"))
+        dotFrame(spark, ns, es, kindOnly = true)
+      // ≙ scripts/ml/joern-apiembedder + joern-knn composed as one verb:
+      // per-page API-symbol bags (Mention/Triple codes — Steps.apiSyms'
+      // kinds) → feature-hashed embedding → cosine top-k pages
+      case "apiembed" =>
+        require(args.length >= 2, "usage: apiembed <k> <pageId>")
+        val (k, pid) = (args(0).toInt, args(1).toLong)
+        import graft.model.Schema.{NodeKinds => NK}
+        val bags = nodes
+          .filter(col("kind").isin(NK.Mention, NK.TripleN) && col("pageId") =!= 0)
+          .groupBy(col("pageId"), xxhash64(col("code")).as("label"))
+          .agg(count(lit(1)).as("count"))
+        val emb = graft.ops.Similarity.featureHashEmbedding(bags)
+        graft.ops.Similarity.bruteForceTopK(emb.filter(col("id") === pid), emb, k)
+          .orderBy("rank")
       // ≙ joern-plot-slice: DOT of a forward slice from the given node
       case "plot-slice" =>
         val seeds = nodes.filter(col("id") === args(1).toLong)
@@ -340,14 +376,29 @@ object KgCli {
         throw new IllegalArgumentException(
           s"unknown verb '$other' (build|import-ref|export-ref|ingest|snapshots|compact|expire|" +
             "lookup|code|location|edges|slice|coref|" +
-            "tag|untag|hide|unhide|features|knn|cluster|rank|hits|communities|sameas|scc|bowtie|path|triangles|kcore|" +
-            "plot|plot-slice|list-tags|list-pages|list-entities)")
+            "tag|untag|hide|unhide|features|knn|cluster|apiembed|rank|hits|communities|sameas|scc|bowtie|path|triangles|kcore|" +
+            "transform|regex|plot|plot-slice|astlabel|list-tags|list-pages|list-entities)")
     }
   }
 
+  /** One page's plot subgraph: the page's own nodes plus the entity
+    * endpoints of its LINKS_TO edges — Entity nodes carry pageId 0, so a
+    * page-only node set would make every LINKS_TO edge dangle out of the
+    * induced subgraph. Shared by plot / astlabel. */
+  private def pageSubgraph(nodes: DataFrame, edges: DataFrame, pid: Long,
+                           kinds: Seq[String]): (DataFrame, DataFrame) = {
+    val pageNodes = Steps.nodesOfPage(nodes, pid)
+    val ns = pageNodes
+      .unionByName(Steps.out(pageNodes, edges, nodes, "LINKS_TO"))
+      .dropDuplicates("id")
+    (ns, Steps.inducedEdges(ns, edges.filter(col("kind").isin(kinds: _*))))
+  }
+
   /** Render a (nodes, edges) pair as one graphviz DOT document in a 1-row
-    * frame (collected — plots are small, client-side artifacts by contract). */
-  private def dotFrame(spark: SparkSession, nodes: DataFrame, edges: DataFrame): DataFrame = {
+    * frame (collected — plots are small, client-side artifacts by contract).
+    * `kindOnly` = the astlabel relabeling pass (AST type instead of code). */
+  private def dotFrame(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+                       kindOnly: Boolean = false): DataFrame = {
     import spark.implicits._
     // truncate BEFORE escaping — truncating after can split an escape pair
     // and leave a dangling backslash that escapes the closing quote
@@ -356,7 +407,11 @@ object KgCli {
     // node ids are signed 64-bit hashes (~half negative): a bare n-123…
     // is not a legal unquoted DOT ID, so quote every id
     val ns = nodes.select("id", "kind", "code").orderBy("id").limit(5000).collect()
-      .map(r => s"""  "n${r.getLong(0)}" [label="${esc(r.getString(1))}: ${esc(r.getString(2))}"];""")
+      .map { r =>
+        val label = if (kindOnly) esc(r.getString(1))
+          else s"${esc(r.getString(1))}: ${esc(r.getString(2))}"
+        s"""  "n${r.getLong(0)}" [label="$label"];"""
+      }
     val es = edges.select("src", "dst", "kind").orderBy("src", "dst", "kind").limit(20000)
       .collect()
       .map(r => s"""  "n${r.getLong(0)}" -> "n${r.getLong(1)}" [label="${esc(r.getString(2))}"];""")

@@ -247,6 +247,59 @@ class CliSpec extends AnyFunSuite with Matchers {
     dot2 should include(s""""n$m" """)
   }
 
+  test("transform verb: arbitrary SQL projection over an id list") {
+    val ids = KgCli.run(spark, dir, "list-entities", Nil)
+      .limit(3).collect().map(_.getLong(0))
+    val r = KgCli.run(spark, dir, "transform",
+      "upper(kind) || ':' || code" +: ids.map(_.toString))
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    r.length shouldBe ids.length
+    r.foreach { case (_, v) => v should startWith("ENTITY:") }
+    // expressions see the full node row (props included)
+    KgCli.run(spark, dir, "transform", Seq("childNum * 2", ids.head.toString))
+      .head().getInt(1) shouldBe 0
+  }
+
+  test("regex verb: discriminating regex matches exactly the nodes' codes") {
+    val hosts = KgCli.run(spark, dir, "lookup", Seq("Host", ".*"))
+      .limit(4).collect()
+    val ids = hosts.map(_.getLong(0))
+    val codes = hosts.map(_.getString(2))
+    val rx = KgCli.run(spark, dir, "regex", ids.map(_.toString)).head().getString(0)
+    codes.foreach(c => withClue(s"$rx should match $c") {
+      c.matches(rx) shouldBe true
+    })
+    "host-that-does-not-exist.example".matches(rx) shouldBe false
+    // the regex is lookup-safe: feeding it back returns exactly those nodes
+    KgCli.run(spark, dir, "lookup", Seq("Host", rx)).count() shouldBe ids.length.toLong
+  }
+
+  test("astlabel verb: plot relabeled with kinds only") {
+    val pid = KgCli.run(spark, dir, "list-pages", Nil).head().getLong(0)
+    val dot = KgCli.run(spark, dir, "astlabel", Seq(pid.toString)).head().getString(0)
+    dot should startWith("digraph g {")
+    // every node label is a bare kind — no ': code' tail anywhere
+    val label = """label="([^"]*)"""".r
+    val labels = label.findAllMatchIn(dot).map(_.group(1)).toSeq
+    labels should not be empty
+    val kinds = Set("Page", "Host", "Domain", "Mention", "Entity", "Triple",
+      "MENTIONS", "NEXT_MENTION", "SAME_SENTENCE", "LINKS_TO", "SUBJ", "OBJ")
+    labels.foreach(l => kinds should contain(l))
+  }
+
+  test("apiembed verb: API-symbol-bag knn, self excluded, ranks dense") {
+    val pid = KgCli.run(spark, dir, "list-pages", Nil).head().getLong(0)
+    val nn = KgCli.run(spark, dir, "apiembed", Seq("5", pid.toString)).collect()
+    nn.length shouldBe 5
+    nn.map(_.getInt(1)).toSeq shouldBe (1 to 5)
+    nn.foreach { r =>
+      r.getLong(0) shouldBe pid
+      r.getLong(2) should not be pid
+    }
+    // deterministic
+    KgCli.run(spark, dir, "apiembed", Seq("5", pid.toString)).collect() shouldBe nn
+  }
+
   test("ingest / snapshots / compact / expire: the crawl-append admin surface") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("kgcli-ingest").toString
@@ -285,5 +338,40 @@ class CliSpec extends AnyFunSuite with Matchers {
     val tsv = KgCli.toTsv(df)
     tsv.split("\n")(0) shouldBe "id\tcode\tprops"
     tsv.split("\n")(1) shouldBe "1\ta\\tb\\nc\ta=b,k=v"
+  }
+}
+
+class StringSetRegexSpec extends AnyFunSuite with Matchers {
+  // NOT imported as `compile` — scalatest's Matchers owns that word
+  private def rxOf(ss: Seq[String]): String = graft.util.StringSetRegex.compile(ss)
+
+  test("matches exactly the input set, folds shared prefixes") {
+    val rx = rxOf(Seq("foo", "fob", "bar"))
+    Seq("foo", "fob", "bar").foreach(_.matches(rx) shouldBe true)
+    Seq("fo", "fooo", "baz", "", "xbar").foreach(_.matches(rx) shouldBe false)
+    rx should include("fo[") // trie fold: ONE shared-prefix branch + char class
+    rx should not include "foo|fob" // not a flat alternation
+  }
+
+  test("prefix-of-another and empty-string members") {
+    val rx = rxOf(Seq("ab", "abc"))
+    "ab".matches(rx) shouldBe true
+    "abc".matches(rx) shouldBe true
+    "abcd".matches(rx) shouldBe false
+    val rx2 = rxOf(Seq("", "a"))
+    "".matches(rx2) shouldBe true
+    "a".matches(rx2) shouldBe true
+    "b".matches(rx2) shouldBe false
+  }
+
+  test("metacharacters are escaped, char classes escape their own specials") {
+    val rx = rxOf(Seq("a.b", "a+b"))
+    "a.b".matches(rx) shouldBe true
+    "a+b".matches(rx) shouldBe true
+    "axb".matches(rx) shouldBe false
+    val rx2 = rxOf(Seq("x]", "x^", "x-"))
+    Seq("x]", "x^", "x-").foreach(_.matches(rx2) shouldBe true)
+    "x_".matches(rx2) shouldBe false
+    an[IllegalArgumentException] should be thrownBy rxOf(Nil)
   }
 }
