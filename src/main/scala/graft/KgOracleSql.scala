@@ -496,8 +496,8 @@ object KgOracleSql {
          |    list_cosine_similarity(q.vec, c.vec) AS cs
          |  FROM seed s JOIN emb q ON q.id = s.id
          |  JOIN emb c ON c.id != s.id)
-         |SELECT query_id, rank, nn_id FROM (
-         |  SELECT query_id, nn_id,
+         |SELECT query_id, rank, nn_id, CAST(round(cs * 1e6) AS BIGINT) AS score_q FROM (
+         |  SELECT query_id, nn_id, cs,
          |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, nn_id) AS rank
          |  FROM sims) WHERE rank <= 5 ORDER BY rank""".stripMargin,
     // interval-column chain slice: first-mention seeds make the depth-5
@@ -729,6 +729,13 @@ object KgOracleSql {
       s"""SELECT media_id, durationMs AS "durationMs",
          |  CAST((durationMs - 1) // 1000 + 1 AS INT) AS n_frames
          |FROM $MEDIA WHERE kind = 'video' AND durationMs > 0
+         |ORDER BY media_id""".stripMargin,
+    // real-decode image stats: the dump rows ARE the single-threaded
+    // re-derivation (same javax.imageio decode, sequential loop)
+    "mm4_image_stats" ->
+      s"""SELECT media_id, ok, img_w, img_h, sum_r, sum_g, sum_b,
+         |  lum0, lum1, lum2, lum3, lum4, lum5, lum6, lum7
+         |FROM read_parquet('{{ORA}}/mediaimg/*.parquet')
          |ORDER BY media_id""".stripMargin
   )
 }

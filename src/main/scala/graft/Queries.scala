@@ -463,6 +463,7 @@ object Queries {
     // (source), never the doc — dups inside a group can't straddle splits
     "d20_leakage_split" -> ((s, d) =>
       graft.ops.CorpusOps.leakageSafeSplit(t(s, d, "documents"))
+        .select("doc_id", "lang", "source", "split")
         .orderBy("doc_id")),
     // sequence packing: shard token streams cut into fixed-length training
     // rows; per-shard state bounded by the shard budget
@@ -509,7 +510,11 @@ object Queries {
     "e1_ann_bruteforce" -> ((s, d) => graft.ops.Similarity.bruteForceTopK(
       t(s, d, "embeddings").withColumnRenamed("vec_id", "id").filter(col("id") < 50),
       t(s, d, "embeddings").withColumnRenamed("vec_id", "id"), k = 3)
-      .select("query_id", "rank", "nn_id").orderBy("query_id", "rank")),
+      // score_q: the quantized cosine rides along so a scoring bug that
+      // happens to preserve order can no longer pass the gate
+      .select(col("query_id"), col("rank"), col("nn_id"),
+        round(col("cosine") * 1e6).cast("long").as("score_q"))
+      .orderBy("query_id", "rank")),
     // nProbe == nCentroids: EXHAUSTIVE probing, so the IVF machinery
     // (centroid build, inverted-list assignment, probe ranking, list
     // equi-join, bounded-heap top-k) must reproduce brute force EXACTLY —
@@ -521,7 +526,9 @@ object Queries {
       t(s, d, "embeddings").withColumnRenamed("vec_id", "id").filter(col("id") < 50),
       t(s, d, "embeddings").withColumnRenamed("vec_id", "id"),
       k = 3, nCentroids = 16, nProbe = 16)
-      .select("query_id", "rank", "nn_id").orderBy("query_id", "rank")),
+      .select(col("query_id"), col("rank"), col("nn_id"),
+        round(col("cosine") * 1e6).cast("long").as("score_q"))
+      .orderBy("query_id", "rank")),
     // threshold 0.999 with planted identical pairs: identical vectors agree
     // on EVERY hyperplane sign, so LSH recall for them is 1.0 by
     // construction, and the sf corpus has no non-identical pair above 0.52
@@ -547,6 +554,12 @@ object Queries {
     "mm3_frame_sample" -> ((s, _) =>
       graft.ops.Multimodal.frameSamplePlan(graft.ops.Multimodal.synthMedia(s, MmN).toDF(), 1000)
         .select("media_id", "durationMs", "n_frames").orderBy("media_id")),
+    // REAL image decode (javax.imageio over the corpus's deterministic PNG
+    // payloads): integer-exact channel sums + luminance histogram, driver-
+    // gated against the same single-threaded decode in the oracle dump
+    "mm4_image_stats" -> ((s, _) =>
+      graft.ops.Multimodal.imageStats(graft.ops.Multimodal.synthMedia(s, MmN))
+        .toDF().orderBy("media_id")),
 
     // ---------------- query-step surface over the KG tables ----------------
     "kg_step_megahost_pages" -> ((s, d) => {
@@ -791,7 +804,8 @@ object Queries {
           graft.model.Schema.EdgeKinds.Mentions).filter(col("pageId") =!= 0))
       val seed = kt.nodes.filter(col("kind") === "Page").agg(min(col("id")).as("id"))
       graft.ops.Similarity.bruteForceTopK(emb.join(seed, "id"), emb, k = 5)
-        .select("query_id", "rank", "nn_id")
+        .select(col("query_id"), col("rank"), col("nn_id"),
+          round(col("cosine") * 1e6).cast("long").as("score_q"))
         .orderBy("rank")
     }),
     // taken-branch navigation over the labeled flow edges: each page's
@@ -1066,8 +1080,8 @@ object Queries {
         |                           CAST(c.embedding AS DOUBLE[])) AS cs
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 50 AND c.vec_id != q.vec_id)
-        |SELECT query_id, rank, nn_id FROM (
-        |  SELECT query_id, nn_id,
+        |SELECT query_id, rank, nn_id, CAST(round(cs * 1e6) AS BIGINT) AS score_q FROM (
+        |  SELECT query_id, nn_id, cs,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, nn_id) AS rank
         |  FROM sims) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "d9_bpe_tokens" ->
@@ -1215,8 +1229,8 @@ object Queries {
         |                           CAST(c.embedding AS DOUBLE[])) AS cs
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 50 AND c.vec_id != q.vec_id)
-        |SELECT query_id, rank, nn_id FROM (
-        |  SELECT query_id, nn_id,
+        |SELECT query_id, rank, nn_id, CAST(round(cs * 1e6) AS BIGINT) AS score_q FROM (
+        |  SELECT query_id, nn_id, cs,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, nn_id) AS rank
         |  FROM sims) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     // ground truth is the full all-pairs sweep: the LSH path may not miss a
