@@ -88,7 +88,7 @@ object Bench {
       val nTriples = graft.store.TableIO.readManifest(s"$outDir/triples")
         .map(_.buckets.values.sum).getOrElse(0L)
       val sec = (System.nanoTime() - t0) / 1e9
-      t.flat.unpersist(false)
+      t.flatEnc.unpersist(false)
       t.components.unpersist(false)
       graft.store.TableIO.deleteRecursively(outDir)
       (nTriples, sec)

@@ -235,7 +235,7 @@ object Incremental {
         Map("ruleDiffTouchedBuckets" -> touched.size.toLong), numBuckets)
     }
     patchGraphTables(spark, t, outDir, sameAsChanged, touched.size.toLong, numBuckets)
-    t.flat.unpersist(false)
+    t.flatEnc.unpersist(false)
     if (components.isEmpty) t.components.unpersist(false)
     touched
   }

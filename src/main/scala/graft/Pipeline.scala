@@ -33,7 +33,8 @@ import graft.store.TableIO
   */
 object Pipeline {
   final case class Tables(
-      flat: Dataset[FlatRow],         // the cached columnar extraction output
+      flat: Dataset[FlatRow],         // decode VIEW over flatEnc (same schema as before)
+      flatEnc: DataFrame,             // the PERSISTED dictionary-encoded flat frame
       components: DataFrame,          // (id, component)
       triples: DataFrame,             // (subj, pred, obj, objValue, url, conf)
       nodes: DataFrame,               // GraphNode rows
@@ -63,21 +64,38 @@ object Pipeline {
           precomputedComponents: Option[DataFrame] = None): Tables = {
     import spark.implicits._
 
-    val gaz = spark.sparkContext.broadcast(defaultGazetteer(nPersons))
-    val auto = spark.sparkContext.broadcast(PatternAutomaton.compile(rules))
+    val g = defaultGazetteer(nPersons)
+    val a = PatternAutomaton.compile(rules)
+    val gaz = spark.sparkContext.broadcast(g)
+    val auto = spark.sparkContext.broadcast(a)
     val metrics = new ExtractMetrics(spark)
 
     // 1-2: language predicate BEFORE the expensive mapPartitions (the
-    // necessary-condition prefilter shape, joern `queryTemplate.groovy:36-50`)
-    val flat = TripleExtractor
-      .extractFlat(pages.filter($"lang" === targetLang), gaz, auto, metrics)
+    // necessary-condition prefilter shape, joern `queryTemplate.groovy:36-50`).
+    // The CACHED frame is the dictionary-ENCODED shape (FlatRowEnc: rowKind/
+    // pred/norm/label as small ints — the flat cache is re-scanned by every
+    // downstream stage and the 2→8 probes pinned its plateau on DRAM
+    // bandwidth); `flat` is a decode VIEW restoring the exact historical
+    // schema, so all consumers are unchanged and decode cost is CPU at the
+    // consuming projection, not resident bytes.
+    val flatEnc = TripleExtractor
+      .extractFlatEnc(pages.filter($"lang" === targetLang), gaz, auto, metrics)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val predDict = spark.sparkContext.broadcast(a.preds)
+    val aliasDict = spark.sparkContext.broadcast(g.aliasArr)
+    val kindDict = spark.sparkContext.broadcast(FlatDict.RowKinds)
+    val labelDict = spark.sparkContext.broadcast(FlatDict.Labels)
+    val flat = TripleExtractor.decodeFlat(flatEnc, predDict, aliasDict,
+      kindDict, labelDict)
 
     // 3: same-as edges (entity-id pairs) — the canonicalization input.
     // distinct() first: shrinks the edge multiset to the entity-pair set
     // distributed-side (partial-agg), so the adaptive-CC probe collects
-    // thousands of pairs, not millions of occurrences
-    val sameAs = flat.filter($"rowKind" === "t" && $"pred" === "same_as" && $"obj" >= 0)
+    // thousands of pairs, not millions of occurrences. Filters run on the
+    // CODES (byte/int compares against the encoded cache, no decode).
+    val sameAsCode = a.predIdx.getOrElse("same_as", -1)
+    val sameAs = flatEnc
+      .filter($"rowKind" === FlatDict.KindT && $"pred" === sameAsCode && $"obj" >= 0)
       .select($"subj".as("a"), $"obj".as("b")).distinct()
 
     // 4: global fixpoint (adaptive: driver union-find under the cutover,
@@ -101,7 +119,7 @@ object Pipeline {
     // the flat cache (≙ nodes.csv / edges.csv emission)
     val (nodes, edges) = graphTables(spark, flat, components)
 
-    Tables(flat, components, triples, nodes, edges, metrics)
+    Tables(flat, flatEnc.toDF(), components, triples, nodes, edges, metrics)
   }
 
   /** Canonicalize the extracted triples with a (id, component) mapping —

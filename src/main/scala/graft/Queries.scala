@@ -41,7 +41,7 @@ object Queries {
         // otherwise pin executor memory forever (best-effort — the old
         // session may already be stopped)
         if (cur != null) try {
-          cur._2.flat.unpersist(false)
+          cur._2.flatEnc.unpersist(false)
           cur._2.components.unpersist(false)
         } catch { case _: Throwable => () }
         val cfg = PageGen.Config(nPages = kgPages(sfDir))
@@ -80,7 +80,7 @@ object Queries {
           val t = Pipeline.run(s,
             s.range(0L, appendSplit(sfDir)).map(i => PageGen.page(c, i)), c.nPersons)
           Pipeline.materialize(s, t, dir)
-          t.flat.unpersist(false); t.components.unpersist(false)
+          t.flatEnc.unpersist(false); t.components.unpersist(false)
           if (cur != null) graft.store.TableIO.deleteRecursively(cur._2)
           baseSlot.set((key, dir))
           dir

@@ -45,6 +45,25 @@ final class Gazetteer private (
     val root: Gazetteer.TrieNode,
     val candidates: Map[String, List[(Long, Double)]]) extends Serializable {
 
+  /** Sorted alias vocabulary — the flat cache's `norm` dictionary (every
+    * `findMentions` norm is a trie terminal, i.e. a `candidates` key, so the
+    * encode lookup is total by construction). @transient: rebuilt per
+    * executor JVM from `candidates` (deterministic — sorted), never shipped
+    * twice inside the broadcast. */
+  @transient lazy val aliasArr: Array[String] = {
+    val a = candidates.keysIterator.toArray
+    java.util.Arrays.sort(a, null: java.util.Comparator[String])
+    a
+  }
+
+  /** alias → code for the encoder (executor-side, via the same broadcast). */
+  @transient lazy val aliasIdx: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](aliasArr.length * 2)
+    var i = 0
+    while (i < aliasArr.length) { m.put(aliasArr(i), i); i += 1 }
+    m
+  }
+
   /** Longest-match scan over pre-normalized tokens (normalize ONCE per
     * sentence — per-step lowercase copies were the extraction hot spot).
     * Returns (tokStart, tokEndExclusive, normAlias). */
@@ -128,8 +147,14 @@ case object NumSlot extends PatternItem
 
 /** Compiled multi-pattern automaton: a trie over pattern items, matched in one
   * left-to-right pass per sentence (shared prefixes like "is ..." collapse). */
-final class PatternAutomaton private (private val root: PatternAutomaton.PNode) extends Serializable {
+final class PatternAutomaton private (
+    private val root: PatternAutomaton.PNode,
+    /** Sorted predicate vocabulary — the flat cache's `pred` dictionary. */
+    val preds: Array[String]) extends Serializable {
   import PatternAutomaton._
+
+  /** pred → code for the encoder (executor-side, via the same broadcast). */
+  @transient lazy val predIdx: Map[String, Int] = preds.zipWithIndex.toMap
 
   /** Match against an item sequence. `ents` marks which positions are entity
     * mentions: seq(i) is Some(mentionIdx) or None (plain word).
@@ -204,7 +229,7 @@ object PatternAutomaton {
       }
       node.terminals = node.terminals :+ r
     }
-    new PatternAutomaton(root)
+    new PatternAutomaton(root, rules.map(_.pred).distinct.sorted.toArray)
   }
 
   /** The default rule set for the synthetic corpus (PageGen grammar). */

@@ -78,6 +78,74 @@ case class FlatRow(
     // it downstream would cost a pageId window shuffle
     label: String = null)
 
+/** [[FlatRow]] with the bounded-vocabulary string columns dictionary-encoded
+  * to small ints — the shape the pipeline actually CACHES. The flat frame is
+  * the one big DRAM-resident frame every downstream stage re-scans, and the
+  * 2→8 scaling probes pinned its plateau on memory bandwidth, so repeated
+  * string bytes there (rowKind on EVERY row, pred per triple, norm per
+  * mention, label per discourse edge) are pure scan tax. Codes:
+  * rowKind/label ↦ [[FlatDict]] fixed tables, pred ↦ the compiled automaton's
+  * sorted predicate vocabulary, norm ↦ the gazetteer's sorted alias
+  * vocabulary; -1 = null. Consumers never see this type — [[TripleExtractor
+  * .decodeFlat]] restores the exact [[FlatRow]] schema via codegen'd
+  * broadcast-dictionary lookups ([[graft.functions.DictDecode]]) at the
+  * consumption projection, so the cache stores ints and the decode costs CPU
+  * cycles, not resident bytes. Field names/order mirror FlatRow on purpose:
+  * the decode view is a positional 1:1 select. */
+case class FlatRowEnc(
+    rowKind: Byte,
+    pageId: Long,
+    url: String,
+    host: String,
+    hostId: Long,
+    nSentences: Int,
+    mentionId: Long,
+    mentionIdx: Int,
+    surface: String,
+    norm: Int,
+    entityId: Long,
+    entityNodeId: Long,
+    nextMentionId: Long,
+    subj: Long,
+    pred: Int,
+    obj: Long,
+    objValue: String,
+    sentIdx: Int,
+    tokStart: Int,
+    tokEnd: Int,
+    conf: Double,
+    tripleNodeId: Long,
+    subjMentionId: Long,
+    objMentionId: Long,
+    error: String,
+    label: Byte)
+
+/** Fixed dictionaries for the two closed vocabularies (row kind and flow
+  * label), plus the code constants the pipeline filters on. */
+object FlatDict {
+  val RowKinds: Array[String] = Array("p", "m", "e", "t")
+  val Labels: Array[String] = Array("True", "False", "except")
+
+  val KindP: Byte = 0
+  val KindM: Byte = 1
+  val KindE: Byte = 2
+  val KindT: Byte = 3
+
+  def kindCode(s: String): Byte = s match {
+    case "p" => KindP
+    case "m" => KindM
+    case "e" => KindE
+    case "t" => KindT
+  }
+
+  def labelCode(s: String): Byte = s match {
+    case null => -1
+    case "True" => 0
+    case "False" => 1
+    case "except" => 2
+  }
+}
+
 /** Counters surfaced to the manifest/metrics (≙ the reference silently
   * dropping dangling edges at `CSVImporter.java:209-222` — we count instead). */
 final class ExtractMetrics(spark: SparkSession) extends Serializable {
@@ -93,6 +161,13 @@ final class ExtractMetrics(spark: SparkSession) extends Serializable {
     * cap — VerifyOracle.dump asserts it never fires at verify scale). */
   val sameSentenceDropped: LongAccumulator =
     spark.sparkContext.longAccumulator("sameSentenceDropped")
+  /** Encoder dictionary misses (a norm/pred string absent from its
+    * vocabulary — impossible by construction, see Gazetteer.aliasArr; the
+    * miss encodes as null rather than killing the job, and THIS counter
+    * makes the impossible observable. Asserted 0 in EncodedFlatSpec and by
+    * VerifyOracle.dump). */
+  val dictMisses: LongAccumulator =
+    spark.sparkContext.longAccumulator("dictMisses")
 }
 
 /** The local half of the pipeline: HTML→text → sentences → mentions →
@@ -162,6 +237,88 @@ object TripleExtractor {
         toFlatRows(ex, metrics)
       }
     }
+  }
+
+  /** Dictionary-encoded flat extraction — the variant the PIPELINE caches
+    * ([[FlatRowEnc]] motivation). Same per-page pure function, then a total
+    * per-row encode against the broadcast vocabularies (two hash lookups on
+    * mention/triple rows — noise next to extraction itself). */
+  def extractFlatEnc(
+      pages: Dataset[Page],
+      gaz: Broadcast[Gazetteer],
+      rules: Broadcast[PatternAutomaton],
+      metrics: ExtractMetrics): Dataset[FlatRowEnc] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.mapPartitions { it =>
+      val g = gaz.value
+      val auto = rules.value
+      val aliasIdx = g.aliasIdx
+      val predIdx = auto.predIdx
+      it.flatMap { p =>
+        metrics.pagesIn.add(1)
+        val ex = extractPage(p, g, auto)
+        if (ex.error != null) metrics.pagesErrored.add(1)
+        else {
+          metrics.sentences.add(ex.nSentences)
+          metrics.mentions.add(ex.mentions.size)
+          metrics.triples.add(ex.triples.size)
+        }
+        toFlatRows(ex, metrics).map(encodeRow(_, aliasIdx, predIdx, metrics))
+      }
+    }
+  }
+
+  /** Total FlatRow → FlatRowEnc encode. A vocabulary miss (impossible by
+    * construction) encodes as -1 (= null after decode) and bumps the
+    * dictMisses counter — observable, never job-killing. */
+  def encodeRow(r: FlatRow, aliasIdx: java.util.HashMap[String, Integer],
+                predIdx: Map[String, Int],
+                metrics: ExtractMetrics = null): FlatRowEnc = {
+    val normC: Int =
+      if (r.norm == null) -1
+      else {
+        val i = aliasIdx.get(r.norm)
+        if (i == null) { if (metrics != null) metrics.dictMisses.add(1); -1 }
+        else i.intValue()
+      }
+    val predC: Int =
+      if (r.pred == null) -1
+      else predIdx.getOrElse(r.pred, {
+        if (metrics != null) metrics.dictMisses.add(1); -1
+      })
+    FlatRowEnc(FlatDict.kindCode(r.rowKind), r.pageId, r.url, r.host, r.hostId,
+      r.nSentences, r.mentionId, r.mentionIdx, r.surface, normC, r.entityId,
+      r.entityNodeId, r.nextMentionId, r.subj, predC, r.obj, r.objValue,
+      r.sentIdx, r.tokStart, r.tokEnd, r.conf, r.tripleNodeId, r.subjMentionId,
+      r.objMentionId, r.error, FlatDict.labelCode(r.label))
+  }
+
+  /** The decode view: a 1:1 projection restoring the exact [[FlatRow]]
+    * schema over an encoded frame. The four decodes are codegen'd broadcast
+    * dictionary lookups evaluated where a consumer's plan actually reads the
+    * column (Catalyst prunes the unused ones), so the persisted frame under
+    * this view stays int-coded. */
+  def decodeFlat(enc: Dataset[FlatRowEnc],
+                 preds: Broadcast[Array[String]],
+                 aliases: Broadcast[Array[String]],
+                 kinds: Broadcast[Array[String]],
+                 labels: Broadcast[Array[String]]): Dataset[FlatRow] = {
+    import graft.functions.DictDecode.decode
+    import org.apache.spark.sql.functions.col
+    val spark = enc.sparkSession
+    import spark.implicits._
+    enc.toDF().select(
+      decode(col("rowKind"), kinds).as("rowKind"),
+      col("pageId"), col("url"), col("host"), col("hostId"), col("nSentences"),
+      col("mentionId"), col("mentionIdx"), col("surface"),
+      decode(col("norm"), aliases).as("norm"),
+      col("entityId"), col("entityNodeId"), col("nextMentionId"), col("subj"),
+      decode(col("pred"), preds).as("pred"),
+      col("obj"), col("objValue"), col("sentIdx"), col("tokStart"),
+      col("tokEnd"), col("conf"), col("tripleNodeId"), col("subjMentionId"),
+      col("objMentionId"), col("error"),
+      decode(col("label"), labels).as("label")).as[FlatRow]
   }
 
   /** Mentions per sentence considered for SAME_SENTENCE pairs — a semantic

@@ -50,7 +50,7 @@ object AppendProbe {
         val dir = java.nio.file.Files.createTempDirectory(s"graft-append-probe-$base").toString
         val t0 = Pipeline.run(spark, range(0, base), c.nPersons)
         val (_, buildSec) = time(Pipeline.materialize(spark, t0, dir))
-        t0.flat.unpersist(false); t0.components.unpersist(false)
+        t0.flatEnc.unpersist(false); t0.components.unpersist(false)
         val (stats, appendSec) =
           time(Incremental.appendPages(spark, range(maxBase, maxBase + nBatch), dir, c.nPersons))
         println(String.format(java.util.Locale.ROOT,
@@ -66,7 +66,7 @@ object AppendProbe {
       val dir = java.nio.file.Files.createTempDirectory("graft-append-probe-full").toString
       val t1 = Pipeline.run(spark, range(0, maxBase + nBatch), c.nPersons)
       val (_, rebuildSec) = time(Pipeline.materialize(spark, t1, dir))
-      t1.flat.unpersist(false); t1.components.unpersist(false)
+      t1.flatEnc.unpersist(false); t1.components.unpersist(false)
       println(String.format(java.util.Locale.ROOT,
         "[appendprobe] fullRebuild base=%d+%d sec=%.2f",
         Long.box(maxBase.toLong), Long.box(nBatch.toLong), Double.box(rebuildSec)))
@@ -80,7 +80,7 @@ object AppendProbe {
           s"graft-append-probe-mor-$defer").toString
         val tb = Pipeline.run(spark, range(0, nBase), c.nPersons)
         Pipeline.materialize(spark, tb, d2)
-        tb.flat.unpersist(false); tb.components.unpersist(false)
+        tb.flatEnc.unpersist(false); tb.components.unpersist(false)
         val (st, sec) = time(Incremental.appendPages(spark,
           range(maxBase, maxBase + nBatch), d2, c.nPersons,
           deferMergeRewrite = defer))

@@ -36,7 +36,7 @@ object LocalDirProbe {
       val t = graft.Pipeline.run(spark, spark.read.parquet(pagesDir).as[graft.model.Page], 500)
       graft.Pipeline.materialize(spark, t, out)
       val sec = (System.nanoTime() - t0) / 1e9
-      t.flat.unpersist(false)
+      t.flatEnc.unpersist(false)
       t.components.unpersist(false)
       TableIO.deleteRecursively(out)
       sec

@@ -15,13 +15,13 @@ import graft.store.TableIO
   * Usage: runMain graft.tools.ScalingProfile [pages] [cores...]
   */
 object ScalingProfile {
-  private def newSession(cores: Int): SparkSession = {
+  private def newSession(cores: Int, compressed: Boolean = false): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      .config("spark.sql.inMemoryColumnarStorage.compressed", compressed.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
@@ -32,10 +32,19 @@ object ScalingProfile {
 
   def main(args: Array[String]): Unit = {
     val nPages = if (args.nonEmpty) args(0).toInt else 40000
-    // "P<cores>" = parquet-spill flat cache variant at that level
+    // "P<cores>" = parquet-spill flat cache variant at that level;
+    // "S<cores>" = legacy STRING flat cache (pre-dictionary-encoding) —
+    // the A/B counterpart of the default, which mirrors the shipping
+    // pipeline (encoded cache + decode view)
     val rawLevels = if (args.length > 1) args.drop(1).toSeq else Seq("8", "2", "8")
+    // "C<cores>" = encoded cache WITH columnar compression (RLE/dictionary
+    // over the int-coded frame — the string frame's 2x build-CPU compression
+    // tax does not apply to ints, re-measured round 4)
     val levels = rawLevels.map { s =>
-      if (s.startsWith("P")) (s.drop(1).toInt, true) else (s.toInt, false)
+      if (s.startsWith("P")) (s.drop(1).toInt, "parquet")
+      else if (s.startsWith("S")) (s.drop(1).toInt, "string")
+      else if (s.startsWith("C")) (s.drop(1).toInt, "encC")
+      else (s.toInt, "enc")
     }
     val pagesDir = "/dev/shm/graft-scaling-pages"
     val outDir = "/dev/shm/graft-scaling-out"
@@ -49,8 +58,8 @@ object ScalingProfile {
       } finally s.stop()
     }
 
-    levels.foreach { case (cores, parquetCache) =>
-      val spark = newSession(cores)
+    levels.foreach { case (cores, variant) =>
+      val spark = newSession(cores, compressed = variant == "encC")
       try {
         import spark.implicits._
         TableIO.deleteRecursively(outDir)
@@ -58,28 +67,46 @@ object ScalingProfile {
         var last = tAll
         def lap(name: String): Unit = {
           val now = System.nanoTime()
-          println(f"SCALING cores=$cores pq=$parquetCache phase=$name%-16s ${(now - last) / 1e9}%7.2f s")
+          println(f"SCALING cores=$cores v=$variant%-7s phase=$name%-16s ${(now - last) / 1e9}%7.2f s")
           last = now
         }
         val pages = spark.read.parquet(pagesDir).as[graft.model.Page]
-        val gaz = spark.sparkContext.broadcast(Pipeline.defaultGazetteer(500))
-        val auto = spark.sparkContext.broadcast(
-          graft.extract.PatternAutomaton.compile(graft.extract.PatternAutomaton.DefaultRules))
+        val g = Pipeline.defaultGazetteer(500)
+        val a = graft.extract.PatternAutomaton.compile(graft.extract.PatternAutomaton.DefaultRules)
+        val gaz = spark.sparkContext.broadcast(g)
+        val auto = spark.sparkContext.broadcast(a)
         val metrics = new graft.extract.ExtractMetrics(spark)
-        val flatRaw = graft.extract.TripleExtractor
-          .extractFlat(pages.filter($"lang" === "en"), gaz, auto, metrics)
         val flat =
-          if (parquetCache) {
+          if (variant == "parquet") {
             val d = "/dev/shm/graft-scaling-flat"
             TableIO.deleteRecursively(d)
-            flatRaw.write.parquet(d)
+            graft.extract.TripleExtractor
+              .extractFlat(pages.filter($"lang" === "en"), gaz, auto, metrics)
+              .write.parquet(d)
             spark.read.parquet(d).as[graft.extract.FlatRow]
-          } else {
-            val f = flatRaw.persist(StorageLevel.MEMORY_AND_DISK)
+          } else if (variant == "string") {
+            val f = graft.extract.TripleExtractor
+              .extractFlat(pages.filter($"lang" === "en"), gaz, auto, metrics)
+              .persist(StorageLevel.MEMORY_AND_DISK)
             f.count()
             f
+          } else { // enc/encC — the shipping shape: encoded cache + decode view
+            val enc = graft.extract.TripleExtractor
+              .extractFlatEnc(pages.filter($"lang" === "en"), gaz, auto, metrics)
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            enc.count()
+            graft.extract.TripleExtractor.decodeFlat(enc,
+              spark.sparkContext.broadcast(a.preds),
+              spark.sparkContext.broadcast(g.aliasArr),
+              spark.sparkContext.broadcast(graft.extract.FlatDict.RowKinds),
+              spark.sparkContext.broadcast(graft.extract.FlatDict.Labels))
           }
         lap("extract_cache")
+        if (variant != "parquet") {
+          val st = spark.sparkContext.getRDDStorageInfo
+            .map(i => i.memSize + i.diskSize).sum
+          println(f"SCALING cores=$cores v=$variant%-7s cache_bytes=$st%d (${st / 1048576.0}%.1f MiB)")
+        }
         // mirrors Pipeline.run: the pair set is checkpointed once so the CC
         // probe + chosen path do not re-run the flat scan + distinct
         val sameAs = flat.filter($"rowKind" === "t" && $"pred" === "same_as" && $"obj" >= 0)
@@ -122,8 +149,12 @@ object ScalingProfile {
         writes.foreach { case (_, f) => Await.result(f, Duration.Inf) }
         val c = Await.result(countersF, Duration.Inf)
         lap("writes+counters")
-        println(f"SCALING cores=$cores phase=TOTAL            ${(System.nanoTime() - tAll) / 1e9}%7.2f s  (c=${c.length}%d)")
-        if (!parquetCache) flat.unpersist(false)
+        println(f"SCALING cores=$cores v=$variant%-7s phase=TOTAL            ${(System.nanoTime() - tAll) / 1e9}%7.2f s  (c=${c.length}%d)")
+        // the session dies with the level, but unpersist anyway (symmetry
+        // with the shipping pipeline's eviction discipline); for the enc
+        // variant the persisted frame is the one under the decode view —
+        // sweep all session caches rather than thread the handle through
+        spark.sharedState.cacheManager.clearCache()
         components.unpersist(false)
         TableIO.deleteRecursively(outDir)
         TableIO.deleteRecursively("/dev/shm/graft-scaling-flat")

@@ -306,7 +306,7 @@ class CliSpec extends AnyFunSuite with Matchers {
     val base = PageGen.Config(nPages = 60)
     val t = Pipeline.run(spark, PageGen.pages(spark, base), base.nPersons)
     Pipeline.materialize(spark, t, d)
-    t.flat.unpersist(false); t.components.unpersist(false)
+    t.flatEnc.unpersist(false); t.components.unpersist(false)
     // the crawl batch arrives as a pages parquet (the production shape)
     val full = PageGen.Config(nPages = 80)
     spark.range(60L, 80L).map(i => PageGen.page(full, i))

@@ -100,6 +100,6 @@ class DominanceSpec extends AnyFunSuite with Matchers {
     dist shouldBe local
     dist.count(_.kind == Dom) should be > 0
     dist.count(_.kind == Controls) should be > 0
-    t.flat.unpersist(false); t.components.unpersist(false)
+    t.flatEnc.unpersist(false); t.components.unpersist(false)
   }
 }

@@ -36,7 +36,7 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
     // full build under the OLD rules
     val t0 = Pipeline.run(spark, pages, cfg.nPersons)
     Pipeline.materialize(spark, t0, dir)
-    t0.flat.unpersist(false); t0.components.unpersist(false)
+    t0.flatEnc.unpersist(false); t0.components.unpersist(false)
 
     // incremental: apply the diff
     val touched = Incremental.applyRuleDiff(spark, pages,
@@ -50,7 +50,7 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
     sortedRows(incr) shouldBe sortedRows(t1.triples)
     incr.filter(col("pred") === "age_years").count() should be > 0L
     incr.filter(col("pred") === "age").count() shouldBe 0L
-    t1.flat.unpersist(false); t1.components.unpersist(false)
+    t1.flatEnc.unpersist(false); t1.components.unpersist(false)
 
     // affected-page detection is the necessary-condition superset: every
     // page whose triples differ between the two rule sets is in a touched
@@ -93,7 +93,7 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
     // initial build over pages [0, 60)
     val t0 = Pipeline.run(spark, range(0, 60), c.nPersons)
     Pipeline.materialize(spark, t0, dir)
-    t0.flat.unpersist(false); t0.components.unpersist(false)
+    t0.flatEnc.unpersist(false); t0.components.unpersist(false)
 
     // the monthly crawl batch: pages [60, 90) — with a slice re-fetched
     // INSIDE the batch window (duplicate urls must collapse to one row
@@ -113,7 +113,7 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
     val wantNodes = sortedRows(t1.nodes)
     val wantEdges = sortedRows(t1.edges)
     val wantComponents = sortedRows(t1.components.toDF())
-    t1.flat.unpersist(false); t1.components.unpersist(false)
+    t1.flatEnc.unpersist(false); t1.components.unpersist(false)
     sortedRows(TableIO.read(spark, s"$dir/triples")) shouldBe wantTriples
     sortedRows(TableIO.read(spark, s"$dir/nodes")) shouldBe wantNodes
     sortedRows(TableIO.read(spark, s"$dir/edges")) shouldBe wantEdges
@@ -142,7 +142,7 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
     def range(lo: Long, hi: Long) = spark.range(lo, hi).map(i => PageGen.page(c, i))
     val t0 = Pipeline.run(spark, range(0, 60), c.nPersons)
     Pipeline.materialize(spark, t0, dir)
-    t0.flat.unpersist(false); t0.components.unpersist(false)
+    t0.flatEnc.unpersist(false); t0.components.unpersist(false)
 
     val stats = Incremental.appendPages(spark, range(60, 90), dir, c.nPersons,
       deferMergeRewrite = true)
@@ -153,7 +153,7 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
     val t1 = Pipeline.run(spark, range(0, 90), c.nPersons)
     val want = sortedRows(t1.triples)
     val wantE = sortedRows(t1.edges)
-    t1.flat.unpersist(false); t1.components.unpersist(false)
+    t1.flatEnc.unpersist(false); t1.components.unpersist(false)
     // the PHYSICAL rows still carry pre-merge canonical ids…
     sortedRows(TableIO.read(spark, s"$dir/triples")) should not equal want
     // …but the merge-on-read paths serve the current truth
@@ -180,7 +180,7 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
     def range(lo: Long, hi: Long) = spark.range(lo, hi).map(i => PageGen.page(c, i))
     val t0 = Pipeline.run(spark, range(0, 60), c.nPersons)
     Pipeline.materialize(spark, t0, dir)
-    t0.flat.unpersist(false); t0.components.unpersist(false)
+    t0.flatEnc.unpersist(false); t0.components.unpersist(false)
 
     // two deferred crawl epochs back to back: the second composes its remap
     // onto the pending chain (one read-time hop must reach the final root)
@@ -188,7 +188,7 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
     Incremental.appendPages(spark, range(90, 120), dir, c.nPersons, deferMergeRewrite = true)
     val t1 = Pipeline.run(spark, range(0, 120), c.nPersons)
     val want120 = sortedRows(t1.triples)
-    t1.flat.unpersist(false); t1.components.unpersist(false)
+    t1.flatEnc.unpersist(false); t1.components.unpersist(false)
     sortedRows(Incremental.readTriples(spark, dir)) shouldBe want120
 
     // a plain EAGER append folds the pending chain before trusting bytes
@@ -197,7 +197,7 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
     val t2 = Pipeline.run(spark, range(0, 150), c.nPersons)
     val want150 = sortedRows(t2.triples)
     val want150E = sortedRows(t2.edges)
-    t2.flat.unpersist(false); t2.components.unpersist(false)
+    t2.flatEnc.unpersist(false); t2.components.unpersist(false)
     sortedRows(TableIO.read(spark, s"$dir/triples")) shouldBe want150
     sortedRows(TableIO.read(spark, s"$dir/edges")) shouldBe want150E
     TableIO.deleteRecursively(dir)
@@ -208,7 +208,7 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
     val pages = PageGen.pages(spark, cfg)
     val t0 = Pipeline.run(spark, pages, cfg.nPersons)
     Pipeline.materialize(spark, t0, dir)
-    t0.flat.unpersist(false); t0.components.unpersist(false)
+    t0.flatEnc.unpersist(false); t0.components.unpersist(false)
 
     // drop the same_as rule entirely: no links -> no canonicalization
     val noSameAs = PatternAutomaton.DefaultRules.filterNot(_.pred == "same_as")
@@ -219,7 +219,7 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
     val t1 = Pipeline.run(spark, pages, cfg.nPersons, rules = noSameAs)
     sortedRows(TableIO.read(spark, s"$dir/triples")) shouldBe sortedRows(t1.triples)
     sortedRows(TableIO.read(spark, s"$dir/components")) shouldBe sortedRows(t1.components.toDF())
-    t1.flat.unpersist(false); t1.components.unpersist(false)
+    t1.flatEnc.unpersist(false); t1.components.unpersist(false)
     TableIO.deleteRecursively(dir)
   }
 }

@@ -127,9 +127,9 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       val plan = t3.triples.queryExecution.executedPlan.toString
       plan shouldNot include("BroadcastHashJoin")
       "(SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(plan) should be(defined)
-      t3.flat.unpersist(false); t3.components.unpersist(false)
+      t3.flatEnc.unpersist(false); t3.components.unpersist(false)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
-    t2.flat.unpersist(false); t2.components.unpersist(false)
+    t2.flatEnc.unpersist(false); t2.components.unpersist(false)
   }
 
   test("triple provenance: SUBJ/OBJ edges point at the slot mentions") {

@@ -60,7 +60,7 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan should include("BroadcastHashJoin") // canonical map is broadcast
     // the lang predicate reaches the pages parquet scan
     plan should include("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]")
-    t.flat.unpersist(false); t.components.unpersist(false)
+    t.flatEnc.unpersist(false); t.components.unpersist(false)
     store.TableIO.deleteRecursively(pagesDir)
   }
 
@@ -86,7 +86,7 @@ class PlanSpec extends AnyFunSuite with Matchers {
     "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
       .findAllIn(plan).size shouldBe 1
     plan shouldNot include("ExistingRDD")
-    t.flat.unpersist(false); t.components.unpersist(false)
+    t.flatEnc.unpersist(false); t.components.unpersist(false)
   }
 
   test("near-dup hot-bucket caps never plan a Window (map-side bounded heap)") {

@@ -110,7 +110,7 @@ class StreamEntriesSpec extends AnyFunSuite with Matchers {
     val cfg = graft.model.PageGen.Config(nPages = graft.Queries.kgPages(dir))
     val t = Pipeline.run(spark, graft.model.PageGen.pages(spark, cfg), cfg.nPersons)
     val batch = t.triples.collect().map(_.toString).sorted.toSeq
-    t.flat.unpersist(false); t.components.unpersist(false)
+    t.flatEnc.unpersist(false); t.components.unpersist(false)
     stream shouldBe batch
   }
 }
