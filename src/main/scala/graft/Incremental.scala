@@ -374,7 +374,7 @@ object Incremental {
                   deferMergeRewrite: Boolean = false): AppendStats = {
     import spark.implicits._
     import Schema.{EdgeKinds => EK, NodeKinds => NK}
-    Seq("triples", "nodes", "edges", "components").foreach { t =>
+    Seq("triples", "nodes", "edges", "components", "sameas_evidence").foreach { t =>
       require(TableIO.readManifest(s"$outDir/$t").isDefined,
         s"appendPages requires a fully materialized build at $outDir (missing $t)")
     }
@@ -573,9 +573,34 @@ object Incremental {
     nodesApplied
     }
 
+    val evidenceF = Future {
+    // same-as evidence rides with every batch: the takedown path
+    // (removePages) recomputes the canonical mapping from this table, so an
+    // append must keep it exactly what a full rebuild would extract. Rows
+    // are keyed (a, b, url), bucketed by a — the resume probe reads only the
+    // batch pairs' buckets.
+    val evDir = s"$outDir/sameas_evidence"
+    val evB = flatB.filter($"rowKind" === "t" && $"pred" === "same_as" && $"obj" >= 0)
+      .select($"subj".as("a"), $"obj".as("b"), $"url")
+      .dropDuplicates("a", "b", "url").localCheckpoint(true)
+    val nEv = evB.count()
+    val evApplied =
+      if (nEv == 0L) true
+      else {
+        val evOverlap = TableIO.read(spark, evDir, Some(bucketsOf(evB.select($"a"), "a")))
+          .join(evB, Seq("a", "b", "url"), "left_semi").count()
+        assert(evOverlap == 0 || evOverlap == nEv,
+          s"evidence table at $evDir holds a partial batch ($evOverlap of $nEv pairs)")
+        evOverlap == nEv
+      }
+    if (!evApplied) TableIO.appendBucketed(evB, evDir, col("a"), batchCounters, numBuckets)
+    evApplied && nEv > 0 // "skipped" = a genuine resume, not an empty batch
+    }
+
     val (tripApplied, tripleBucketsRewritten) = Await.result(triplesF, Duration.Inf)
     val (edgesApplied, edgeBucketsRewritten) = Await.result(edgesF, Duration.Inf)
     val nodesApplied = Await.result(nodesF, Duration.Inf)
+    val evApplied = Await.result(evidenceF, Duration.Inf)
 
     // ---- components: snapshot-swap LAST (the retry-convergence anchor).
     // Swap only when the batch actually CHANGED the mapping (merges or new
@@ -599,11 +624,314 @@ object Incremental {
     val skipped = Seq(
       if (tripApplied) Some("triples") else None,
       if (edgesApplied) Some("edges") else None,
-      if (nodesApplied) Some("nodes") else None).flatten
+      if (nodesApplied) Some("nodes") else None,
+      if (evApplied) Some("sameas_evidence") else None).flatten
     flatB.unpersist(false)
     oldComponents.unpersist(false)
     if (havePairs) components2.unpersist(false)
     AppendStats(nBatch, newMappingRows, remapN,
       tripleBucketsRewritten.size, edgeBucketsRewritten.size, skipped)
+  }
+
+  final case class RemoveStats(
+      pages: Long,        // batch pages actually removed (present ∩ lang)
+      deadPairs: Long,    // same-as pairs whose LAST evidence left the corpus
+      remappedIds: Long,  // entity ids whose canonical root changed/vanished
+      deadHosts: Long, deadDomains: Long, deadEntities: Long,
+      tripleBucketsRewritten: Int, // incl. the split-fallout rewrites
+      edgeBucketsRewritten: Int,
+      nodeBucketsRewritten: Int,
+      affectedUrls: Long) // surviving pages re-derived by the split fallout
+
+  /** Takedown propagation — the retraction increment (GDPR/DMCA removal at
+    * corpus scale): delete a batch of pages from a materialized build so
+    * every table equals a FULL REBUILD over the remaining corpus. The
+    * inverse of [[appendPages]], and the hard direction of canonicalization:
+    * a removed page can carry the LAST same-as evidence for an entity
+    * merge, which retroactively SPLITS a canonical component — and a split
+    * is not a function of the stored canonical value (two raw ids sharing a
+    * root diverge), so unlike the merge case it cannot be patched by a
+    * value remap or deferred to read time.
+    *
+    * Shape, fast path (no dead evidence — the common takedown):
+    *   - the batch's exact build-time rows are re-DERIVED by re-running the
+    *     deterministic extraction on the removed pages (O(batch)) — that IS
+    *     the delete manifest: every page-scoped key, candidate dimension id
+    *     and candidate same-as pair, with no tombstone bookkeeping to keep
+    *     in sync;
+    *   - triples/evidence: drop by url in the O(batch) buckets those urls
+    *     hash into ([[TableIO.rewriteBuckets]] — atomic manifest swap per
+    *     table, crash loses nothing);
+    *   - nodes/edges: drop page-scoped rows by their exact ids (page-scoped
+    *     id spaces are kind-prefixed hashes — an anti-join on id cannot
+    *     touch dimension rows); dimension rows (Host/Domain/Entity) die
+    *     only when their last referencing page leaves — host/domain
+    *     liveness probes read ONLY the candidates' buckets (IS_PAGE_OF /
+    *     IS_PARENT_HOST_OF are bucketed by the dimension id), entity
+    *     liveness is one column-pruned scan of LINKS_TO (bucketed by the
+    *     mention side; a 10^12-doc deployment would keep a per-entity
+    *     refcount sidecar — documented trade, same answer).
+    *
+    * Slow path (some candidate pair lost its last evidence): recompute CC
+    * over the SURVIVING pair set from the `sameas_evidence` side table —
+    * O(evidence), corpus-independent, exactly the full rebuild's input — и
+    * diff against the old mapping. Rows referencing a changed old root are
+    * found by one column-pruned triples scan, their pages re-extracted
+    * (from the caller-supplied remaining corpus) and their url buckets
+    * rewritten wholesale with the new mapping; SAME_AS edges and the
+    * components table follow as deltas/snapshot-swap.
+    *
+    * Crash/retry: idempotent. The page NODES are the presence anchor
+    * (deleted LAST): a retry first probes them — all gone means the removal
+    * completed (early no-op; negative manifest counters cannot double-
+    * subtract); still present means every step re-runs, and each step
+    * either detects it already applied (key probes find nothing) or
+    * converges (rewrites are replace-by-content; the components snapshot
+    * swaps only when the recomputed diff is nonempty, and the SAME_AS edge
+    * delta lands BEFORE the swap so a crash between them re-derives the
+    * same diff from the unchanged old mapping). A takedown list may carry
+    * never-crawled or already-removed urls — they restrict away against the
+    * presence probe and no-op. */
+  def removePages(spark: SparkSession, removedPages: Dataset[Page],
+                  remaining: Dataset[Page], outDir: String,
+                  nPersons: Int = 500, targetLang: String = "en",
+                  rules: Seq[PatternRule] = PatternAutomaton.DefaultRules,
+                  canonBroadcastCutover: Long = Pipeline.CanonBroadcastCutover,
+                  numBuckets: Int = TableIO.NumBuckets): RemoveStats = {
+    import spark.implicits._
+    import Schema.{EdgeKinds => EK}
+    Seq("triples", "nodes", "edges", "components", "sameas_evidence").foreach { tb =>
+      require(TableIO.readManifest(s"$outDir/$tb").isDefined,
+        s"removePages requires a fully materialized build at $outDir (missing $tb)")
+    }
+    // eager semantics: fold any pending deferred merge remap first (the
+    // eager-append rule) so the probes below can trust the physical bytes
+    compactMergeRemap(spark, outDir, numBuckets)
+    def bucketsOf(df: DataFrame, c: String): Set[Int] =
+      df.select(pmod(xxhash64(col(c)), lit(numBuckets)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+    // a using-columns join MOVES the join keys to the front — the rewritten
+    // buckets must keep the table's committed column order or readers of a
+    // patched table would see a different physical schema than a rebuild's
+    def keepOrder(df: DataFrame, like: Seq[String]): DataFrame =
+      df.select(like.map(col): _*)
+
+    val gaz = spark.sparkContext.broadcast(Pipeline.defaultGazetteer(nPersons))
+    val auto = spark.sparkContext.broadcast(PatternAutomaton.compile(rules))
+    val metrics = new ExtractMetrics(spark)
+    val flatR0 = TripleExtractor
+      .extractFlat(removedPages.filter($"lang" === targetLang), gaz, auto, metrics)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // presence anchor: restrict to pages actually IN the build
+    val nodesDir = s"$outDir/nodes"
+    val batchPageIds = flatR0.filter($"rowKind" === "p").select($"pageId".as("id"))
+    val presentPages = TableIO.read(spark, nodesDir, Some(bucketsOf(batchPageIds, "id")))
+      .filter(col("kind") === Schema.NodeKinds.Page)
+      .join(batchPageIds, Seq("id"), "left_semi")
+      .select(col("id").as("presentPid")).localCheckpoint(true)
+    val nPresent = presentPages.count()
+    if (nPresent == 0L) {
+      flatR0.unpersist(false)
+      return RemoveStats(0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    }
+    val flatR = flatR0.toDF()
+      .join(presentPages, flatR0("pageId") === col("presentPid"), "left_semi")
+      .as[graft.extract.FlatRow].persist(StorageLevel.MEMORY_AND_DISK)
+    val negCounters = Pipeline.flatCounters(flatR).map { case (k, v) => k -> -v }
+
+    val pRows = flatR.filter($"rowKind" === "p")
+      .select($"pageId", $"url", $"host", $"hostId").localCheckpoint(true)
+    val urls = pRows.select("url").localCheckpoint(true)
+    val pageIds = pRows.select($"pageId".as("id"))
+    val mentionIds = flatR.filter($"rowKind" === "m").select($"mentionId".as("id"))
+    val tripleNodeIds = flatR.filter($"rowKind" === "t" && $"tripleNodeId" =!= 0L)
+      .select($"tripleNodeId".as("id")).distinct()
+
+    // ---- triples: drop the batch urls' rows in their O(batch) buckets ----
+    val triplesDir = s"$outDir/triples"
+    val urlBuckets = bucketsOf(urls, "url")
+    val tripPresent = TableIO.read(spark, triplesDir, Some(urlBuckets))
+      .join(urls, Seq("url"), "left_semi").limit(1).count() > 0
+    val tripleBuckets1: Set[Int] =
+      if (!tripPresent) Set.empty
+      else {
+        val cur = TableIO.read(spark, triplesDir, Some(urlBuckets))
+        TableIO.rewriteBuckets(
+          keepOrder(cur.join(urls, Seq("url"), "left_anti"), cur.columns),
+          triplesDir, col("url"), urlBuckets, negCounters, numBuckets)
+        urlBuckets
+      }
+
+    // ---- evidence: drop batch rows, detect pairs whose LAST evidence left ----
+    val evDir = s"$outDir/sameas_evidence"
+    val candPairs = flatR.filter($"rowKind" === "t" && $"pred" === "same_as" && $"obj" >= 0)
+      .select($"subj".as("a"), $"obj".as("b")).distinct().localCheckpoint(true)
+    val deadPairsN =
+      if (candPairs.isEmpty) 0L
+      else {
+        val evBuckets = bucketsOf(candPairs.select("a"), "a")
+        val hasBatchRows = TableIO.read(spark, evDir, Some(evBuckets))
+          .join(urls, Seq("url"), "left_semi").limit(1).count() > 0
+        if (hasBatchRows) {
+          val cur = TableIO.read(spark, evDir, Some(evBuckets))
+          TableIO.rewriteBuckets(
+            keepOrder(cur.join(urls, Seq("url"), "left_anti"), cur.columns),
+            evDir, col("a"), evBuckets, negCounters, numBuckets)
+        }
+        val survivors = TableIO.read(spark, evDir, Some(evBuckets))
+          .select("a", "b").distinct()
+        candPairs.join(survivors, Seq("a", "b"), "left_anti").count()
+      }
+
+    // ---- canonical mapping refresh (slow path only) ----
+    val compDir = s"$outDir/components"
+    val oldC = TableIO.read(spark, compDir).persist(StorageLevel.MEMORY_AND_DISK)
+    val (changed, newC) =
+      if (deadPairsN == 0) (null: DataFrame, null: DataFrame)
+      else {
+        val pairs = TableIO.read(spark, evDir).select($"a", $"b").distinct()
+          .localCheckpoint(true)
+        val n = ConnectedComponents.auto(spark, pairs).persist(StorageLevel.MEMORY_AND_DISK)
+        // removal only shrinks the pair set, so every id in the new mapping
+        // exists in the old one: changed = old rows whose root moved or left
+        val ch = oldC
+          .join(n.withColumnRenamed("component", "newComp"), Seq("id"), "left")
+          .filter(!($"component" <=> $"newComp"))
+          .select($"id", $"component".as("oldComp"), $"newComp")
+          .localCheckpoint(true)
+        (ch, n)
+      }
+    val remappedN = if (changed == null) 0L else changed.count()
+
+    // ---- split fallout: re-derive affected surviving pages from source ----
+    val (falloutBuckets, nAffected) =
+      if (remappedN == 0) (Set.empty[Int], 0L)
+      else {
+        val changedVals = broadcast(changed.select($"oldComp".as("v")).distinct())
+        val t = TableIO.read(spark, triplesDir)
+        val affectedUrls = t
+          .join(changedVals, t("subj") === col("v") || t("obj") === col("v"), "left_semi")
+          .select("url").distinct()
+          .join(urls, Seq("url"), "left_anti")
+          .localCheckpoint(true)
+        val nAff = affectedUrls.count()
+        if (nAff == 0) (Set.empty[Int], 0L)
+        else {
+          val affPages = remaining.join(affectedUrls, Seq("url"), "left_semi").as[Page]
+          val flatA = TripleExtractor.extractFlat(affPages, gaz, auto, metrics)
+          val regenerated = Pipeline.canonicalizeTriples(flatA, newC, canonBroadcastCutover)
+          val affBuckets = bucketsOf(affectedUrls, "url")
+          val cur = TableIO.read(spark, triplesDir, Some(affBuckets))
+          val keep = keepOrder(cur.join(affectedUrls, Seq("url"), "left_anti"), cur.columns)
+          TableIO.rewriteBuckets(keep.unionByName(regenerated), triplesDir, col("url"),
+            affBuckets, Map.empty, numBuckets)
+          (affBuckets, nAff)
+        }
+      }
+
+    // ---- dimension liveness probes (candidate buckets only; batch rows
+    // excluded explicitly so a retry reads the same answer either side of
+    // the edges rewrite) ----
+    val edgesDir = s"$outDir/edges"
+    val hostCand = pRows.select($"hostId".as("h")).distinct().localCheckpoint(true)
+    val hostBuckets = bucketsOf(hostCand, "h")
+    val liveHosts = TableIO.read(spark, edgesDir, Some(hostBuckets))
+      .filter(col("kind") === EK.IsPageOf)
+      .join(hostCand.withColumnRenamed("h", "src"), Seq("src"), "left_semi")
+      .join(pageIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+      .select($"src".as("h")).distinct()
+    val deadHosts = hostCand.join(liveHosts, Seq("h"), "left_anti").localCheckpoint(true)
+    val nDeadHosts = deadHosts.count()
+
+    val domCand = Pipeline.hostDomainOf(pRows.toDF())
+      .join(deadHosts.withColumnRenamed("h", "hostId"), Seq("hostId"), "left_semi")
+      .select($"domainId".as("d")).distinct().localCheckpoint(true)
+    val domBuckets = if (nDeadHosts == 0) Set.empty[Int] else bucketsOf(domCand, "d")
+    val deadDoms =
+      if (nDeadHosts == 0) domCand.limit(0)
+      else {
+        val liveDoms = TableIO.read(spark, edgesDir, Some(domBuckets))
+          .filter(col("kind") === EK.IsParentHost)
+          .join(domCand.withColumnRenamed("d", "src"), Seq("src"), "left_semi")
+          .join(deadHosts.withColumnRenamed("h", "dst"), Seq("dst"), "left_anti")
+          .select($"src".as("d")).distinct()
+        domCand.join(liveDoms, Seq("d"), "left_anti").localCheckpoint(true)
+      }
+    val nDeadDoms = if (nDeadHosts == 0) 0L else deadDoms.count()
+
+    val entCand = flatR.filter($"rowKind" === "m" && $"entityId" >= 0)
+      .select($"entityNodeId".as("e")).distinct().localCheckpoint(true)
+    val liveEnts = TableIO.read(spark, edgesDir)
+      .filter(col("kind") === EK.LinksTo)
+      .join(entCand.withColumnRenamed("e", "dst"), Seq("dst"), "left_semi")
+      .join(mentionIds.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+      .select($"dst".as("e")).distinct()
+    val deadEnts = entCand.join(liveEnts, Seq("e"), "left_anti").localCheckpoint(true)
+    val nDeadEnts = deadEnts.count()
+
+    // ---- edges: one combined rewrite over every touched bucket ----
+    val srcIds = pageIds.unionByName(mentionIds).unionByName(tripleNodeIds)
+      .distinct().localCheckpoint(true)
+    val changedEntNodes =
+      if (remappedN == 0) null
+      else changed.select($"id").as[Long].map(Ids.entityNodeId).toDF("en")
+        .localCheckpoint(true)
+    val edgeBuckets = bucketsOf(srcIds, "id") ++ hostBuckets ++ domBuckets ++
+      (if (changedEntNodes == null) Set.empty[Int] else bucketsOf(changedEntNodes, "en"))
+    val eContent = TableIO.read(spark, edgesDir, Some(edgeBuckets))
+    val edgesNeedWork = changedEntNodes != null ||
+      eContent.join(srcIds.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .limit(1).count() > 0 ||
+      eContent.filter(col("kind") === EK.IsPageOf)
+        .join(pageIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .limit(1).count() > 0
+    if (edgesNeedWork) {
+      var keepE = eContent
+        .join(srcIds.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .join(pageIds.select($"id".as("dst")).withColumn("kind", lit(EK.IsPageOf)),
+          Seq("dst", "kind"), "left_anti")
+        .join(deadHosts.select($"h".as("dst")).withColumn("kind", lit(EK.IsParentHost)),
+          Seq("dst", "kind"), "left_anti")
+      if (changedEntNodes != null) {
+        keepE = keepE.join(
+          changedEntNodes.select($"en".as("src")).withColumn("kind", lit(EK.SameAs)),
+          Seq("src", "kind"), "left_anti")
+        val freshSameAs = changed.filter($"newComp".isNotNull)
+          .select($"id", $"newComp").as[(Long, Long)]
+          .map { case (id, c) =>
+            GraphEdge(Ids.entityNodeId(id), Ids.entityNodeId(c), EK.SameAs, null) }
+          .toDF().select(col("src"), col("dst"), col("kind"), col("variable"), col("label"))
+        keepE = keepE.unionByName(freshSameAs)
+      }
+      TableIO.rewriteBuckets(keepOrder(keepE, eContent.columns), edgesDir, col("src"),
+        edgeBuckets, negCounters, numBuckets)
+    }
+
+    // ---- components: snapshot-swap BEFORE the nodes anchor drops ----
+    if (remappedN > 0) {
+      val priorC = TableIO.readManifest(compDir).get.counters
+      val mergedC = (priorC.keySet ++ negCounters.keySet).map { k =>
+        k -> (priorC.getOrElse(k, 0L) + negCounters.getOrElse(k, 0L)) }.toMap
+      swapWrite(newC.toDF(), compDir, col("id"), mergedC, numBuckets)
+    }
+
+    // ---- nodes LAST: the presence anchor falls only when all else is done ----
+    val delNodeIds = pageIds.unionByName(mentionIds).unionByName(tripleNodeIds)
+      .unionByName(deadHosts.select($"h".as("id")))
+      .unionByName(deadDoms.select($"d".as("id")))
+      .unionByName(deadEnts.select($"e".as("id")))
+      .distinct().localCheckpoint(true)
+    val nodeBuckets = bucketsOf(delNodeIds, "id")
+    val curN = TableIO.read(spark, nodesDir, Some(nodeBuckets))
+    TableIO.rewriteBuckets(
+      keepOrder(curN.join(delNodeIds, Seq("id"), "left_anti"), curN.columns),
+      nodesDir, col("id"), nodeBuckets, negCounters, numBuckets)
+
+    flatR0.unpersist(false); flatR.unpersist(false); oldC.unpersist(false)
+    if (newC != null) newC.unpersist(false)
+    RemoveStats(nPresent, deadPairsN, remappedN, nDeadHosts, nDeadDoms, nDeadEnts,
+      (tripleBuckets1 ++ falloutBuckets).size, edgeBuckets.size, nodeBuckets.size,
+      nAffected)
   }
 }

@@ -26,6 +26,8 @@ object KgOracleSql {
   private val SCC = "read_parquet('{{ORA}}/scc/*.parquet')"
   private val BOWTIE = "read_parquet('{{ORA}}/bowtie/*.parquet')"
   private val SIG = "read_parquet('{{ORA}}/docsigs/*.parquet')"
+  private val CRM = "read_parquet('{{ORA}}/components_rm/*.parquet')"
+  private val RMU = "read_parquet('{{ORA}}/removed_urls/*.parquet')"
 
   /** Leaf CTEs shared by the graph-shaped oracles. */
   private val leaves =
@@ -184,6 +186,18 @@ object KgOracleSql {
     // (batch append, and the streaming foreachBatch ingest with redelivery)
     "kg_append_triples" -> canonicalTriplesSql,
     "st5_stream_ingest" -> canonicalTriplesSql,
+    // takedown propagation must equal the rebuild over the REMAINING corpus:
+    // same canonical-triples derivation, with rawtriples restricted to the
+    // surviving urls and the mapping recomputed by a union-find that never
+    // saw the removed pages' same-as evidence (components_rm)
+    "kg_remove_triples" ->
+      s"""WITH rt AS (SELECT * FROM $RT
+         |  WHERE url NOT IN (SELECT url FROM $RMU)),
+         |c AS (SELECT id, component FROM $CRM)
+         |SELECT DISTINCT coalesce(cs.component, rt.subj) AS subj, rt.pred AS pred,
+         |  coalesce(co.component, rt.obj) AS obj,
+         |  rt.objValue AS "objValue", rt.url AS url, CAST(1.0 AS DOUBLE) AS conf
+         |FROM rt LEFT JOIN c cs ON rt.subj = cs.id LEFT JOIN c co ON rt.obj = co.id""".stripMargin,
     "kg_nodes" ->
       s"""WITH $leaves
          |$nodesUnion""".stripMargin,

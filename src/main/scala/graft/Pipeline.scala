@@ -150,6 +150,21 @@ object Pipeline {
       .dropDuplicates("subj", "pred", "obj", "objValue", "url")
   }
 
+  /** Host dimension with its registrable domain: (hostId, host, domain,
+    * domainId), distinct per host. Registrable domain = last two host
+    * labels; dotless hosts (intranet names) are their own domain — slice(-2)
+    * on a 1-element array yields an empty string, which would collapse every
+    * such host under one bogus Domain node. Pure column exprs; shared by
+    * graphTables and the takedown path (Incremental.removePages must derive
+    * the SAME domain ids when deciding dimension-row liveness). */
+  private[graft] def hostDomainOf(p: DataFrame): DataFrame =
+    p.select("hostId", "host").distinct()
+      .withColumn("labels", split(col("host"), "\\."))
+      .withColumn("domain", when(size(col("labels")) < 2, col("host"))
+        .otherwise(array_join(slice(col("labels"), -2, 2), ".")))
+      .drop("labels")
+      .withColumn("domainId", xxhash64(lit("Domain"), col("domain")))
+
   /** Build the nodes/edges tables from the flat frame — column exprs only. */
   def graphTables(spark: SparkSession, flat: Dataset[FlatRow],
                   components: DataFrame): (DataFrame, DataFrame) = {
@@ -170,18 +185,9 @@ object Pipeline {
       map(lit("host"), $"host", lit("nSentences"), $"nSentences".cast("string")))(p.toDF())
 
     // domain level of the hierarchy (≙ Directory above File, C8
-    // `DirectoryTreeImporter.java:9-45`): registrable domain = last two
-    // host labels; derived with pure column exprs from the distinct hosts.
-    // hostNodes reuses THIS distinct (one host dedup, not two)
-    val hostDomain = p.select("hostId", "host").distinct()
-      .withColumn("labels", split($"host", "\\."))
-      // dotless hosts (intranet names) are their own domain — slice(-2) on a
-      // 1-element array yields an empty string, which would collapse every
-      // such host under one bogus Domain node
-      .withColumn("domain", when(size($"labels") < 2, $"host")
-        .otherwise(array_join(slice($"labels", -2, 2), ".")))
-      .drop("labels")
-      .withColumn("domainId", xxhash64(lit("Domain"), $"domain"))
+    // `DirectoryTreeImporter.java:9-45`): hostNodes reuses the helper's
+    // distinct (one host dedup, not two)
+    val hostDomain = hostDomainOf(p.toDF())
     val hostNodes = asNodes($"hostId", NK.Host, $"host", lit(0L), lit(0),
       map(lit("host"), $"host"))(hostDomain.select("hostId", "host"))
     val domainNodes = asNodes($"domainId", NK.Domain, $"domain", lit(0L), lit(0),
@@ -297,7 +303,21 @@ object Pipeline {
       // recompute (Incremental.applyRuleDiff) re-extracts only the touched
       // page buckets and must reuse THIS global mapping, not rebuild one
       // from the restricted page set
-      Future(TableIO.writeBucketed(t.components, s"$outDir/components", col("id"), counters)))
+      Future(TableIO.writeBucketed(t.components, s"$outDir/components", col("id"), counters)),
+      // same-as EVIDENCE (a, b, url): the raw pair occurrences the canonical
+      // mapping was computed FROM, with their page provenance. The mapping
+      // alone cannot answer "does this merge survive if page X is taken
+      // down?" — a root says nothing about which pages evidenced it — so
+      // takedown propagation (Incremental.removePages) needs the evidence
+      // table to recompute CC over the SURVIVING pairs in O(evidence), not
+      // O(corpus re-extraction). Evidence-sized (same_as rows only, ≪
+      // triples), bucketed by the pair's first id so a removal batch probes
+      // only the buckets its candidate pairs hash into.
+      Future(TableIO.writeBucketed(
+        t.flat.filter(col("rowKind") === "t" && col("pred") === "same_as" && col("obj") >= 0)
+          .select(col("subj").as("a"), col("obj").as("b"), col("url"))
+          .dropDuplicates("a", "b", "url"),
+        s"$outDir/sameas_evidence", col("a"), counters)))
     writes.foreach(Await.result(_, Duration.Inf))
     counters
   }

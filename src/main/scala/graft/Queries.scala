@@ -108,15 +108,23 @@ object Queries {
     "kg_nodes" -> ((s, d) => kg(s, d).nodes.drop("props")),
     "kg_edges" -> ((s, d) => kg(s, d).edges),
     // the flat frame carries url only on "p"/"t" rows (cache byte
-    // discipline); the mention view broadcast-joins it back via pageId —
-    // the page dim is |pages|-sized, orders of magnitude under the
-    // mention stream it annotates
+    // discipline); the mention view joins it back via pageId — the page dim
+    // is |pages|-sized, orders of magnitude under the mention stream it
+    // annotates, so it broadcasts while it fits; past the same cutover the
+    // canonical-map join uses (the 10^12-doc regime where a |pages|-row
+    // broadcast would kill the driver) the hint is dropped and the join
+    // shuffles on pageId. The corpus size is config-known driver-side —
+    // no probe job needed
     "kg_mentions" -> ((s, d) => {
       val t = kg(s, d)
       val pageUrl = t.flat.filter(col("rowKind") === "p").select(col("pageId"), col("url"))
+      val pageDim =
+        if (kgPages(d) <= Pipeline.CanonBroadcastCutover)
+          org.apache.spark.sql.functions.broadcast(pageUrl)
+        else pageUrl
       t.flat.filter(col("rowKind") === "m")
         .select("pageId", "mentionId", "surface", "norm", "entityId")
-        .join(org.apache.spark.sql.functions.broadcast(pageUrl), Seq("pageId"))
+        .join(pageDim, Seq("pageId"))
         .select("pageId", "url", "mentionId", "surface", "norm", "entityId")
     }),
     "kg_pages" -> ((s, d) => kg(s, d).flat
@@ -135,6 +143,26 @@ object Queries {
         s.range(split, c.nPages.toLong).map(i => PageGen.page(c, i)), dir, c.nPersons)
       // detach the result from the temp build (blocks, not files) so the
       // whole throwaway table can be reclaimed NOW, not on tmp cleanup
+      val out = graft.store.TableIO.read(s, s"$dir/triples").localCheckpoint(true)
+      graft.store.TableIO.deleteRecursively(dir)
+      out
+    }),
+    // takedown propagation (Incremental.removePages): materialize the FULL
+    // corpus, remove the tail 20% as a takedown batch — which retracts
+    // same-as evidence and SPLITS canonical components — and read the
+    // committed table back. Oracled against a DuckDB derivation whose
+    // union-find never saw the removed pages (components_rm), so the driver
+    // gate checks remove ≡ rebuild-on-remaining hash-exactly
+    "kg_remove_triples" -> ((s, d) => {
+      val c = PageGen.Config(nPages = kgPages(d))
+      val split = appendSplit(d)
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-remove").toString
+      Pipeline.materialize(s, kg(s, d), dir) // reuses the session-cached build
+      Incremental.removePages(s,
+        s.range(split, c.nPages.toLong).map(i => PageGen.page(c, i)),
+        s.range(0L, split).map(i => PageGen.page(c, i)),
+        dir, c.nPersons)
       val out = graft.store.TableIO.read(s, s"$dir/triples").localCheckpoint(true)
       graft.store.TableIO.deleteRecursively(dir)
       out

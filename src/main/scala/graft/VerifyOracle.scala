@@ -79,6 +79,7 @@ object VerifyOracle {
                                 objValue: String, sentIdx: Int, conf: Double, tripleNodeId: Long,
                                 subjMentionId: Long, objMentionId: Long)
   final case class OraComp(id: Long, component: Long, idNode: Long, compNode: Long)
+  final case class OraUrl(url: String)
   final case class OraCore(id: Long, deg: Long)
   final case class OraScc(id: Long, scc: Long)
   final case class OraBowtie(id: Long, region: String)
@@ -166,6 +167,13 @@ object VerifyOracle {
     val gaz = Pipeline.defaultGazetteer(cfg.nPersons)
     val auto = PatternAutomaton.compile(PatternAutomaton.DefaultRules)
     val uf = new LocalUnionFind
+    // takedown-oracle twins: kg_remove_triples removes the corpus tail
+    // (page index ≥ appendSplit) from a full build, so the oracle needs the
+    // REMAINING corpus's canonical mapping (union-find over only the head
+    // pages' same-as evidence) and the removed urls to filter rawtriples by
+    val rmSplit = Queries.appendSplit(sfDir)
+    val ufRm = new LocalUnionFind
+    val removedUrls = Vector.newBuilder[OraUrl]
 
     val pages = Vector.newBuilder[OraPage]
     val mentions = Vector.newBuilder[OraMention]
@@ -184,8 +192,14 @@ object VerifyOracle {
             if (idx + 1 < marr.length) marr(idx + 1).mentionId else 0L,
             m.tokStart, m.tokEnd)
         }
+        if (i >= rmSplit) removedUrls += OraUrl(ex.url)
         ex.triples.foreach { t =>
-          if (t.pred == "same_as") { if (t.obj >= 0) uf.union(t.subj, t.obj) }
+          if (t.pred == "same_as") {
+            if (t.obj >= 0) {
+              uf.union(t.subj, t.obj)
+              if (i < rmSplit) ufRm.union(t.subj, t.obj)
+            }
+          }
           else triples += OraRawTriple(ex.pageId, ex.url, t.subj, t.pred, t.obj, t.objValue,
             t.sentIdx, t.conf, Ids.tripleNodeId(t.subjMentionId, t.pred, t.objMentionId, t.objValue),
             t.subjMentionId, t.objMentionId)
@@ -358,6 +372,10 @@ object VerifyOracle {
     write("mentions", mentionsV)
     write("rawtriples", triplesV)
     write("components", comps)
+    write("components_rm", ufRm.components.toSeq.sortBy(_._1).map { case (id, c) =>
+      OraComp(id, c, Ids.entityNodeId(id), Ids.entityNodeId(c))
+    })
+    write("removed_urls", removedUrls.result())
     write("kcore", kcore)
     write("scc", sccDump)
     write("bowtie", bowtieDump)

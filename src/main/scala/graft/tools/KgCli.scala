@@ -23,6 +23,9 @@ import graft.store.TableIO
   *   import-ref <nodes.csv> <edges.csv>  ≙ joern-import for a REAL reference
   *                                      CSV export (TSV interchange format)
   *   ingest <pages.parquet>           corpus-growth append (appendPages)
+  *   remove <removed.parquet> <remaining.parquet>  takedown propagation
+  *                                      (removePages: delete pages so every
+  *                                      table equals a rebuild on the rest)
   *   snapshots                        readAt-servable snapshot ids per table
   *   compact                          collapse append-fragmented buckets
   *   expire <keepLast>                snapshot retention (reclaims files)
@@ -82,11 +85,36 @@ object KgCli {
           ("tripleBucketsRewritten", st.tripleBucketsRewritten.toLong),
           ("edgeBucketsRewritten", st.edgeBucketsRewritten.toLong),
           ("skippedTables", st.skippedTables.size.toLong)).toDF("counter", "value")
+      case "remove" =>
+        // takedown propagation (the retraction increment): drop a pages
+        // parquet from the build so every table equals a rebuild on the
+        // remaining corpus — Incremental.removePages. args =
+        // <removedPagesParquet> <remainingPagesParquet> (the second feeds
+        // the split-fallout re-derivation when the batch carried the last
+        // same-as evidence of an entity merge)
+        import spark.implicits._
+        def pagesAt(p: String) = spark.read.parquet(p)
+          .select(col("url"), col("warc_ts").cast("timestamp").as("warc_ts"),
+            col("html"), col("text"), col("lang"))
+          .as[graft.model.Page]
+        val st = graft.Incremental.removePages(
+          spark, pagesAt(args(0)), pagesAt(args(1)), tablesDir)
+        Seq(
+          ("pages", st.pages),
+          ("deadPairs", st.deadPairs),
+          ("remappedIds", st.remappedIds),
+          ("deadHosts", st.deadHosts),
+          ("deadDomains", st.deadDomains),
+          ("deadEntities", st.deadEntities),
+          ("tripleBucketsRewritten", st.tripleBucketsRewritten.toLong),
+          ("edgeBucketsRewritten", st.edgeBucketsRewritten.toLong),
+          ("nodeBucketsRewritten", st.nodeBucketsRewritten.toLong),
+          ("affectedUrls", st.affectedUrls)).toDF("counter", "value")
       case "snapshots" =>
         // snapshot history across the build's tables (readAt-servable ids)
         import spark.implicits._
         (for {
-          tbl <- Seq("triples", "nodes", "edges", "components")
+          tbl <- Seq("triples", "nodes", "edges", "components", "sameas_evidence")
           sid <- TableIO.snapshots(s"$tablesDir/$tbl")
         } yield (tbl, sid)).toDF("table", "snapshotId")
       case "compact" =>
@@ -96,7 +124,8 @@ object KgCli {
         // append-fragmented files
         val (rt, re) = graft.Incremental.compactMergeRemap(spark, tablesDir)
         (Seq("triples" -> col("url"), "nodes" -> col("id"),
-          "edges" -> col("src"), "components" -> col("id"))
+          "edges" -> col("src"), "components" -> col("id"),
+          "sameas_evidence" -> col("a"))
           .map { case (tbl, key) =>
             (tbl, TableIO.compact(spark, s"$tablesDir/$tbl", key).size.toLong) }
           :+ ("remapFoldedBuckets", (rt.size + re.size).toLong))
@@ -104,7 +133,7 @@ object KgCli {
       case "expire" =>
         import spark.implicits._
         val keep = args(0).toInt
-        Seq("triples", "nodes", "edges", "components").map { tbl =>
+        Seq("triples", "nodes", "edges", "components", "sameas_evidence").map { tbl =>
           TableIO.expireSnapshots(s"$tablesDir/$tbl", keep)
           (tbl, TableIO.snapshots(s"$tablesDir/$tbl").size.toLong)
         }.toDF("table", "snapshotsLeft")

@@ -307,6 +307,8 @@ class CliSpec extends AnyFunSuite with Matchers {
     val t = Pipeline.run(spark, PageGen.pages(spark, base), base.nPersons)
     Pipeline.materialize(spark, t, d)
     t.flatEnc.unpersist(false); t.components.unpersist(false)
+    val preIngest = graft.store.TableIO.read(spark, s"$d/triples")
+      .collect().map(_.toString).sorted.toSeq
     // the crawl batch arrives as a pages parquet (the production shape)
     val full = PageGen.Config(nPages = 80)
     spark.range(60L, 80L).map(i => PageGen.page(full, i))
@@ -318,7 +320,7 @@ class CliSpec extends AnyFunSuite with Matchers {
     // the three appended tables carry history (base build + append);
     // components is snapshot-SWAPPED — a fresh table, one snapshot
     val snaps = KgCli.run(spark, d, "snapshots", Nil)
-    snaps.select("table").distinct().count() shouldBe 4L
+    snaps.select("table").distinct().count() shouldBe 5L
     snaps.count() should be >= 7L
     // the append fragmented buckets -> compact collapses them
     val compacted = KgCli.run(spark, d, "compact", Nil)
@@ -328,8 +330,18 @@ class CliSpec extends AnyFunSuite with Matchers {
     val left = KgCli.run(spark, d, "expire", Seq("0")).collect()
     left.foreach(_.getLong(1) shouldBe 1L)
     graft.store.TableIO.read(spark, s"$d/triples").count() should be > 0L
+    // takedown of the just-ingested batch via the remove verb: the build
+    // must round-trip bit-exactly to its pre-ingest triples (remove ≡
+    // rebuild on the remaining corpus = the original base build)
+    spark.range(0L, 60L).map(i => PageGen.page(base, i)).write.parquet(s"$d-rest")
+    val rm = KgCli.run(spark, d, "remove", Seq(s"$d-batch", s"$d-rest"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rm("pages") should be > 0L
+    graft.store.TableIO.read(spark, s"$d/triples")
+      .collect().map(_.toString).sorted.toSeq shouldBe preIngest
     graft.store.TableIO.deleteRecursively(d)
     graft.store.TableIO.deleteRecursively(s"$d-batch")
+    graft.store.TableIO.deleteRecursively(s"$d-rest")
   }
 
   test("TSV rendering escapes tabs/newlines and folds maps") {

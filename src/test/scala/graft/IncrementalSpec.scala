@@ -122,7 +122,7 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
     // crash/retry convergence: re-sending the SAME batch is detected per
     // table (all-or-nothing key overlap) and skipped; nothing changes
     val again = Incremental.appendPages(spark, range(60, 90), dir, c.nPersons)
-    again.skippedTables.toSet shouldBe Set("triples", "edges", "nodes")
+    again.skippedTables.toSet shouldBe Set("triples", "edges", "nodes", "sameas_evidence")
     again.remappedIds shouldBe 0L
     sortedRows(TableIO.read(spark, s"$dir/triples")) shouldBe wantTriples
     sortedRows(TableIO.read(spark, s"$dir/edges")) shouldBe wantEdges
@@ -132,6 +132,93 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
     intercept[IllegalArgumentException] {
       Incremental.appendPages(spark, range(85, 95), dir, c.nPersons)
     }
+    TableIO.deleteRecursively(dir)
+  }
+
+  test("removePages: takedown equals a full rebuild on the remaining corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rm").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-rm-want").toString
+    val c = PageGen.Config(nPages = 90)
+    def range(lo: Long, hi: Long) = spark.range(lo, hi).map(i => PageGen.page(c, i))
+
+    val t0 = Pipeline.run(spark, range(0, 90), c.nPersons)
+    Pipeline.materialize(spark, t0, dir)
+    t0.flatEnc.unpersist(false); t0.components.unpersist(false)
+
+    // take down pages [60, 90) — the appendPages spec proves this exact
+    // slice carries same-as evidence that MERGED components, so its removal
+    // must SPLIT them back: the hard (non-functional-remap) direction
+    val stats = Incremental.removePages(spark, range(60, 90), range(0, 60), dir, c.nPersons)
+    stats.pages should be > 0L
+    stats.deadPairs should be > 0L     // the slice's evidence actually left
+    stats.remappedIds should be > 0L   // and the mapping actually split
+    stats.tripleBucketsRewritten should be > 0
+
+    // ground truth: a from-scratch build over the remaining 60 pages —
+    // every table, including the evidence sidecar, must match bit-exactly
+    val t1 = Pipeline.run(spark, range(0, 60), c.nPersons)
+    Pipeline.materialize(spark, t1, dir2)
+    t1.flatEnc.unpersist(false); t1.components.unpersist(false)
+    Seq("triples", "nodes", "edges", "components", "sameas_evidence").foreach { tb =>
+      withClue(tb) {
+        sortedRows(TableIO.read(spark, s"$dir/$tb")) shouldBe
+          sortedRows(TableIO.read(spark, s"$dir2/$tb"))
+      }
+    }
+
+    // idempotent retry: the presence anchor (page nodes) is gone, so a
+    // redelivered takedown no-ops — no table changes, no double-subtracted
+    // manifest counters
+    val again = Incremental.removePages(spark, range(60, 90), range(0, 60), dir, c.nPersons)
+    again.pages shouldBe 0L
+    again.remappedIds shouldBe 0L
+    sortedRows(TableIO.read(spark, s"$dir/triples")) shouldBe
+      sortedRows(TableIO.read(spark, s"$dir2/triples"))
+
+    // a takedown list of never-crawled urls is a clean no-op, not an error
+    val unknown = Incremental.removePages(spark, range(200, 210), range(0, 60), dir, c.nPersons)
+    unknown.pages shouldBe 0L
+
+    TableIO.deleteRecursively(dir); TableIO.deleteRecursively(dir2)
+  }
+
+  test("removePages fast path: no dead evidence means no mapping churn") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rm-fast").toString
+    val c = PageGen.Config(nPages = 90)
+    def range(lo: Long, hi: Long) = spark.range(lo, hi).map(i => PageGen.page(c, i))
+    val t0 = Pipeline.run(spark, range(0, 90), c.nPersons)
+    Pipeline.materialize(spark, t0, dir)
+    t0.flatEnc.unpersist(false); t0.components.unpersist(false)
+    val before = sortedRows(TableIO.read(spark, s"$dir/components"))
+
+    // a batch with no same-as evidence at all cannot touch the mapping:
+    // pick pages that extracted zero same_as pairs (query the evidence
+    // table's urls and remove pages OUTSIDE it)
+    val evUrls = TableIO.read(spark, s"$dir/sameas_evidence")
+      .select("url").distinct().collect().map(_.getString(0)).toSet
+    val allPages = (0L until 90L).map(i => PageGen.page(c, i))
+    val quiet = allPages.filter(p => p.lang == "en" && !evUrls.contains(p.url)).take(5)
+    assume(quiet.nonEmpty) // PageGen at 90 pages always has evidence-free pages
+    val quietIdx = quiet.map(p => allPages.indexWhere(_.url == p.url).toLong)
+    val batch = spark.createDataset(quiet)
+    val rest = spark.range(0, 90).filter(i => !quietIdx.contains(i))
+      .map(i => PageGen.page(c, i))
+
+    val stats = Incremental.removePages(spark, batch, rest, dir, c.nPersons)
+    stats.pages shouldBe quiet.size.toLong
+    stats.deadPairs shouldBe 0L
+    stats.remappedIds shouldBe 0L
+    stats.affectedUrls shouldBe 0L // no surviving page was re-derived
+    sortedRows(TableIO.read(spark, s"$dir/components")) shouldBe before
+
+    // equivalence with the rebuild on what remains
+    val t1 = Pipeline.run(spark, rest, c.nPersons)
+    sortedRows(TableIO.read(spark, s"$dir/triples")) shouldBe sortedRows(t1.triples)
+    sortedRows(TableIO.read(spark, s"$dir/nodes")) shouldBe sortedRows(t1.nodes)
+    sortedRows(TableIO.read(spark, s"$dir/edges")) shouldBe sortedRows(t1.edges)
+    t1.flatEnc.unpersist(false); t1.components.unpersist(false)
     TableIO.deleteRecursively(dir)
   }
 
