@@ -233,6 +233,14 @@ object Incremental {
       TableIO.invalidateBuckets(s"$outDir/components", (0 until numBuckets).toSet)
       TableIO.writeBucketed(t.components, s"$outDir/components", col("id"),
         Map("ruleDiffTouchedBuckets" -> touched.size.toLong), numBuckets)
+      // the evidence sidecar derives from the same_as rows — refresh it in
+      // lockstep or a later removePages would recompute a stale mapping
+      val evDir = s"$outDir/sameas_evidence"
+      if (TableIO.readManifest(evDir).isDefined) {
+        TableIO.invalidateBuckets(evDir, (0 until numBuckets).toSet)
+        TableIO.writeBucketed(Pipeline.sameAsEvidence(t.flat), evDir, col("a"),
+          Map("ruleDiffTouchedBuckets" -> touched.size.toLong), numBuckets)
+      }
     }
     patchGraphTables(spark, t, outDir, sameAsChanged, touched.size.toLong, numBuckets)
     t.flatEnc.unpersist(false)
@@ -580,9 +588,7 @@ object Incremental {
     // are keyed (a, b, url), bucketed by a — the resume probe reads only the
     // batch pairs' buckets.
     val evDir = s"$outDir/sameas_evidence"
-    val evB = flatB.filter($"rowKind" === "t" && $"pred" === "same_as" && $"obj" >= 0)
-      .select($"subj".as("a"), $"obj".as("b"), $"url")
-      .dropDuplicates("a", "b", "url").localCheckpoint(true)
+    val evB = Pipeline.sameAsEvidence(flatB).localCheckpoint(true)
     val nEv = evB.count()
     val evApplied =
       if (nEv == 0L) true

@@ -313,14 +313,19 @@ object Pipeline {
       // O(corpus re-extraction). Evidence-sized (same_as rows only, ≪
       // triples), bucketed by the pair's first id so a removal batch probes
       // only the buckets its candidate pairs hash into.
-      Future(TableIO.writeBucketed(
-        t.flat.filter(col("rowKind") === "t" && col("pred") === "same_as" && col("obj") >= 0)
-          .select(col("subj").as("a"), col("obj").as("b"), col("url"))
-          .dropDuplicates("a", "b", "url"),
+      Future(TableIO.writeBucketed(sameAsEvidence(t.flat),
         s"$outDir/sameas_evidence", col("a"), counters)))
     writes.foreach(Await.result(_, Duration.Inf))
     counters
   }
+
+  /** Same-as evidence rows (a, b, url) from a flat frame — ONE projection
+    * shared by materialize, appendPages and the same_as rule-diff refresh,
+    * so the sidecar can never drift from what a rebuild would write. */
+  private[graft] def sameAsEvidence(flat: Dataset[FlatRow]): DataFrame =
+    flat.filter(col("rowKind") === "t" && col("pred") === "same_as" && col("obj") >= 0)
+      .select(col("subj").as("a"), col("obj").as("b"), col("url"))
+      .dropDuplicates("a", "b", "url")
 
   /** Lineage counters from the flat extraction frame (one aggregation job). */
   def flatCounters(flat: Dataset[FlatRow]): Map[String, Long] = {

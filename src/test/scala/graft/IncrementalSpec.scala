@@ -306,6 +306,10 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
     val t1 = Pipeline.run(spark, pages, cfg.nPersons, rules = noSameAs)
     sortedRows(TableIO.read(spark, s"$dir/triples")) shouldBe sortedRows(t1.triples)
     sortedRows(TableIO.read(spark, s"$dir/components")) shouldBe sortedRows(t1.components.toDF())
+    // the evidence sidecar was refreshed in lockstep (no same_as rule ->
+    // empty), so a later removePages cannot recompute a stale mapping
+    sortedRows(TableIO.read(spark, s"$dir/sameas_evidence")) shouldBe
+      sortedRows(Pipeline.sameAsEvidence(t1.flat))
     t1.flatEnc.unpersist(false); t1.components.unpersist(false)
     TableIO.deleteRecursively(dir)
   }
