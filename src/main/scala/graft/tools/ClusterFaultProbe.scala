@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
   */
 object ClusterFaultProbe {
 
-  private def executorPids(appId: String): Seq[Int] =
+  private[tools] def executorPids(appId: String): Seq[Int] =
     new java.io.File("/proc").listFiles().toSeq
       .filter(f => f.getName.forall(_.isDigit))
       .filter { f =>
