@@ -108,6 +108,53 @@ object Incremental {
     stale
   }
 
+  /** Deterministic batch tag: xor of the batch's page-url hashes — the same
+    * batch (even redelivered or re-deduped) always produces the same tag. */
+  private def batchTag(flatB: DataFrame): String = {
+    val r = flatB.filter(col("rowKind") === "p")
+      .agg(expr("bit_xor(xxhash64(url))")).head()
+    java.lang.Long.toHexString(if (r.isNullAt(0)) 0L else r.getLong(0))
+  }
+
+  /** Append signed entity-refcount deltas EXACTLY ONCE. Deltas are not
+    * idempotent by key (existing entities already have rows), so
+    * exactly-once rests on a per-batch MARKER in the manifest counters:
+    * addCounters sum-merges by key, a fresh key is an insert, and the
+    * manifest commit is atomic with the data files — a redelivered batch
+    * sees its marker and skips. Returns true when the marker was already
+    * present (a resume). */
+  private def appendRefDeltas(spark: SparkSession, outDir: String,
+                              deltas: DataFrame, marker: String,
+                              numBuckets: Int): Boolean = {
+    val dir = s"$outDir/entity_refcounts"
+    val applied = TableIO.readManifest(dir).exists(_.counters.contains(marker))
+    if (!applied) {
+      val d = deltas.localCheckpoint(true)
+      // an entity-free batch re-derives the same empty delta on any retry —
+      // no marker needed, and committing one would be a pointless snapshot
+      if (!d.isEmpty)
+        TableIO.appendBucketed(d, dir, col("id"), Map(marker -> 1L), numBuckets)
+    }
+    applied
+  }
+
+  /** Maintenance fold for the refcount delta log (the compact-verb family):
+    * collapse to one row per entity (sum of signed deltas), dropping
+    * zero-count entities — aggregate-equivalent by construction. The
+    * manifest counters (incl. every batch marker) carry over through the
+    * snapshot swap, so exactly-once holds across a fold. */
+  def foldRefcounts(spark: SparkSession, outDir: String,
+                    numBuckets: Int = TableIO.NumBuckets): Long = {
+    val dir = s"$outDir/entity_refcounts"
+    val m = TableIO.readManifest(dir)
+    if (m.isEmpty) return 0L
+    val folded = TableIO.read(spark, dir).groupBy("id")
+      .agg(sum("n").as("n")).filter(col("n") =!= 0L)
+      .localCheckpoint(true)
+    swapWrite(folded, dir, col("id"), m.get.counters, numBuckets)
+    folded.count()
+  }
+
   /** Entity-id remap lifted to the SAME_AS node-id space (merge-sized). */
   private def nodeRemap(spark: SparkSession, r: DataFrame): DataFrame = {
     import spark.implicits._
@@ -382,7 +429,8 @@ object Incremental {
                   deferMergeRewrite: Boolean = false): AppendStats = {
     import spark.implicits._
     import Schema.{EdgeKinds => EK, NodeKinds => NK}
-    Seq("triples", "nodes", "edges", "components", "sameas_evidence").foreach { t =>
+    Seq("triples", "nodes", "edges", "components", "sameas_evidence",
+        "entity_refcounts").foreach { t =>
       require(TableIO.readManifest(s"$outDir/$t").isDefined,
         s"appendPages requires a fully materialized build at $outDir (missing $t)")
     }
@@ -603,10 +651,22 @@ object Incremental {
     evApplied && nEv > 0 // "skipped" = a genuine resume, not an empty batch
     }
 
+    val refcountF = Future {
+    // entity refcount delta log: the batch's per-entity mention counts
+    // append as positive deltas. Deltas are NOT idempotent by key (existing
+    // entities already have rows), so exactly-once rests on a per-batch
+    // MARKER in the manifest counters: addCounters sum-merges by key, a
+    // fresh key is an insert, and the manifest commit is atomic with the
+    // data files — a redelivered batch sees its marker and skips.
+    appendRefDeltas(spark, outDir, Pipeline.entityRefDeltas(flatB),
+      "batch_" + batchTag(flatB.toDF()), numBuckets)
+    }
+
     val (tripApplied, tripleBucketsRewritten) = Await.result(triplesF, Duration.Inf)
     val (edgesApplied, edgeBucketsRewritten) = Await.result(edgesF, Duration.Inf)
     val nodesApplied = Await.result(nodesF, Duration.Inf)
     val evApplied = Await.result(evidenceF, Duration.Inf)
+    Await.result(refcountF, Duration.Inf)
 
     // ---- components: snapshot-swap LAST (the retry-convergence anchor).
     // Swap only when the batch actually CHANGED the mapping (merges or new
@@ -673,10 +733,10 @@ object Incremental {
     *     touch dimension rows); dimension rows (Host/Domain/Entity) die
     *     only when their last referencing page leaves — host/domain
     *     liveness probes read ONLY the candidates' buckets (IS_PAGE_OF /
-    *     IS_PARENT_HOST_OF are bucketed by the dimension id), entity
-    *     liveness is one column-pruned scan of LINKS_TO (bucketed by the
-    *     mention side; a 10^12-doc deployment would keep a per-entity
-    *     refcount sidecar — documented trade, same answer).
+    *     IS_PARENT_HOST_OF are bucketed by the dimension id), and entity
+    *     liveness reads the candidates' buckets of the `entity_refcounts`
+    *     delta log (post-batch sum == 0 ⇒ dead) — every step O(batch), no
+    *     corpus-wide scan anywhere on this path.
     *
     * Slow path (some candidate pair lost its last evidence): recompute CC
     * over the SURVIVING pair set from the `sameas_evidence` side table —
@@ -706,7 +766,8 @@ object Incremental {
                   numBuckets: Int = TableIO.NumBuckets): RemoveStats = {
     import spark.implicits._
     import Schema.{EdgeKinds => EK}
-    Seq("triples", "nodes", "edges", "components", "sameas_evidence").foreach { tb =>
+    Seq("triples", "nodes", "edges", "components", "sameas_evidence",
+        "entity_refcounts").foreach { tb =>
       require(TableIO.readManifest(s"$outDir/$tb").isDefined,
         s"removePages requires a fully materialized build at $outDir (missing $tb)")
     }
@@ -745,6 +806,13 @@ object Incremental {
       .join(presentPages, flatR0("pageId") === col("presentPid"), "left_semi")
       .as[graft.extract.FlatRow].persist(StorageLevel.MEMORY_AND_DISK)
     val negCounters = Pipeline.flatCounters(flatR).map { case (k, v) => k -> -v }
+
+    // refcount deltas FIRST (exactly-once via the batch marker): dimension
+    // liveness below is defined on POST-batch sums, so retries on either
+    // side of this append read the same answer
+    appendRefDeltas(spark, outDir,
+      Pipeline.entityRefDeltas(flatR).select(col("id"), (-col("n")).as("n")),
+      "takedown_" + batchTag(flatR.toDF()), numBuckets)
 
     val pRows = flatR.filter($"rowKind" === "p")
       .select($"pageId", $"url", $"host", $"hostId").localCheckpoint(true)
@@ -866,14 +934,21 @@ object Incremental {
       }
     val nDeadDoms = if (nDeadHosts == 0) 0L else deadDoms.count()
 
+    // entity liveness via the refcount delta log: the batch's negative
+    // deltas landed above, so an entity is dead iff its post-batch mention
+    // count sums to ZERO. Reads only the candidates' buckets — this
+    // replaced a corpus-wide LINKS_TO scan, the last corpus-linear step on
+    // the takedown fast path.
     val entCand = flatR.filter($"rowKind" === "m" && $"entityId" >= 0)
-      .select($"entityNodeId".as("e")).distinct().localCheckpoint(true)
-    val liveEnts = TableIO.read(spark, edgesDir)
-      .filter(col("kind") === EK.LinksTo)
-      .join(entCand.withColumnRenamed("e", "dst"), Seq("dst"), "left_semi")
-      .join(mentionIds.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
-      .select($"dst".as("e")).distinct()
-    val deadEnts = entCand.join(liveEnts, Seq("e"), "left_anti").localCheckpoint(true)
+      .select($"entityId".as("id"), $"entityNodeId".as("e")).distinct()
+      .localCheckpoint(true)
+    val liveIds = TableIO.read(spark, s"$outDir/entity_refcounts",
+        Some(bucketsOf(entCand, "id")))
+      .join(entCand.select("id"), Seq("id"), "left_semi")
+      .groupBy("id").agg(sum($"n").as("n")).filter($"n" > 0)
+      .select("id")
+    val deadEnts = entCand.join(liveIds, Seq("id"), "left_anti")
+      .select($"e").localCheckpoint(true)
     val nDeadEnts = deadEnts.count()
 
     // ---- edges: one combined rewrite over every touched bucket ----

@@ -314,7 +314,11 @@ object Pipeline {
       // triples), bucketed by the pair's first id so a removal batch probes
       // only the buckets its candidate pairs hash into.
       Future(TableIO.writeBucketed(sameAsEvidence(t.flat),
-        s"$outDir/sameas_evidence", col("a"), counters)))
+        s"$outDir/sameas_evidence", col("a"), counters)),
+      // entity refcount delta log (see entityRefDeltas): the build writes
+      // the initial counts as one snapshot; increments append signed deltas
+      Future(TableIO.writeBucketed(entityRefDeltas(t.flat),
+        s"$outDir/entity_refcounts", col("id"), counters)))
     writes.foreach(Await.result(_, Duration.Inf))
     counters
   }
@@ -326,6 +330,18 @@ object Pipeline {
     flat.filter(col("rowKind") === "t" && col("pred") === "same_as" && col("obj") >= 0)
       .select(col("subj").as("a"), col("obj").as("b"), col("url"))
       .dropDuplicates("a", "b", "url")
+
+  /** Per-entity mention counts from a flat frame: (id = raw entityId, n).
+    * The entity_refcounts DELTA LOG's row source — the full build writes one
+    * snapshot of these, each append adds them as positive deltas, each
+    * takedown as negative ones; sum(n) per id is the live mention count.
+    * Entity-dimension liveness ("did this batch remove the LAST page
+    * mentioning e?") then reads only the candidates' buckets instead of
+    * scanning LINKS_TO corpus-wide — the step that made increments linear
+    * in corpus size at 10^12 docs. */
+  private[graft] def entityRefDeltas(flat: Dataset[FlatRow]): DataFrame =
+    flat.filter(col("rowKind") === "m" && col("entityId") >= 0)
+      .groupBy(col("entityId").as("id")).agg(count(lit(1)).as("n"))
 
   /** Lineage counters from the flat extraction frame (one aggregation job). */
   def flatCounters(flat: Dataset[FlatRow]): Map[String, Long] = {

@@ -42,11 +42,18 @@ object IngestFaultProbe {
     } finally walk.close()
   }
 
-  private val Tables = Seq("triples", "nodes", "edges", "components", "sameas_evidence")
+  private val Tables = Seq("triples", "nodes", "edges", "components",
+    "sameas_evidence", "entity_refcounts")
 
-  /** Order-free content fingerprint per table: (xor of row hashes, rows). */
+  /** Order-free content fingerprint per table: (xor of row hashes, rows).
+    * The refcount DELTA LOG is aggregate-equivalent, not byte-equivalent —
+    * fingerprint its folded view (sum per entity, zeros dropped). */
   private def tableHash(spark: SparkSession, dir: String, tbl: String): (Long, Long) = {
-    val df = TableIO.read(spark, s"$dir/$tbl")
+    val raw = TableIO.read(spark, s"$dir/$tbl")
+    val df =
+      if (tbl == "entity_refcounts")
+        raw.groupBy("id").agg(sum("n").as("n")).filter(col("n") =!= 0L)
+      else raw
     val r = df.agg(expr("bit_xor(xxhash64(to_json(struct(*))))"), count(lit(1))).head()
     (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
   }
@@ -132,7 +139,7 @@ object IngestFaultProbe {
       val got = tableHash(spark, twin, t)
       assert(got == wantFull(t), s"unkilled append diverged on $t: $got vs ${wantFull(t)}")
     }
-    println(f"[ifault] unkilled append: wall=$appendWall%.1fs, all 5 tables == full rebuild")
+    println(f"[ifault] unkilled append: wall=$appendWall%.1fs, all 6 tables == full rebuild")
 
     // KILLED append: one executor dies mid-increment
     val dirK = tmp("killed-append"); copyDir(base, dirK)
@@ -146,7 +153,7 @@ object IngestFaultProbe {
     println(s"[ifault] killed append: " +
       (if (survived) "completed THROUGH the kill (stage retry)"
        else s"failed, converged after $retries blind retr${if (retries == 1) "y" else "ies"}") +
-      " — all 5 tables == full rebuild")
+      " — all 6 tables == full rebuild")
 
     // unkilled twin takedown — the removal-timing wall
     val twinR = tmp("twin-rm"); copyDir(full, twinR)
@@ -157,7 +164,7 @@ object IngestFaultProbe {
       val got = tableHash(spark, twinR, t)
       assert(got == wantBase(t), s"unkilled remove diverged on $t: $got vs ${wantBase(t)}")
     }
-    println(f"[ifault] unkilled takedown: wall=$removeWall%.1fs, all 5 tables == base rebuild")
+    println(f"[ifault] unkilled takedown: wall=$removeWall%.1fs, all 6 tables == base rebuild")
 
     // KILLED takedown
     val dirKR = tmp("killed-rm"); copyDir(full, dirKR)
@@ -171,7 +178,7 @@ object IngestFaultProbe {
     println(s"[ifault] killed takedown: " +
       (if (survivedR) "completed THROUGH the kill (stage retry)"
        else s"failed, converged after $retriesR blind retr${if (retriesR == 1) "y" else "ies"}") +
-      " — all 5 tables == base rebuild")
+      " — all 6 tables == base rebuild")
 
     Seq(full, base, twin, dirK, twinR, dirKR).foreach(TableIO.deleteRecursively)
     println("[ifault] PASS: executor loss mid-append and mid-takedown converges " +

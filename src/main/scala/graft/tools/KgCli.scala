@@ -114,7 +114,8 @@ object KgCli {
         // snapshot history across the build's tables (readAt-servable ids)
         import spark.implicits._
         (for {
-          tbl <- Seq("triples", "nodes", "edges", "components", "sameas_evidence")
+          tbl <- Seq("triples", "nodes", "edges", "components", "sameas_evidence",
+            "entity_refcounts")
           sid <- TableIO.snapshots(s"$tablesDir/$tbl")
         } yield (tbl, sid)).toDF("table", "snapshotId")
       case "compact" =>
@@ -123,17 +124,22 @@ object KgCli {
         // FIRST (restores zero-overhead physical reads), then coalesce
         // append-fragmented files
         val (rt, re) = graft.Incremental.compactMergeRemap(spark, tablesDir)
+        // the refcount delta log folds to one row per entity (its own
+        // aggregate-preserving compaction) before the file-level pass
+        val refRows = graft.Incremental.foldRefcounts(spark, tablesDir)
         (Seq("triples" -> col("url"), "nodes" -> col("id"),
           "edges" -> col("src"), "components" -> col("id"),
           "sameas_evidence" -> col("a"))
           .map { case (tbl, key) =>
             (tbl, TableIO.compact(spark, s"$tablesDir/$tbl", key).size.toLong) }
-          :+ ("remapFoldedBuckets", (rt.size + re.size).toLong))
+          :+ ("remapFoldedBuckets", (rt.size + re.size).toLong)
+          :+ ("refcountRowsAfterFold", refRows))
           .toDF("table", "bucketsCompacted")
       case "expire" =>
         import spark.implicits._
         val keep = args(0).toInt
-        Seq("triples", "nodes", "edges", "components", "sameas_evidence").map { tbl =>
+        Seq("triples", "nodes", "edges", "components", "sameas_evidence",
+          "entity_refcounts").map { tbl =>
           TableIO.expireSnapshots(s"$tablesDir/$tbl", keep)
           (tbl, TableIO.snapshots(s"$tablesDir/$tbl").size.toLong)
         }.toDF("table", "snapshotsLeft")

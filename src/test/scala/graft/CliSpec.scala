@@ -320,7 +320,7 @@ class CliSpec extends AnyFunSuite with Matchers {
     // the three appended tables carry history (base build + append);
     // components is snapshot-SWAPPED — a fresh table, one snapshot
     val snaps = KgCli.run(spark, d, "snapshots", Nil)
-    snaps.select("table").distinct().count() shouldBe 5L
+    snaps.select("table").distinct().count() shouldBe 6L
     snaps.count() should be >= 7L
     // the append fragmented buckets -> compact collapses them
     val compacted = KgCli.run(spark, d, "compact", Nil)

@@ -23,6 +23,12 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
   private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  /** The refcount DELTA LOG is aggregate-equivalent, not byte-equivalent:
+    * compare the folded view (sum per entity, zeros dropped). */
+  private def refAgg(dir: String): Seq[String] = sortedRows(
+    TableIO.read(spark, s"$dir/entity_refcounts")
+      .groupBy("id").agg(sum("n").as("n")).filter(col("n") =!= 0L))
+
   test("changedRules is the structural symmetric difference") {
     Incremental.changedRules(PatternAutomaton.DefaultRules, PatternAutomaton.DefaultRules) shouldBe empty
     val ch = Incremental.changedRules(PatternAutomaton.DefaultRules, newRules)
@@ -118,6 +124,7 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
     sortedRows(TableIO.read(spark, s"$dir/nodes")) shouldBe wantNodes
     sortedRows(TableIO.read(spark, s"$dir/edges")) shouldBe wantEdges
     sortedRows(TableIO.read(spark, s"$dir/components")) shouldBe wantComponents
+    val wantRef = refAgg(dir) // folded counts after the append…
 
     // crash/retry convergence: re-sending the SAME batch is detected per
     // table (all-or-nothing key overlap) and skipped; nothing changes
@@ -126,6 +133,9 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
     again.remappedIds shouldBe 0L
     sortedRows(TableIO.read(spark, s"$dir/triples")) shouldBe wantTriples
     sortedRows(TableIO.read(spark, s"$dir/edges")) shouldBe wantEdges
+    // …survive redelivery unchanged: the batch marker makes the refcount
+    // delta append exactly-once (a double-add would inflate every count)
+    refAgg(dir) shouldBe wantRef
 
     // a batch mixing new and already-ingested urls is a misuse, not an append
     // (and not a resume — that is an ALL-ingested batch, tested above)
@@ -166,6 +176,7 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
           sortedRows(TableIO.read(spark, s"$dir2/$tb"))
       }
     }
+    refAgg(dir) shouldBe refAgg(dir2) // delta log folds to the rebuild's counts
 
     // idempotent retry: the presence anchor (page nodes) is gone, so a
     // redelivered takedown no-ops — no table changes, no double-subtracted
@@ -218,6 +229,7 @@ class IncrementalSpec extends AnyFunSuite with Matchers {
     sortedRows(TableIO.read(spark, s"$dir/triples")) shouldBe sortedRows(t1.triples)
     sortedRows(TableIO.read(spark, s"$dir/nodes")) shouldBe sortedRows(t1.nodes)
     sortedRows(TableIO.read(spark, s"$dir/edges")) shouldBe sortedRows(t1.edges)
+    refAgg(dir) shouldBe sortedRows(Pipeline.entityRefDeltas(t1.flat))
     t1.flatEnc.unpersist(false); t1.components.unpersist(false)
     TableIO.deleteRecursively(dir)
   }

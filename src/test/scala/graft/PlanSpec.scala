@@ -64,6 +64,15 @@ class PlanSpec extends AnyFunSuite with Matchers {
     store.TableIO.deleteRecursively(pagesDir)
   }
 
+  test("kg_mentions url re-attach broadcasts the page dim below the cutover") {
+    // the page dim is |pages|-sized — at test scale (≪ the canonical
+    // cutover) the join MUST broadcast; past the cutover the hint is
+    // dropped by construction (kgPages is config-known driver-side)
+    val plan = physical(Queries.all("kg_mentions")(spark, sfDir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
   test("binned range join: candidate join is equi on the bin key, no cartesian") {
     val plan = physical(Queries.all("q29_range_join")(spark, sfDir))
     plan shouldNot include("CartesianProduct")
