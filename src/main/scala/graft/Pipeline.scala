@@ -281,10 +281,16 @@ object Pipeline {
     * manifests): the scheduler interleaves their tasks, so no core idles at a
     * single job's tail/barrier — on a cluster this is three output stages
     * sharing the same executor pool. */
-  def materialize(spark: SparkSession, t: Tables, outDir: String): Map[String, Long] = {
+  def materialize(spark: SparkSession, t: Tables, outDir: String,
+                  numBuckets: Int = graft.store.TableIO.NumBuckets): Map[String, Long] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    // numBuckets is a BUILD parameter that must grow with the corpus (the
+    // local default 32 ≙ thousands at cluster scale): increments touch
+    // O(batch) buckets each sized O(corpus/numBuckets), so fixed buckets
+    // would silently turn bucket reads corpus-linear — TakedownScaleProbe
+    // demonstrates the flat-wall behavior when buckets scale with corpus
     // manifest counters come from the MATERIALIZED rows, not accumulators:
     // Spark only guarantees exactly-once accumulator updates inside actions,
     // so task retries / cache-eviction recomputes would over-count the
@@ -296,14 +302,14 @@ object Pipeline {
     val countersF = Future(flatCounters(t.flat))
     def counters: Map[String, Long] = Await.result(countersF, Duration.Inf)
     val writes = Seq(
-      Future(TableIO.writeBucketed(t.triples, s"$outDir/triples", col("url"), counters)),
-      Future(TableIO.writeBucketed(t.nodes, s"$outDir/nodes", col("id"), counters)),
-      Future(TableIO.writeBucketed(t.edges, s"$outDir/edges", col("src"), counters)),
+      Future(TableIO.writeBucketed(t.triples, s"$outDir/triples", col("url"), counters, numBuckets)),
+      Future(TableIO.writeBucketed(t.nodes, s"$outDir/nodes", col("id"), counters, numBuckets)),
+      Future(TableIO.writeBucketed(t.edges, s"$outDir/edges", col("src"), counters, numBuckets)),
       // the canonical mapping is materialized too: a rule-diff incremental
       // recompute (Incremental.applyRuleDiff) re-extracts only the touched
       // page buckets and must reuse THIS global mapping, not rebuild one
       // from the restricted page set
-      Future(TableIO.writeBucketed(t.components, s"$outDir/components", col("id"), counters)),
+      Future(TableIO.writeBucketed(t.components, s"$outDir/components", col("id"), counters, numBuckets)),
       // same-as EVIDENCE (a, b, url): the raw pair occurrences the canonical
       // mapping was computed FROM, with their page provenance. The mapping
       // alone cannot answer "does this merge survive if page X is taken
@@ -314,11 +320,11 @@ object Pipeline {
       // triples), bucketed by the pair's first id so a removal batch probes
       // only the buckets its candidate pairs hash into.
       Future(TableIO.writeBucketed(sameAsEvidence(t.flat),
-        s"$outDir/sameas_evidence", col("a"), counters)),
+        s"$outDir/sameas_evidence", col("a"), counters, numBuckets)),
       // entity refcount delta log (see entityRefDeltas): the build writes
       // the initial counts as one snapshot; increments append signed deltas
       Future(TableIO.writeBucketed(entityRefDeltas(t.flat),
-        s"$outDir/entity_refcounts", col("id"), counters)))
+        s"$outDir/entity_refcounts", col("id"), counters, numBuckets)))
     writes.foreach(Await.result(_, Duration.Inf))
     counters
   }
