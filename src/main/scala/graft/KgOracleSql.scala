@@ -171,6 +171,15 @@ object KgOracleSql {
        |  rt.objValue AS "objValue", rt.url AS url, CAST(1.0 AS DOUBLE) AS conf
        |FROM rt LEFT JOIN c cs ON rt.subj = cs.id LEFT JOIN c co ON rt.obj = co.id""".stripMargin
 
+  private def removedTriplesSql: String =
+    s"""WITH rt AS (SELECT * FROM $RT
+       |  WHERE url NOT IN (SELECT url FROM $RMU)),
+       |c AS (SELECT id, component FROM $CRM)
+       |SELECT DISTINCT coalesce(cs.component, rt.subj) AS subj, rt.pred AS pred,
+       |  coalesce(co.component, rt.obj) AS obj,
+       |  rt.objValue AS "objValue", rt.url AS url, CAST(1.0 AS DOUBLE) AS conf
+       |FROM rt LEFT JOIN c cs ON rt.subj = cs.id LEFT JOIN c co ON rt.obj = co.id""".stripMargin
+
   def map: Map[String, String] = Map(
     "kg_pages" ->
       s"""SELECT pageId AS "pageId", url, host, nSentences AS "nSentences", error
@@ -189,15 +198,11 @@ object KgOracleSql {
     // takedown propagation must equal the rebuild over the REMAINING corpus:
     // same canonical-triples derivation, with rawtriples restricted to the
     // surviving urls and the mapping recomputed by a union-find that never
-    // saw the removed pages' same-as evidence (components_rm)
-    "kg_remove_triples" ->
-      s"""WITH rt AS (SELECT * FROM $RT
-         |  WHERE url NOT IN (SELECT url FROM $RMU)),
-         |c AS (SELECT id, component FROM $CRM)
-         |SELECT DISTINCT coalesce(cs.component, rt.subj) AS subj, rt.pred AS pred,
-         |  coalesce(co.component, rt.obj) AS obj,
-         |  rt.objValue AS "objValue", rt.url AS url, CAST(1.0 AS DOUBLE) AS conf
-         |FROM rt LEFT JOIN c cs ON rt.subj = cs.id LEFT JOIN c co ON rt.obj = co.id""".stripMargin,
+    // saw the removed pages' same-as evidence (components_rm). The batch
+    // removal and its streaming foreachBatch twin (redelivered removal
+    // micro-batches) share the oracle — both must hash-equal it.
+    "kg_remove_triples" -> removedTriplesSql,
+    "st6_stream_takedown" -> removedTriplesSql,
     "kg_nodes" ->
       s"""WITH $leaves
          |$nodesUnion""".stripMargin,

@@ -894,7 +894,8 @@ object Queries {
     "st4_stream_join" -> ((s, d) => graft.streaming.StreamEntries.streamJoin(s, d)),
     // continuous-crawl ingest: streaming foreachBatch -> appendPages with
     // redelivered micro-batches; result must equal the full-rebuild oracle
-    "st5_stream_ingest" -> ((s, d) => graft.streaming.StreamEntries.streamIngest(s, d))
+    "st5_stream_ingest" -> ((s, d) => graft.streaming.StreamEntries.streamIngest(s, d)),
+    "st6_stream_takedown" -> ((s, d) => graft.streaming.StreamEntries.streamTakedown(s, d))
   )
 
   /** Synthetic-media row count for the mm entries (shared with

@@ -166,4 +166,50 @@ object StreamEntries {
     graft.store.TableIO.deleteRecursively(out)
     res
   }
+
+  /** Continuous takedown: the retraction twin of [[streamIngest]] — a
+    * full-corpus bootstrap build, then the corpus TAIL arrives as removal
+    * requests in micro-batches through a streaming query whose foreachBatch
+    * sink is [[graft.Incremental.removePages]], with EVERY chunk redelivered
+    * (the at-least-once shape a real deletion-request queue has). Idempotence
+    * is structural, not checkpoint luck: the page-node presence anchor makes
+    * a redelivered takedown restrict to zero present pages and no-op, and the
+    * refcount batch markers keep the delta log exactly-once. The committed
+    * triples table must hash-equal the REMAINING-corpus rebuild oracle (same
+    * SQL as kg_remove_triples — a DuckDB union-find that never saw the
+    * removed pages' same-as evidence), retroactive component SPLITS included. */
+  def streamTakedown(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val n = graft.Queries.kgPages(dir)
+    val split = graft.Queries.appendSplit(dir).toInt
+    val cfg = graft.model.PageGen.Config(nPages = n)
+    val out = Files.createTempDirectory("graft-st6").toString
+    // bootstrap: materialize the FULL corpus (reuses the session-cached
+    // pipeline build); removal mutates, so the dir is private to this run
+    graft.Pipeline.materialize(spark, graft.Queries.kg(spark, dir), out)
+    val remaining = spark.range(0L, split.toLong)
+      .map(i => graft.model.PageGen.page(cfg, i))
+
+    val mem = MemoryStream[graft.model.Page]
+    val ckpt = Files.createTempDirectory("graft-ckpt-takedown").toString
+    val q = mem.toDS().writeStream
+      .foreachBatch { (batch: Dataset[graft.model.Page], _: Long) =>
+        graft.Incremental.removePages(spark, batch, remaining, out, cfg.nPersons); () }
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val chunks = (split until n).map(i => graft.model.PageGen.page(cfg, i.toLong))
+        .grouped(math.max(1, (n - split + 2) / 3)).toSeq
+      chunks.foreach { g =>
+        mem.addData(g); q.processAllAvailable()
+        mem.addData(g); q.processAllAvailable() // redelivery — must be a no-op
+      }
+    } finally {
+      q.stop()
+      graft.store.TableIO.deleteRecursively(ckpt)
+    }
+    val res = graft.store.TableIO.read(spark, s"$out/triples").localCheckpoint(true)
+    graft.store.TableIO.deleteRecursively(out)
+    res
+  }
 }

@@ -113,4 +113,17 @@ class StreamEntriesSpec extends AnyFunSuite with Matchers {
     t.flatEnc.unpersist(false); t.components.unpersist(false)
     stream shouldBe batch
   }
+
+  test("st6 continuous takedown with redelivered micro-batches == remaining rebuild") {
+    import spark.implicits._
+    val stream = StreamEntries.streamTakedown(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val cfg = graft.model.PageGen.Config(nPages = graft.Queries.kgPages(dir))
+    val split = graft.Queries.appendSplit(dir)
+    val t = Pipeline.run(spark,
+      spark.range(0L, split).map(i => graft.model.PageGen.page(cfg, i)), cfg.nPersons)
+    val batch = t.triples.collect().map(_.toString).sorted.toSeq
+    t.flatEnc.unpersist(false); t.components.unpersist(false)
+    stream shouldBe batch
+  }
 }
