@@ -78,8 +78,19 @@ object Pipeline {
     // bandwidth); `flat` is a decode VIEW restoring the exact historical
     // schema, so all consumers are unchanged and decode cost is CPU at the
     // consuming projection, not resident bytes.
+    // KIND-SORTED cache batches: a page emits its p/m/e/t rows interleaved,
+    // so every 10k-row cached batch would hold every rowKind and no
+    // kind-restricted consumer could skip anything. Locally sorting on
+    // (rowKind, pred) before the persist makes batches kind-homogeneous
+    // (and clusters same_as inside the "t" run), so the columnar cache's
+    // per-batch min/max stats let InMemoryTableScanExec drop foreign-kind
+    // batches wholesale — the decode-view filters are folded back onto the
+    // int codes by DictDecodeFilterRewrite, which is what makes them
+    // stat-prunable in the first place. One local sort per partition at
+    // build, zero shuffle.
     val flatEnc = TripleExtractor
       .extractFlatEnc(pages.filter($"lang" === targetLang), gaz, auto, metrics)
+      .sortWithinPartitions($"rowKind", $"pred")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val predDict = spark.sparkContext.broadcast(a.preds)
     val aliasDict = spark.sparkContext.broadcast(g.aliasArr)
@@ -94,9 +105,10 @@ object Pipeline {
     // thousands of pairs, not millions of occurrences. Filters run on the
     // CODES (byte/int compares against the encoded cache, no decode).
     val sameAsCode = a.predIdx.getOrElse("same_as", -1)
+    // idB/idC carry subj/obj on "t" rows (FlatRowEnc overlay)
     val sameAs = flatEnc
-      .filter($"rowKind" === FlatDict.KindT && $"pred" === sameAsCode && $"obj" >= 0)
-      .select($"subj".as("a"), $"obj".as("b")).distinct()
+      .filter($"rowKind" === FlatDict.KindT && $"pred" === sameAsCode && $"idC" >= 0)
+      .select($"idB".as("a"), $"idC".as("b")).distinct()
 
     // 4: global fixpoint (adaptive: driver union-find under the cutover,
     // salted distributed label propagation above it — identical results).

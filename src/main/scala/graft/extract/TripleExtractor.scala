@@ -79,19 +79,34 @@ case class FlatRow(
     label: String = null)
 
 /** [[FlatRow]] with the bounded-vocabulary string columns dictionary-encoded
-  * to small ints — the shape the pipeline actually CACHES. The flat frame is
-  * the one big DRAM-resident frame every downstream stage re-scans, and the
-  * 2→8 scaling probes pinned its plateau on memory bandwidth, so repeated
-  * string bytes there (rowKind on EVERY row, pred per triple, norm per
-  * mention, label per discourse edge) are pure scan tax. Codes:
-  * rowKind/label ↦ [[FlatDict]] fixed tables, pred ↦ the compiled automaton's
-  * sorted predicate vocabulary, norm ↦ the gazetteer's sorted alias
-  * vocabulary; -1 = null. Consumers never see this type — [[TripleExtractor
-  * .decodeFlat]] restores the exact [[FlatRow]] schema via codegen'd
-  * broadcast-dictionary lookups ([[graft.functions.DictDecode]]) at the
-  * consumption projection, so the cache stores ints and the decode costs CPU
-  * cycles, not resident bytes. Field names/order mirror FlatRow on purpose:
-  * the decode view is a positional 1:1 select. */
+  * to small ints AND the kind-disjoint fields OVERLAID — the shape the
+  * pipeline actually CACHES. The flat frame is the one big DRAM-resident
+  * frame every downstream stage re-scans, and the 2→8 scaling probes pinned
+  * its plateau on memory bandwidth, so repeated string bytes (rowKind on
+  * EVERY row, pred per triple, norm per mention, label per discourse edge)
+  * AND per-kind constant defaults stored at full width (an uncompressed
+  * columnar cache stores a "t" row's never-read mention longs as 8 real
+  * bytes each) are pure scan tax.
+  *
+  * Codes: rowKind/label ↦ [[FlatDict]] fixed tables, pred ↦ the compiled
+  * automaton's sorted predicate vocabulary, norm ↦ the gazetteer's sorted
+  * alias vocabulary; -1 = null.
+  *
+  * Overlays (a mention never carries triple slots and vice versa, so the
+  * disjoint fields share one physical column; "e" rows ride the t-side ids):
+  *   idA  = m: mentionId        | t: tripleNodeId       | else 0
+  *   strA = m: surface          | t: objValue           | else null
+  *   idB  = m: entityId         | e,t: subj             | else -1
+  *   idC  = m: entityNodeId     | e,t: obj              | else -1
+  *   idD  = m: nextMentionId    | t: subjMentionId      | else 0
+  *   idE  = m: tokStart‖tokEnd (two ints in one long) | t: objMentionId | else 0
+  * This drops 26 → 19 physical columns (~45 constant bytes per non-mention
+  * row). Consumers never see this type — [[TripleExtractor.decodeFlat]]
+  * restores the exact [[FlatRow]] schema: vocab columns via codegen'd
+  * broadcast-dictionary lookups ([[graft.functions.DictDecode]]), overlay
+  * columns via kind-conditional projections — evaluated at the consumption
+  * site, so the cache stores the packed ints and the decode costs CPU
+  * cycles, not resident bytes. */
 case class FlatRowEnc(
     rowKind: Byte,
     pageId: Long,
@@ -99,24 +114,17 @@ case class FlatRowEnc(
     host: String,
     hostId: Long,
     nSentences: Int,
-    mentionId: Long,
+    idA: Long,
     mentionIdx: Int,
-    surface: String,
+    strA: String,
     norm: Int,
-    entityId: Long,
-    entityNodeId: Long,
-    nextMentionId: Long,
-    subj: Long,
+    idB: Long,
+    idC: Long,
+    idD: Long,
     pred: Int,
-    obj: Long,
-    objValue: String,
     sentIdx: Int,
-    tokStart: Int,
-    tokEnd: Int,
+    idE: Long,
     conf: Double,
-    tripleNodeId: Long,
-    subjMentionId: Long,
-    objMentionId: Long,
     error: String,
     label: Byte)
 
@@ -287,11 +295,25 @@ object TripleExtractor {
       else predIdx.getOrElse(r.pred, {
         if (metrics != null) metrics.dictMisses.add(1); -1
       })
-    FlatRowEnc(FlatDict.kindCode(r.rowKind), r.pageId, r.url, r.host, r.hostId,
-      r.nSentences, r.mentionId, r.mentionIdx, r.surface, normC, r.entityId,
-      r.entityNodeId, r.nextMentionId, r.subj, predC, r.obj, r.objValue,
-      r.sentIdx, r.tokStart, r.tokEnd, r.conf, r.tripleNodeId, r.subjMentionId,
-      r.objMentionId, r.error, FlatDict.labelCode(r.label))
+    val k = FlatDict.kindCode(r.rowKind)
+    val isM = k == FlatDict.KindM
+    val isT = k == FlatDict.KindT
+    val isE = k == FlatDict.KindE
+    FlatRowEnc(k, r.pageId, r.url, r.host, r.hostId, r.nSentences,
+      idA = if (isM) r.mentionId else if (isT) r.tripleNodeId else 0L,
+      mentionIdx = r.mentionIdx,
+      strA = if (isM) r.surface else if (isT) r.objValue else null,
+      norm = normC,
+      idB = if (isM) r.entityId else if (isE || isT) r.subj else -1L,
+      idC = if (isM) r.entityNodeId else if (isE || isT) r.obj else -1L,
+      idD = if (isM) r.nextMentionId else if (isT) r.subjMentionId else 0L,
+      pred = predC,
+      sentIdx = r.sentIdx,
+      idE = if (isM) (r.tokStart.toLong << 32) | (r.tokEnd.toLong & 0xffffffffL)
+            else if (isT) r.objMentionId else 0L,
+      conf = r.conf,
+      error = r.error,
+      label = FlatDict.labelCode(r.label))
   }
 
   /** The decode view: a 1:1 projection restoring the exact [[FlatRow]]
@@ -305,19 +327,41 @@ object TripleExtractor {
                  kinds: Broadcast[Array[String]],
                  labels: Broadcast[Array[String]]): Dataset[FlatRow] = {
     import graft.functions.DictDecode.decode
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright, when}
     val spark = enc.sparkSession
     import spark.implicits._
+    // every decode-view consumer gets the plan-time code-folding of its
+    // kind/pred/label filters (stat-prunable int predicates on the cache)
+    graft.functions.GraftOptimizations.install(spark)
+    val isM = col("rowKind") === lit(FlatDict.KindM)
+    val isT = col("rowKind") === lit(FlatDict.KindT)
+    val isET = col("rowKind") === lit(FlatDict.KindE) || isT
+    val nullStr = lit(null).cast("string")
     enc.toDF().select(
       decode(col("rowKind"), kinds).as("rowKind"),
       col("pageId"), col("url"), col("host"), col("hostId"), col("nSentences"),
-      col("mentionId"), col("mentionIdx"), col("surface"),
+      when(isM, col("idA")).otherwise(lit(0L)).as("mentionId"),
+      col("mentionIdx"),
+      when(isM, col("strA")).otherwise(nullStr).as("surface"),
       decode(col("norm"), aliases).as("norm"),
-      col("entityId"), col("entityNodeId"), col("nextMentionId"), col("subj"),
+      when(isM, col("idB")).otherwise(lit(-1L)).as("entityId"),
+      when(isM, col("idC")).otherwise(lit(0L)).as("entityNodeId"),
+      when(isM, col("idD")).otherwise(lit(0L)).as("nextMentionId"),
+      when(isET, col("idB")).otherwise(lit(-1L)).as("subj"),
       decode(col("pred"), preds).as("pred"),
-      col("obj"), col("objValue"), col("sentIdx"), col("tokStart"),
-      col("tokEnd"), col("conf"), col("tripleNodeId"), col("subjMentionId"),
-      col("objMentionId"), col("error"),
+      when(isET, col("idC")).otherwise(lit(-1L)).as("obj"),
+      when(isT, col("strA")).otherwise(nullStr).as("objValue"),
+      col("sentIdx"),
+      // tokStart‖tokEnd unpack: sign-preserving long shifts, then a cast
+      // that can never overflow (ANSI-safe — each half is a true int)
+      when(isM, shiftright(col("idE"), 32).cast("int")).otherwise(lit(-1)).as("tokStart"),
+      when(isM, shiftright(shiftleft(col("idE"), 32), 32).cast("int"))
+        .otherwise(lit(-1)).as("tokEnd"),
+      col("conf"),
+      when(isT, col("idA")).otherwise(lit(0L)).as("tripleNodeId"),
+      when(isT, col("idD")).otherwise(lit(0L)).as("subjMentionId"),
+      when(isT, col("idE")).otherwise(lit(0L)).as("objMentionId"),
+      col("error"),
       decode(col("label"), labels).as("label")).as[FlatRow]
   }
 

@@ -32,5 +32,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_agree"),
       info("vec_agree", "vec_agree(a, b) - count of equal slots in two bigint arrays"),
       (es: Seq[Expression]) => { arity("vec_agree", 2, es); VecAgree(es(0), es(1)) }))
+    ext.injectOptimizerRule(_ => DictDecodeFilterRewrite)
   }
 }

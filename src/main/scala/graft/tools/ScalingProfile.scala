@@ -40,10 +40,13 @@ object ScalingProfile {
     // "C<cores>" = encoded cache WITH columnar compression (RLE/dictionary
     // over the int-coded frame — the string frame's 2x build-CPU compression
     // tax does not apply to ints, re-measured round 4)
+    // "U<cores>" = encoded cache UNSORTED (pre-kind-sort A/B counterpart:
+    // interleaved batches, so per-batch stats cannot prune kind filters)
     val levels = rawLevels.map { s =>
       if (s.startsWith("P")) (s.drop(1).toInt, "parquet")
       else if (s.startsWith("S")) (s.drop(1).toInt, "string")
       else if (s.startsWith("C")) (s.drop(1).toInt, "encC")
+      else if (s.startsWith("U")) (s.drop(1).toInt, "encU")
       else (s.toInt, "enc")
     }
     val pagesDir = "/dev/shm/graft-scaling-pages"
@@ -90,9 +93,13 @@ object ScalingProfile {
               .persist(StorageLevel.MEMORY_AND_DISK)
             f.count()
             f
-          } else { // enc/encC — the shipping shape: encoded cache + decode view
-            val enc = graft.extract.TripleExtractor
+          } else { // enc/encC/encU — the shipping shape: encoded cache + decode view
+            val raw = graft.extract.TripleExtractor
               .extractFlatEnc(pages.filter($"lang" === "en"), gaz, auto, metrics)
+            // shipping pipeline sorts (rowKind, pred) for kind-homogeneous
+            // cached batches (stat pruning); "U" measures the unsorted shape
+            val enc = (if (variant == "encU") raw
+                       else raw.sortWithinPartitions($"rowKind", $"pred"))
               .persist(StorageLevel.MEMORY_AND_DISK)
             enc.count()
             graft.extract.TripleExtractor.decodeFlat(enc,
