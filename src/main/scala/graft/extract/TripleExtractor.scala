@@ -92,15 +92,25 @@ case class FlatRow(
   * automaton's sorted predicate vocabulary, norm ↦ the gazetteer's sorted
   * alias vocabulary; -1 = null.
   *
-  * Overlays (a mention never carries triple slots and vice versa, so the
-  * disjoint fields share one physical column; "e" rows ride the t-side ids):
-  *   idA  = m: mentionId        | t: tripleNodeId       | else 0
-  *   strA = m: surface          | t: objValue           | else null
+  * Overlays (a mention never carries triple slots and vice versa, and the
+  * page-dimension fields — host/hostId/nSentences — are consumed from "p"
+  * rows alone, so the kind-disjoint fields share one physical column; "e"
+  * rows ride the t-side ids):
+  *   idA  = m: mentionId        | t: tripleNodeId       | p: hostId | else 0
+  *   strA = m: surface          | t: objValue           | p: host   | else null
+  *   mentionIdx = m: mentionIdx | p: nSentences         | else -1
   *   idB  = m: entityId         | e,t: subj             | else -1
   *   idC  = m: entityNodeId     | e,t: obj              | else -1
   *   idD  = m: nextMentionId    | t: subjMentionId      | else 0
   *   idE  = m: tokStart‖tokEnd (two ints in one long) | t: objMentionId | else 0
-  * This drops 26 → 19 physical columns (~45 constant bytes per non-mention
+  * `conf` stores NO bytes at all: extraction confidence is rule-level and
+  * every shipped rule emits 1.0 (`extractPage`), so the value is
+  * rowKind-determined (t → 1.0, else 0.0) and re-derived at decode. A
+  * per-rule confidence would dictionary-encode via `pred` exactly like the
+  * vocab columns; a per-OCCURRENCE conf would need its column back. The
+  * encoder counts any deviation ([[ExtractMetrics.overlayLost]], asserted 0
+  * by EncodedFlatSpec) so the invariant is observable, not assumed.
+  * This drops 26 → 15 physical columns (~65 constant bytes per non-mention
   * row). Consumers never see this type — [[TripleExtractor.decodeFlat]]
   * restores the exact [[FlatRow]] schema: vocab columns via codegen'd
   * broadcast-dictionary lookups ([[graft.functions.DictDecode]]), overlay
@@ -111,9 +121,6 @@ case class FlatRowEnc(
     rowKind: Byte,
     pageId: Long,
     url: String,
-    host: String,
-    hostId: Long,
-    nSentences: Int,
     idA: Long,
     mentionIdx: Int,
     strA: String,
@@ -124,7 +131,6 @@ case class FlatRowEnc(
     pred: Int,
     sentIdx: Int,
     idE: Long,
-    conf: Double,
     error: String,
     label: Byte)
 
@@ -176,6 +182,14 @@ final class ExtractMetrics(spark: SparkSession) extends Serializable {
     * VerifyOracle.dump). */
   val dictMisses: LongAccumulator =
     spark.sparkContext.longAccumulator("dictMisses")
+  /** Rows whose kind-determined overlay defaults (conf; host/hostId/
+    * nSentences on non-"p" rows) deviated from the value the decode view
+    * will re-derive — impossible for rows [[TripleExtractor.toFlatRows]]
+    * emits, and THIS counter is what makes the impossible observable
+    * (asserted 0 in EncodedFlatSpec; a nonzero value means the encode is
+    * lossy for this input and the overlay must grow a column back). */
+  val overlayLost: LongAccumulator =
+    spark.sparkContext.longAccumulator("overlayLost")
 }
 
 /** The local half of the pipeline: HTML→text → sentences → mentions →
@@ -299,10 +313,20 @@ object TripleExtractor {
     val isM = k == FlatDict.KindM
     val isT = k == FlatDict.KindT
     val isE = k == FlatDict.KindE
-    FlatRowEnc(k, r.pageId, r.url, r.host, r.hostId, r.nSentences,
-      idA = if (isM) r.mentionId else if (isT) r.tripleNodeId else 0L,
-      mentionIdx = r.mentionIdx,
-      strA = if (isM) r.surface else if (isT) r.objValue else null,
+    val isP = k == FlatDict.KindP
+    // the decode view re-derives the kind-determined defaults; count any
+    // deviation so the overlay can never go silently lossy
+    if (metrics != null) {
+      if (r.conf != (if (isT) 1.0 else 0.0)) metrics.overlayLost.add(1)
+      if (!isP && (r.hostId != 0L || r.nSentences != 0 || r.host != null))
+        metrics.overlayLost.add(1)
+    }
+    FlatRowEnc(k, r.pageId, r.url,
+      idA = if (isM) r.mentionId else if (isT) r.tripleNodeId
+            else if (isP) r.hostId else 0L,
+      mentionIdx = if (isP) r.nSentences else r.mentionIdx,
+      strA = if (isM) r.surface else if (isT) r.objValue
+             else if (isP) r.host else null,
       norm = normC,
       idB = if (isM) r.entityId else if (isE || isT) r.subj else -1L,
       idC = if (isM) r.entityNodeId else if (isE || isT) r.obj else -1L,
@@ -311,7 +335,6 @@ object TripleExtractor {
       sentIdx = r.sentIdx,
       idE = if (isM) (r.tokStart.toLong << 32) | (r.tokEnd.toLong & 0xffffffffL)
             else if (isT) r.objMentionId else 0L,
-      conf = r.conf,
       error = r.error,
       label = FlatDict.labelCode(r.label))
   }
@@ -333,15 +356,19 @@ object TripleExtractor {
     // every decode-view consumer gets the plan-time code-folding of its
     // kind/pred/label filters (stat-prunable int predicates on the cache)
     graft.functions.GraftOptimizations.install(spark)
+    val isP = col("rowKind") === lit(FlatDict.KindP)
     val isM = col("rowKind") === lit(FlatDict.KindM)
     val isT = col("rowKind") === lit(FlatDict.KindT)
     val isET = col("rowKind") === lit(FlatDict.KindE) || isT
     val nullStr = lit(null).cast("string")
     enc.toDF().select(
       decode(col("rowKind"), kinds).as("rowKind"),
-      col("pageId"), col("url"), col("host"), col("hostId"), col("nSentences"),
+      col("pageId"), col("url"),
+      when(isP, col("strA")).otherwise(nullStr).as("host"),
+      when(isP, col("idA")).otherwise(lit(0L)).as("hostId"),
+      when(isP, col("mentionIdx")).otherwise(lit(0)).as("nSentences"),
       when(isM, col("idA")).otherwise(lit(0L)).as("mentionId"),
-      col("mentionIdx"),
+      when(isM, col("mentionIdx")).otherwise(lit(-1)).as("mentionIdx"),
       when(isM, col("strA")).otherwise(nullStr).as("surface"),
       decode(col("norm"), aliases).as("norm"),
       when(isM, col("idB")).otherwise(lit(-1L)).as("entityId"),
@@ -357,7 +384,9 @@ object TripleExtractor {
       when(isM, shiftright(col("idE"), 32).cast("int")).otherwise(lit(-1)).as("tokStart"),
       when(isM, shiftright(shiftleft(col("idE"), 32), 32).cast("int"))
         .otherwise(lit(-1)).as("tokEnd"),
-      col("conf"),
+      // rowKind-determined, re-derived (see FlatRowEnc doc): rule-level
+      // extraction confidence is 1.0 on every "t" row, 0.0 elsewhere
+      when(isT, lit(1.0)).otherwise(lit(0.0)).as("conf"),
       when(isT, col("idA")).otherwise(lit(0L)).as("tripleNodeId"),
       when(isT, col("idD")).otherwise(lit(0L)).as("subjMentionId"),
       when(isT, col("idE")).otherwise(lit(0L)).as("objMentionId"),
@@ -375,14 +404,16 @@ object TripleExtractor {
     val base = FlatRow("p", ex.pageId, ex.url, ex.host, hostId, ex.nSentences,
       0L, -1, null, null, -1L, 0L, 0L, -1L, null, -1L, null, -1, -1, -1, 0.0, 0L, 0L, 0L, ex.error)
     // per-row-kind byte discipline: the flat frame is the pipeline's one
-    // big cache AND the input to every downstream scan, so fat string
-    // columns ride only where a consumer reads them — `host` is consumed
-    // from "p" rows alone (page nodes, host/domain hierarchy), `url` from
-    // "p" rows (page nodes; mention consumers broadcast-join it back via
-    // pageId) and "t" rows (the triples table carries provenance urls).
-    // Nulling them elsewhere cuts the cache/scan footprint without
-    // touching any consumed value.
-    val slim = base.copy(url = null, host = null, error = null)
+    // big cache AND the input to every downstream scan, so page-dimension
+    // fields ride only where a consumer reads them — `host`/`hostId`/
+    // `nSentences` are consumed from "p" rows alone (page nodes, host/domain
+    // hierarchy, lineage counters), `url` from "p" rows (page nodes; mention
+    // consumers broadcast-join it back via pageId) and "t" rows (the triples
+    // table carries provenance urls). Zeroing them elsewhere cuts the
+    // cache/scan footprint without touching any consumed value, and is what
+    // lets FlatRowEnc overlay them into the p-row slots of shared columns.
+    val slim = base.copy(url = null, host = null, error = null,
+      hostId = 0L, nSentences = 0)
     // the discourse chain (NEXT_MENTION) is emitted HERE, page-locally —
     // deriving it later would cost a pageId window shuffle over every
     // mention stub for information the extractor already holds

@@ -89,6 +89,56 @@ class DictDecodeRewriteSpec extends AnyFunSuite with Matchers {
     df.collect().map(_.getString(0)) shouldBe Array("p", "m", "e", "t", null, null, "m")
   }
 
+  // ---- FilterImpliedConstantFold: the projection-side companion ----
+
+  test("filter-implied equality folds the projection's kind cascades away") {
+    import org.apache.spark.sql.catalyst.expressions.CaseWhen
+    GraftOptimizations.install(spark)
+    val base = spark.createDataFrame(spark.sparkContext.parallelize(
+        Seq((1, 10L, 7L), (2, 11L, 8L), (1, 12L, 9L)), 2))
+      .toDF("k", "x", "y")
+    val view = base.select(col("k"),
+      when(col("k") === 1, col("x")).otherwise(lit(-1L)).as("mx"),
+      when(col("k") === 2 || col("k") === 3, col("y")).otherwise(lit(0L)).as("ey"))
+    // k = 1 decides both cascades: mx → x verbatim, ey → 0
+    val df = view.filter(col("k") === 1).select("mx", "ey")
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted shouldBe
+      Array((10L, 0L), (12L, 0L))
+    val cascades = df.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case c: CaseWhen => c })
+    cascades shouldBe empty
+    // and an equality the fact REFUTES folds to false, never null
+    val neg = view.filter(col("k") === 2)
+      .select((col("k") === 1).as("isOne"))
+    neg.collect().map(_.getBoolean(0)) shouldBe Array(false)
+  }
+
+  test("without a deciding filter the cascades stay (no fold, no corruption)") {
+    import org.apache.spark.sql.catalyst.expressions.CaseWhen
+    GraftOptimizations.install(spark)
+    val base = spark.createDataFrame(spark.sparkContext.parallelize(
+        Seq((1, 10L), (2, 11L)), 2)).toDF("k", "x")
+    val df = base.select(when(col("k") === 1, col("x")).otherwise(lit(-1L)).as("mx"))
+    df.collect().map(_.getLong(0)).sorted shouldBe Array(-1L, 10L)
+    val cascades = df.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case c: CaseWhen => c })
+    cascades should not be empty
+  }
+
+  test("a kind-restricted decode-view projection optimizes to bare column " +
+       "refs over the cache (no conditionals survive)") {
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, If => CIf}
+    val t = Queries.kg(spark, "/tmp/graft-ddr-spec-sf0.001")
+    // the canonicalize projection: t-row filter decides subj/obj/conf/objValue
+    val df = t.flat.filter(col("rowKind") === "t" && col("pred") =!= "same_as")
+      .select("subj", "pred", "obj", "objValue", "url", "conf")
+    val conds = df.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+      case c: CaseWhen => c
+      case i: CIf => i
+    })
+    assert(conds.isEmpty, s"kind conditionals survived the fold: $conds")
+  }
+
   test("a kind filter over the pipeline's sorted cache reaches the in-memory " +
        "scan as a plain byte predicate") {
     val t = Queries.kg(spark, "/tmp/graft-ddr-spec-sf0.001")

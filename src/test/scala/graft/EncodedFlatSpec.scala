@@ -43,6 +43,9 @@ class EncodedFlatSpec extends AnyFunSuite with Matchers {
     got.length shouldBe want.length
     got.zip(want).foreach { case (g0, w0) => g0 shouldBe w0 }
     m2.dictMisses.value shouldBe 0L
+    // the kind-determined overlay defaults (conf; p-dim fields on non-"p"
+    // rows) never deviated — the encode was lossless for this corpus
+    m2.overlayLost.value shouldBe 0L
   }
 
   test("the persisted pipeline cache is the ENCODED shape (ints, not strings)") {
@@ -54,6 +57,12 @@ class EncodedFlatSpec extends AnyFunSuite with Matchers {
       encSchema("pred") shouldBe "int"
       encSchema("norm") shouldBe "int"
       encSchema("label") shouldBe "tinyint"
+      // the overlaid/derived columns store NO physical bytes in the cache:
+      // host/hostId/nSentences ride the p-row slots of strA/idA/mentionIdx,
+      // conf is rowKind-determined and re-derived at decode
+      Seq("host", "hostId", "nSentences", "conf", "mentionId", "surface",
+        "tripleNodeId", "objValue").foreach(c => encSchema should not contain key(c))
+      encSchema.size shouldBe 15
       // the view restores the historical schema exactly
       val viewSchema = t.flat.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
       viewSchema("rowKind") shouldBe "string"
