@@ -154,11 +154,71 @@ object Bench {
     }
   }
 
+  /** Pre-flight burst gate. The host is a shared microVM whose neighbor
+    * bursts inflate walls 1.5-7x for minutes at a time; twice (rounds 3+4)
+    * a burst-window bench produced a corrupted working-tree artifact that a
+    * human had to adjudicate. The protocol (BASELINE.md "bench protocol")
+    * now lives HERE: two pure relational sentinels (q1_agg, q19_running_sum
+    * — code touching only the KG cache cannot move them) run warm BEFORE
+    * the 15-minute pipeline bench. Out of band => retry after a pause (a
+    * burst usually passes); still out of band => the bench runs anyway (the
+    * driver needs a JSON line) but the artifact is marked
+    * "gated":"burst-rejected" and is written to BENCH_REJECTED.json, never
+    * over the canonical BENCH_LATEST.json.
+    *
+    * Canonical warm bands at sf0.1/local[32] (BASELINE.md): q1_agg
+    * 0.30-0.41 s, q19 0.13-0.16 s. Gate thresholds default to ~1.5x the
+    * band top; the gate only arms on the canonical basis (sf0.1, 32 cpus)
+    * unless thresholds are given explicitly via env. */
+  private def sentinelMin(spark: SparkSession, sfDir: String, name: String): Double = {
+    val fn = SparkEntry.queries(name)
+    fn(spark, sfDir).count() // untimed warm rep (cache/plan build)
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
+  private case class SentinelReport(q1: Double, q19: Double, attempts: Int,
+                                    q1Max: Double, q19Max: Double, armed: Boolean) {
+    def pass: Boolean = !armed || (q1 <= q1Max && q19 <= q19Max)
+    def json: String =
+      f""""sentinel":{"q1_agg":$q1%.3f,"q19_running_sum":$q19%.3f,"attempts":$attempts,"q1_max":$q1Max%.2f,"q19_max":$q19Max%.2f,"armed":$armed}"""
+  }
+
+  private def runSentinels(sfDir: String, cpus: Int): SentinelReport = {
+    val disabled = sys.env.get("SPARK_GRAFT_SENTINEL_DISABLE").contains("1")
+    val canonicalBasis = sfDir.contains("sf0.1") && cpus == 32
+    val armed = !disabled &&
+      (canonicalBasis || sys.env.contains("SPARK_GRAFT_SENTINEL_Q1_MAX"))
+    val q1Max = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_Q1_MAX", "0.62").toDouble
+    val q19Max = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_Q19_MAX", "0.30").toDouble
+    val maxAttempts = if (armed) 3 else 1
+    val pauseSec = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_PAUSE_SEC", "45").toLong
+    var attempt = 0
+    var rep = SentinelReport(-1, -1, 0, q1Max, q19Max, armed)
+    while (attempt < maxAttempts && (attempt == 0 || !rep.pass)) {
+      if (attempt > 0) Thread.sleep(pauseSec * 1000)
+      attempt += 1
+      val spark = newSession(cpus)
+      try rep = SentinelReport(sentinelMin(spark, sfDir, "q1_agg"),
+        sentinelMin(spark, sfDir, "q19_running_sum"), attempt, q1Max, q19Max, armed)
+      finally spark.stop()
+      if (!rep.pass)
+        System.err.println(f"[bench] sentinel attempt $attempt out of band: " +
+          f"q1_agg ${rep.q1}%.3f (max $q1Max%.2f), q19 ${rep.q19}%.3f (max $q19Max%.2f)")
+    }
+    rep
+  }
+
   def main(args: Array[String]): Unit = {
     // locale-stable float formatting for the JSON artifact (see BenchOne)
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // burst gate FIRST: don't spend the bench budget inside a noise window
+    val sentinel = runSentinels(sfDir, cpus)
     val midCpus = math.max(cpus / 4, 1)
     val lowCpus = math.max(cpus / 16, 1)
     val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES",
@@ -228,12 +288,21 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // post-hoc audit: the headline sentinels are re-measured inside the run
+    // itself — a burst that started AFTER the pre-flight gate still shows
+    // here (q1/q19 touch no KG cache, so only host noise can move them)
+    val measured = results.toMap
+    val postHocBurst = sentinel.armed &&
+      (measured.getOrElse("q1_agg", 0.0) > sentinel.q1Max ||
+        measured.getOrElse("q19_running_sum", 0.0) > sentinel.q19Max)
+    val gated = !sentinel.pass || postHocBurst
+    val gatedJson = if (gated) """"gated":"burst-rejected",""" else ""
     // per-round raw seconds: the host is a shared microVM with multi-minute
     // neighbor-noise bursts — the spread makes the best-of basis auditable
     val roundsJson = rounds.map { case ((_, a), (_, b), (_, c)) =>
       f"[$a%.3f,$b%.3f,$c%.3f]" }.mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"pages":$benchPages,"triples":$triplesHigh,"cores":[$lowCpus,$midCpus,$cpus],"sec":[$secLow%.3f,$secMid%.3f,$secHigh%.3f],"round_sec":$roundsJson,"triples_per_sec":[$thrLow%.1f,$thrMid%.1f,$thrHigh%.1f],"scaling_efficiency_${lowCpus}to$midCpus":$effLowMid%.3f,"scaling_efficiency_${midCpus}to$cpus":$effMidHigh%.3f}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$gatedJson${sentinel.json},"queries":$qs,"sf":"$sfDir","pipeline":{"pages":$benchPages,"triples":$triplesHigh,"cores":[$lowCpus,$midCpus,$cpus],"sec":[$secLow%.3f,$secMid%.3f,$secHigh%.3f],"round_sec":$roundsJson,"triples_per_sec":[$thrLow%.1f,$thrMid%.1f,$thrHigh%.1f],"scaling_efficiency_${lowCpus}to$midCpus":$effLowMid%.3f,"scaling_efficiency_${midCpus}to$cpus":$effMidHigh%.3f}}"""
     // the JSON must be machine-findable: sbt's logger prefixes every
     // println with "[info] ", which broke the round-1 driver parse — so
     // also (a) write it straight to fd 1, bypassing the redirected
@@ -247,8 +316,21 @@ object Bench {
     } catch { case _: Throwable => () }
     // sbt -batch relays even raw fd-1 writes through its client with an
     // "[info] " prefix, so the FILE is the only guaranteed prefix-free
-    // artifact; cwd under sbt is the project root (override via env)
-    val jsonPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH_LATEST.json")
+    // artifact; cwd under sbt is the project root (override via env).
+    // A gated (burst-window) run NEVER replaces the canonical artifact —
+    // it lands in BENCH_REJECTED.json for the audit trail instead. Nor does
+    // a run off the canonical basis (sf0.1 / 32 cpus / 40k pages — the
+    // round-3 incident was an sf0.01 smoke run landing on the canonical
+    // path): those default to BENCH_NONCANONICAL.json unless the operator
+    // names a path explicitly.
+    val canonicalBasis = sfDir.contains("sf0.1") && cpus == 32 && benchPages == 40000
+    val jsonPath =
+      if (gated) sys.env.getOrElse("SPARK_GRAFT_BENCH_REJECT_JSON", "BENCH_REJECTED.json")
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON",
+        if (canonicalBasis) "BENCH_LATEST.json" else "BENCH_NONCANONICAL.json")
+    if (gated) System.err.println(
+      s"[bench] burst gate tripped (pre-flight pass=${sentinel.pass}, " +
+        s"post-hoc burst=$postHocBurst) — writing $jsonPath, canonical kept")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(jsonPath), json + "\n")
     catch { case _: Throwable => () }
     println(json)

@@ -740,7 +740,7 @@ object Incremental {
     *
     * Slow path (some candidate pair lost its last evidence): recompute CC
     * over the SURVIVING pair set from the `sameas_evidence` side table —
-    * O(evidence), corpus-independent, exactly the full rebuild's input — и
+    * O(evidence), corpus-independent, exactly the full rebuild's input — and
     * diff against the old mapping. Rows referencing a changed old root are
     * found by one column-pruned triples scan, their pages re-extracted
     * (from the caller-supplied remaining corpus) and their url buckets
@@ -799,7 +799,7 @@ object Incremental {
       .select(col("id").as("presentPid")).localCheckpoint(true)
     val nPresent = presentPages.count()
     if (nPresent == 0L) {
-      flatR0.unpersist(false)
+      flatR0.unpersist(false); presentPages.unpersist(false)
       return RemoveStats(0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
     }
     val flatR = flatR0.toDF()
@@ -1010,6 +1010,7 @@ object Incremental {
       nodesDir, col("id"), nodeBuckets, negCounters, numBuckets)
 
     flatR0.unpersist(false); flatR.unpersist(false); oldC.unpersist(false)
+    presentPages.unpersist(false); delNodeIds.unpersist(false)
     if (newC != null) newC.unpersist(false)
     RemoveStats(nPresent, deadPairsN, remappedN, nDeadHosts, nDeadDoms, nDeadEnts,
       (tripleBuckets1 ++ falloutBuckets).size, edgeBuckets.size, nodeBuckets.size,

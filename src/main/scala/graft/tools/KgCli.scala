@@ -36,6 +36,8 @@ import graft.store.TableIO
   *   knn <k> <pageId> [edgeKind]      ≙ scripts/ml/joern-knn
   *   cluster <n> [edgeKind]           ≙ scripts/ml/joern-cluster
   *   apiembed <k> <pageId>            ≙ joern-apiembedder + joern-knn
+  *   stream-apiembed <pages> [dim]    ≙ joern-stream-apiembedder: page
+  *                                      stream -> apiSym bags -> embeddings
   *   transform <sqlExpr> <id>...      ≙ joern-transform (projection expr)
   *   regex <id> [id...]               ≙ joern-regex (StringSetToRegex)
   *   astlabel <pageId>                ≙ joern-astlabel (kind-only plot labels)
@@ -399,7 +401,20 @@ object KgCli {
         val emb = graft.ops.Similarity.featureHashEmbedding(bags)
         graft.ops.Similarity.bruteForceTopK(emb.filter(col("id") === pid), emb, k)
           .orderBy("rank")
-      // ≙ joern-plot-slice: DOT of a forward slice from the given node
+      // ≙ joern-stream-apiembedder (scripts/ml/joern-stream-apiembedder:
+      // 1-19): the STREAMING variant of apiembed. The reference streams
+      // chunked [functionId, apiSymbolCodes] queries out instead of holding
+      // the corpus in one response; here the page corpus arrives as a
+      // file-source stream (one parquet file per micro-batch), each batch
+      // is extracted and feature-hash-embedded independently — a page's
+      // symbol bag is page-local, so per-batch embedding == whole-corpus
+      // embedding per page and NO state crosses batches (bounded-state by
+      // construction). Needs no materialized tables: it is the
+      // crawl-to-embedding front half of the ingest path.
+      case "stream-apiembed" =>
+        require(args.nonEmpty, "usage: stream-apiembed <pagesParquet> [dim]")
+        streamApiEmbed(spark, args(0),
+          if (args.length > 1) args(1).toInt else 64)
       case "plot-slice" =>
         val seeds = nodes.filter(col("id") === args(1).toLong)
         val kinds = Seq("LINKS_TO", "SAME_AS", "NEXT_MENTION", "SAME_SENTENCE")
@@ -411,7 +426,7 @@ object KgCli {
         throw new IllegalArgumentException(
           s"unknown verb '$other' (build|import-ref|export-ref|ingest|snapshots|compact|expire|" +
             "lookup|code|location|edges|slice|coref|" +
-            "tag|untag|hide|unhide|features|knn|cluster|apiembed|rank|hits|communities|sameas|scc|bowtie|path|triangles|kcore|" +
+            "tag|untag|hide|unhide|features|knn|cluster|apiembed|stream-apiembed|rank|hits|communities|sameas|scc|bowtie|path|triangles|kcore|" +
             "transform|regex|plot|plot-slice|astlabel|list-tags|list-pages|list-entities)")
     }
   }
@@ -420,6 +435,52 @@ object KgCli {
     * endpoints of its LINKS_TO edges — Entity nodes carry pageId 0, so a
     * page-only node set would make every LINKS_TO edge dangle out of the
     * induced subgraph. Shared by plot / astlabel. */
+  /** stream-apiembed body: file-source page stream → per-batch extract →
+    * API-symbol bags (Mention surface + deduped Triple pred — exactly the
+    * codes the materialized nodes table carries for those kinds, so the
+    * streamed embeddings equal the batch `apiembed` path's) →
+    * [[graft.ops.Similarity.featureHashEmbedding]] → parquet append sink.
+    * maxFilesPerTrigger=1 makes each input file its own micro-batch. */
+  private def streamApiEmbed(spark: SparkSession, pagesDir: String, dim: Int): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(pagesDir).schema
+    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-emb").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-emb").toString
+    val gaz = spark.sparkContext.broadcast(graft.Pipeline.defaultGazetteer(500))
+    val auto = spark.sparkContext.broadcast(
+      graft.extract.PatternAutomaton.compile(graft.extract.PatternAutomaton.DefaultRules))
+    val metrics = new graft.extract.ExtractMetrics(spark)
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(pagesDir)
+      .select(col("url"), col("warc_ts").cast("timestamp").as("warc_ts"),
+        col("html"), col("text"), col("lang"))
+      .as[graft.model.Page]
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.model.Page], _: Long) =>
+        val flat = graft.extract.TripleExtractor
+          .extractFlat(batch.filter(col("lang") === "en"), gaz, auto, metrics).toDF()
+        val bags = flat.filter(col("rowKind") === "m")
+          .select(col("pageId"), col("surface").as("code"))
+          .unionByName(flat
+            .filter(col("rowKind") === "t" && col("tripleNodeId") =!= 0L)
+            .dropDuplicates("tripleNodeId")
+            .select(col("pageId"), col("pred").as("code")))
+          .groupBy(col("pageId"), xxhash64(col("code")).as("label"))
+          .agg(count(lit(1)).as("count"))
+        graft.ops.Similarity.featureHashEmbedding(bags, dim = dim)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    try { q.processAllAvailable() } finally {
+      q.stop()
+      graft.store.TableIO.deleteRecursively(ckpt)
+    }
+    val res = spark.read.parquet(outDir).orderBy("id").localCheckpoint(true)
+    graft.store.TableIO.deleteRecursively(outDir)
+    res
+  }
+
   private def pageSubgraph(nodes: DataFrame, edges: DataFrame, pid: Long,
                            kinds: Seq[String]): (DataFrame, DataFrame) = {
     val pageNodes = Steps.nodesOfPage(nodes, pid)

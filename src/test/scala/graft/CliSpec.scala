@@ -300,6 +300,28 @@ class CliSpec extends AnyFunSuite with Matchers {
     KgCli.run(spark, dir, "apiembed", Seq("5", pid.toString)).collect() shouldBe nn
   }
 
+  test("stream-apiembed verb: streamed embeddings equal the batch bag path") {
+    // four parquet files -> four micro-batches (maxFilesPerTrigger=1); the
+    // SAME corpus the fixture's tables were built from, so the streamed
+    // embeddings must equal bags derived from the materialized nodes table
+    val cfg = PageGen.Config(nPages = 120)
+    val pagesDir = java.nio.file.Files.createTempDirectory("kgcli-streampages").toString
+    PageGen.pages(spark, cfg).repartition(4).write.mode("overwrite").parquet(pagesDir)
+    val streamed = KgCli.run(spark, dir, "stream-apiembed", Seq(pagesDir))
+    import graft.model.Schema.{NodeKinds => NK}
+    val nodes = graft.store.TableIO.read(spark, s"$dir/nodes")
+    val bags = nodes
+      .filter(col("kind").isin(NK.Mention, NK.TripleN) && col("pageId") =!= 0)
+      .groupBy(col("pageId"), xxhash64(col("code")).as("label"))
+      .agg(count(lit(1)).as("count"))
+    val batch = graft.ops.Similarity.featureHashEmbedding(bags).orderBy("id")
+    val s = streamed.collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val b = batch.collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    s.length shouldBe b.length
+    s.toMap shouldBe b.toMap
+    graft.store.TableIO.deleteRecursively(pagesDir)
+  }
+
   test("ingest / snapshots / compact / expire: the crawl-append admin surface") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("kgcli-ingest").toString
