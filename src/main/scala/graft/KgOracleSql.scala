@@ -755,6 +755,13 @@ object KgOracleSql {
       s"""SELECT media_id, ok, img_w, img_h, sum_r, sum_g, sum_b,
          |  lum0, lum1, lum2, lum3, lum4, lum5, lum6, lum7
          |FROM read_parquet('{{ORA}}/mediaimg/*.parquet')
+         |ORDER BY media_id""".stripMargin,
+    // real-decode audio stats: the dump rows ARE the single-threaded
+    // re-derivation (same javax.sound.sampled decode, sequential loop)
+    "mm5_audio_stats" ->
+      s"""SELECT media_id, ok, sample_rate, n_samples, amp_min, amp_max,
+         |  sum_abs, sum_sq, zero_cross
+         |FROM read_parquet('{{ORA}}/mediaaud/*.parquet')
          |ORDER BY media_id""".stripMargin
   )
 }

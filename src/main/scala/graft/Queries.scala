@@ -588,6 +588,13 @@ object Queries {
     "mm4_image_stats" -> ((s, _) =>
       graft.ops.Multimodal.imageStats(graft.ops.Multimodal.synthMedia(s, MmN))
         .toDF().orderBy("media_id")),
+    // REAL audio decode (javax.sound.sampled over the corpus's deterministic
+    // 16-bit WAV payloads, incl. deliberately-truncated ones): integer-exact
+    // amplitude stats + sign crossings, driver-gated against the same
+    // single-threaded decode in the oracle dump
+    "mm5_audio_stats" -> ((s, _) =>
+      graft.ops.Multimodal.audioStats(graft.ops.Multimodal.synthMedia(s, MmN))
+        .toDF().orderBy("media_id")),
 
     // ---------------- query-step surface over the KG tables ----------------
     "kg_step_megahost_pages" -> ((s, d) => {

@@ -355,6 +355,23 @@ object VerifyOracle {
         })
     }
 
+    // integer-exact audio stats re-derived by the SAME single-threaded
+    // decode the mm5 entry distributes (amplitude sums + sign crossings);
+    // the corpus's truncated WAVs land as ok=false rows on both sides
+    val mediaAud = (0L until Queries.MmN.toLong).flatMap { mi =>
+      val m = graft.ops.Multimodal.mediaRow(mi)
+      if (m.kind != "audio") None
+      else Some(
+        try {
+          val s = graft.ops.Multimodal.AudioCodec.decode(m.bytes)
+          graft.ops.Multimodal.AudioStatRow(mi, ok = true, s.sampleRate,
+            s.nSamples, s.ampMin, s.ampMax, s.sumAbs, s.sumSq, s.zeroCross)
+        } catch {
+          case _: Exception =>
+            graft.ops.Multimodal.AudioStatRow(mi, ok = false, 0, 0, 0, 0, 0L, 0L, 0)
+        })
+    }
+
     // ---- document-signature leaves: same pure per-doc functions ----
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
@@ -383,6 +400,7 @@ object VerifyOracle {
     write("labelmap", labels)
     write("media", media)
     write("mediaimg", mediaImg)
+    write("mediaaud", mediaAud)
     write("docsigs", sigs.toSeq)
   }
 }

@@ -10,13 +10,17 @@ import graft.model.{Det, Ids}
   *
   * The IMAGE path decodes for real: `ImageCodec` runs `javax.imageio`
   * (PNG/BMP/GIF in any stock JDK — zero external dependencies), and the
-  * synthetic corpus carries genuine deterministic PNG payloads. Audio/video
-  * remain STUBBED (`FakeCodec` — this container has no A/V codecs); a real
-  * deployment swaps that one function for an FFI codec, the Spark plumbing
-  * around both is identical and tested — schema, partitioning, batch shape,
-  * and the mapPartitions batching contract (the JVM equivalent of a
-  * `mapInPandas` Arrow-batch UDF: process a partition as a stream of
-  * fixed-size batches, never materialize the partition, reuse buffers).
+  * synthetic corpus carries genuine deterministic PNG payloads. The AUDIO
+  * path ALSO decodes for real: `AudioCodec` runs `javax.sound.sampled`
+  * (WAV/PCM in any stock JDK) over genuine deterministic 16-bit WAV
+  * payloads, including deliberately-truncated ones that exercise the
+  * per-row error isolation. Only VIDEO remains STUBBED (`FakeCodec` — no
+  * stock-JDK video codec exists); a real deployment swaps that one function
+  * for an FFI codec, the Spark plumbing around all three is identical and
+  * tested — schema, partitioning, batch shape, and the mapPartitions
+  * batching contract (the JVM equivalent of a `mapInPandas` Arrow-batch
+  * UDF: process a partition as a stream of fixed-size batches, never
+  * materialize the partition, reuse buffers).
   */
 object Multimodal {
 
@@ -47,6 +51,15 @@ object Multimodal {
       val h = 8 * (1 + Det.nextInt(Det.rand(seed, i, 5), 6))
       MediaRow(i, kind, synthPng(i, seed, w, h), w, h, 0,
         1000 + Det.nextInt(Det.rand(seed, i, 6), 60000))
+    } else if (kind == "audio") {
+      // REAL 16-bit PCM WAV, written by the stock-JDK audio stack. 1 in 20
+      // rows is truncated mid-header — a deliberately-broken payload the
+      // per-row error isolation must absorb (ok=false), on BOTH the
+      // distributed and the oracle side (same pure function).
+      val n = 256 + Det.nextInt(Det.rand(seed, i, 2), 1792) // 256..2047 samples
+      val wav = synthWav(i, seed, n, 16000)
+      val bytes = if (Det.nextInt(Det.rand(seed, i, 9), 20) == 0) wav.take(16) else wav
+      MediaRow(i, kind, bytes, 0, 0, 16000, n * 1000 / 16000)
     } else {
       val len = 64 + Det.nextInt(Det.rand(seed, i, 2), 192)
       val bytes = Array.tabulate(len)(j => (Det.rand(seed, i, 3 + j) & 0xff).toByte)
@@ -73,6 +86,29 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic WAV payload: 16-bit signed PCM mono, little-endian,
+    * sample j a pure integer function of (seed, i, j) (white noise with a
+    * per-row amplitude shift so RMS varies across rows), containerized by
+    * the stock-JDK WAV writer — the exact inverse of [[AudioCodec.decode]]. */
+  def synthWav(i: Long, seed: Long, nSamples: Int, rate: Int): Array[Byte] = {
+    val shift = Det.nextInt(Det.rand(seed, i, 8), 8) // 0..7 -> full..1/128 scale
+    val pcm = new Array[Byte](nSamples * 2)
+    var j = 0
+    while (j < nSamples) {
+      val s = (((Det.rand(seed, i, 5000L + j) & 0xffff).toInt - 32768) >> shift).toShort
+      pcm(2 * j) = (s & 0xff).toByte
+      pcm(2 * j + 1) = ((s >> 8) & 0xff).toByte
+      j += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
@@ -123,7 +159,58 @@ object Multimodal {
     }
   }
 
-  /** STUB decoder for audio/video: a real deployment replaces this one
+  /** REAL audio decode via the stock JDK (`javax.sound.sampled` reads
+    * WAV/PCM everywhere — no external codec needed). Stats are
+    * INTEGER-exact (amplitude extrema, |x| and x² sums, sign crossings),
+    * so the driver gate hash-compares them against the single-threaded
+    * oracle re-derivation with no float tolerance; RMS is derivable
+    * downstream as sqrt(sum_sq / n). Truncated/corrupt payloads throw
+    * (the batching layer isolates them per-row). */
+  object AudioCodec {
+    final case class AudioStats(sampleRate: Int, nSamples: Int,
+                                ampMin: Int, ampMax: Int,
+                                sumAbs: Long, sumSq: Long, zeroCross: Int)
+    def decode(bytes: Array[Byte]): AudioStats = {
+      if (bytes == null || bytes.isEmpty) throw new IllegalArgumentException("empty payload")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes)) // BAIS supports mark/reset
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"unsupported audio format: $fmt")
+        val pcm = ais.readAllBytes()
+        require(pcm.length % 2 == 0 && pcm.length > 0, "empty/odd PCM payload")
+        val n = pcm.length / 2
+        var (mn, mx, zc) = (Int.MaxValue, Int.MinValue, 0)
+        var (sAbs, sSq) = (0L, 0L)
+        var prev = 0
+        var j = 0
+        while (j < n) {
+          val lo = pcm(2 * j) & 0xff
+          val hi = pcm(2 * j + 1).toInt // sign-carrying high byte
+          val s = (hi << 8) | lo
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          sAbs += math.abs(s).toLong
+          sSq += s.toLong * s
+          if (j > 0 && ((prev < 0) != (s < 0))) zc += 1
+          prev = s
+          j += 1
+        }
+        AudioStats(fmt.getSampleRate.toInt, n, mn, mx, sAbs, sSq, zc)
+      } finally ais.close()
+    }
+    /** The mm1 feature view of a real decode: [n, zeroCross, min, max,
+      * rate] — all integer-exact as floats. */
+    def feature(bytes: Array[Byte]): Array[Float] = {
+      val s = decode(bytes)
+      Array(s.nSamples.toFloat, s.zeroCross.toFloat,
+        s.ampMin.toFloat, s.ampMax.toFloat, s.sampleRate.toFloat)
+    }
+  }
+
+  /** STUB decoder for video: a real deployment replaces this one
     * function with an actual codec (JNI/FFI); the Spark plumbing around it
     * is unchanged. Deterministic: feature[d] = f(bytes, d). */
   object FakeCodec {
@@ -145,11 +232,13 @@ object Multimodal {
 
   val BatchSize = 64
 
-  /** Decode dispatch: real `javax.imageio` for images, stub for A/V —
-    * shared verbatim by the distributed batches and the single-threaded
-    * oracle dump. */
+  /** Decode dispatch: real `javax.imageio` for images, real
+    * `javax.sound.sampled` for audio, stub for video — shared verbatim by
+    * the distributed batches and the single-threaded oracle dump. */
   def decodeFeature(kind: String, bytes: Array[Byte]): Array[Float] =
-    if (kind == "image") ImageCodec.feature(bytes) else FakeCodec.decode(bytes)
+    if (kind == "image") ImageCodec.feature(bytes)
+    else if (kind == "audio") AudioCodec.feature(bytes)
+    else FakeCodec.decode(bytes)
 
   /** Batched feature extraction: the partition iterator is consumed in
     * `BatchSize` groups (the Arrow-batch shape), each batch decoded together
@@ -199,6 +288,36 @@ object Multimodal {
             case _: Exception =>
               ImageStatRow(m.media_id, ok = false, 0, 0, 0L, 0L, 0L,
                 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+    }
+  }
+
+  case class AudioStatRow(
+      media_id: Long, ok: Boolean,
+      sample_rate: Int, n_samples: Int,
+      amp_min: Int, amp_max: Int,
+      sum_abs: Long, sum_sq: Long, zero_cross: Int)
+
+  /** Real per-clip audio stats over the corpus's audio rows — same batching
+    * contract as [[extractFeatures]], integer-exact output (mm5's
+    * driver-gated columns). The corpus's deliberately-truncated WAVs keep
+    * their row (ok = false, zeroed stats) so the gate audits error
+    * isolation on a path where failures genuinely occur. */
+  def audioStats(media: Dataset[MediaRow]): Dataset[AudioStatRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          try {
+            val s = AudioCodec.decode(m.bytes)
+            AudioStatRow(m.media_id, ok = true, s.sampleRate, s.nSamples,
+              s.ampMin, s.ampMax, s.sumAbs, s.sumSq, s.zeroCross)
+          } catch {
+            case _: Exception =>
+              AudioStatRow(m.media_id, ok = false, 0, 0, 0, 0, 0L, 0L, 0)
           }
         }
       }

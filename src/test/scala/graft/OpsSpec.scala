@@ -306,10 +306,13 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     val f = Multimodal.extractFeatures(m1)
     val rows = f.collect()
     rows.length shouldBe 200
-    rows.forall(_.ok) shouldBe true
-    // real decode for images ([w, h, meanR, meanG, meanB]), stub for A/V
-    rows.foreach { r =>
-      r.feature.length shouldBe (if (r.kind == "image") 5 else Multimodal.FakeCodec.Dim)
+    // only the corpus's deliberately-truncated WAVs (1 in 20 audio rows) fail
+    rows.filter(r => !r.ok).foreach(_.kind shouldBe "audio")
+    rows.count(_.ok) should be > 180
+    // real decode for images ([w, h, meanR, meanG, meanB]) and audio
+    // ([n, zc, min, max, rate]), stub for video
+    rows.filter(_.ok).foreach { r =>
+      r.feature.length shouldBe (if (r.kind == "video") Multimodal.FakeCodec.Dim else 5)
     }
     // determinism across runs
     val f2 = Multimodal.extractFeatures(Multimodal.synthMedia(spark, 200)).collect()
@@ -348,6 +351,48 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     val local = Multimodal.ImageCodec.decode(one.bytes)
     val dist = stats.find(_.media_id == one.media_id).get
     (local.sumR, local.sumG, local.sumB) shouldBe ((dist.sum_r, dist.sum_g, dist.sum_b))
+  }
+
+  test("audio rows carry real WAVs; audioStats decode is exact and isolates truncated rows") {
+    val media = Multimodal.synthMedia(spark, 200)
+    val audMeta = media.collect().filter(_.kind == "audio").map(m => m.media_id -> m).toMap
+    audMeta should not be empty
+    val stats = Multimodal.audioStats(media).collect()
+    stats.length shouldBe audMeta.size
+    val (good, bad) = stats.partition(_.ok)
+    // the deliberately-truncated payloads (16-byte header stubs) must be
+    // exactly the failing rows — per-row isolation, nothing else breaks
+    bad.map(_.media_id).toSet shouldBe
+      audMeta.values.filter(_.bytes.length == 16).map(_.media_id).toSet
+    bad should not be empty
+    good should not be empty
+    def srcSamples(id: Long): Int =
+      256 + graft.model.Det.nextInt(graft.model.Det.rand(42L, id, 2), 1792)
+    good.foreach { s =>
+      s.sample_rate shouldBe 16000
+      // decoded sample count == the synth's source count (no frames lost
+      // in the WAV container round trip)
+      s.n_samples shouldBe srcSamples(s.media_id)
+      s.amp_min should be <= s.amp_max
+      s.sum_sq should be >= s.sum_abs // x^2 >= |x| for every integer sample
+      s.zero_cross should be < s.n_samples
+    }
+    // distributed == single-threaded decode (the mm5 oracle identity)
+    val one = audMeta.values.filter(_.bytes.length > 16).minBy(_.media_id)
+    val local = Multimodal.AudioCodec.decode(one.bytes)
+    val dist = stats.find(_.media_id == one.media_id).get
+    (local.sumAbs, local.sumSq, local.zeroCross) shouldBe
+      ((dist.sum_abs, dist.sum_sq, dist.zero_cross))
+    // WAV write -> stock-JDK read round trip is sample-exact: re-derive the
+    // pure sample function and check the decoded extrema/sums against it
+    val n = srcSamples(one.media_id)
+    val shift = graft.model.Det.nextInt(graft.model.Det.rand(42L, one.media_id, 8), 8)
+    val samples = Array.tabulate(n) { j =>
+      (((graft.model.Det.rand(42L, one.media_id, 5000L + j) & 0xffff).toInt - 32768) >> shift)
+    }
+    local.ampMin shouldBe samples.min
+    local.ampMax shouldBe samples.max
+    local.sumSq shouldBe samples.map(s => s.toLong * s).sum
   }
 
   test("resize cap holds on rounding boundary; zero-duration video filtered") {
