@@ -63,6 +63,28 @@ object ExecScaleProbe {
     (nTriples, sec)
   }
 
+  /** Extraction-ONLY pass (mode=extract): scan → mapPartitions extract →
+    * count, nothing persisted, no cache, no shuffle, no write — the pure
+    * compute phase the thread-level probes measure at 0.88-0.93. Under the
+    * executor framing this is the cell the DRAM attribution predicts scales
+    * NEAR-IDEALLY (its resident bytes are one streamed batch per task, so
+    * concentrating 4 JVMs on one memory controller costs little). Returns
+    * flat-row count as the work unit. */
+  private def runExtractOnce(spark: SparkSession, pagesDir: String): (Long, Double) = {
+    import spark.implicits._
+    val gaz = spark.sparkContext.broadcast(Pipeline.defaultGazetteer(500))
+    val auto = spark.sparkContext.broadcast(
+      graft.extract.PatternAutomaton.compile(graft.extract.PatternAutomaton.DefaultRules))
+    val metrics = new graft.extract.ExtractMetrics(spark)
+    val t0 = System.nanoTime()
+    val n = graft.extract.TripleExtractor
+      .extractFlatEnc(spark.read.parquet(pagesDir).as[Page].filter($"lang" === "en"),
+        gaz, auto, metrics)
+      .count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    (n, sec)
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val pagesDir = if (args.length > 0) args(0) else "/dev/shm/graft-execscale-pages"
@@ -70,6 +92,11 @@ object ExecScaleProbe {
     val nPages = if (args.length > 2) args(2).toInt else 40000
     val totalCores = if (args.length > 3) args(3).toInt else 2
     val nRounds = if (args.length > 4) args(4).toInt else 2
+    val mode = if (args.length > 5) args(5) else "full" // full | extract
+    // the DRAM-attribution experiment's knob: compressed columnar cache
+    // (596 vs 1033 MiB resident at sf-bench scale — trades cache-build CPU
+    // for resident bytes; the bench default is uncompressed, measured)
+    val compressed = sys.env.getOrElse("SPARK_GRAFT_CACHE_COMPRESSED", "false")
     val spark = SparkSession.builder()
       .appName(s"graft-execscale-$totalCores")
       // shuffle width = the cluster's total cores, the same sizing rule the
@@ -77,7 +104,7 @@ object ExecScaleProbe {
       // 0 until executors register)
       .config("spark.sql.shuffle.partitions", totalCores.toString)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      .config("spark.sql.inMemoryColumnarStorage.compressed", compressed)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -86,18 +113,21 @@ object ExecScaleProbe {
       val master = spark.sparkContext.master // local-cluster[E,C,mem]
       corpusIfAbsent(spark, pagesDir, nPages)
       corpusIfAbsent(spark, warmDir, math.max(nPages / 4, 200))
+      def pass(dir: String, out: String): (Long, Double) =
+        if (mode == "extract") runExtractOnce(spark, dir)
+        else runOnce(spark, dir, out)
       val wt0 = System.nanoTime()
-      runOnce(spark, warmDir, s"$pagesDir-warmout") // untimed JIT warm
+      pass(warmDir, s"$pagesDir-warmout") // untimed JIT warm
       System.err.println(f"[execscale] warm done in ${(System.nanoTime() - wt0) / 1e9}%.1f s")
       val rounds = (1 to nRounds).map { i =>
-        val (n, sec) = runOnce(spark, pagesDir, s"$pagesDir-out")
-        println(f"GRAFT_EXECSCALE master=$master cores=$totalCores round=$i " +
-          f"triples=$n sec=$sec%.3f thr=${n / sec}%.1f")
+        val (n, sec) = pass(pagesDir, s"$pagesDir-out")
+        println(f"GRAFT_EXECSCALE master=$master mode=$mode compressed=$compressed " +
+          f"cores=$totalCores round=$i units=$n sec=$sec%.3f thr=${n / sec}%.1f")
         (n, sec)
       }
       val (n, best) = rounds.minBy(_._2)
-      println(f"GRAFT_EXECSCALE_BEST master=$master cores=$totalCores " +
-        f"triples=$n sec=$best%.3f thr=${n / best}%.1f")
+      println(f"GRAFT_EXECSCALE_BEST master=$master mode=$mode compressed=$compressed " +
+        f"cores=$totalCores units=$n sec=$best%.3f thr=${n / best}%.1f")
     } finally spark.stop()
   }
 }
