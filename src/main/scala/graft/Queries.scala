@@ -24,7 +24,10 @@ object Queries {
   /** sfDir -> synthetic corpus size (the ONE scale ladder; SparkEntry uses
     * this too). */
   private[graft] def kgPages(sfDir: String): Int =
-    if (sfDir.contains("sf0.1")) 20000 else if (sfDir.contains("sf0.01")) 4000 else 500
+    if (sfDir.contains("sf0.01")) 4000
+    else if (sfDir.contains("sf0.1")) 20000
+    else if (sfDir.contains("sf1")) 200000 // sf1-class basis (ScaleUpData dir)
+    else 500
 
   // --- KG pipeline, cached so several queries share one build. SINGLE-slot:
   // an unbounded map keyed by session hash would pin persisted frames of

@@ -41,7 +41,15 @@ object ExecScaleProbe {
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       val cfg = PageGen.Config(nPages = nPages, sentMin = 40, sentMax = 80)
       TableIO.deleteRecursively(dir)
-      PageGen.pages(spark, cfg).write.mode("overwrite").parquet(dir)
+      // FIXED 64-way layout regardless of which cluster size materializes
+      // it: the ambient local-cluster[1,2] session would otherwise write 2
+      // files × 1 row group, and a single-row-group file is effectively
+      // unsplittable — every downstream scan (and the extraction stage
+      // fused to it) runs 2-wide NO MATTER how many executors exist, which
+      // silently caps the very scaling this probe measures. (Caught in
+      // round 5: extract-only "scaled" 0.29 until the input layout was
+      // widened; same input for both levels either way.)
+      PageGen.pages(spark, cfg).repartition(64).write.mode("overwrite").parquet(dir)
     }
   }
 

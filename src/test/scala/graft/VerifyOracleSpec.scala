@@ -14,6 +14,13 @@ class VerifyOracleSpec extends AnyFunSuite with Matchers {
     SparkEntry.oracleSql.keySet shouldBe SparkEntry.queries.keySet
   }
 
+  test("kgPages ladder: the sf1 branch must not shadow the driver dirs") {
+    Queries.kgPages("/root/testdata/sf0.001") shouldBe 500
+    Queries.kgPages("/root/testdata/sf0.01") shouldBe 4000
+    Queries.kgPages("/root/testdata/sf0.1") shouldBe 20000
+    Queries.kgPages("/dev/shm/graft-sf1") shouldBe 200000
+  }
+
   test("sparkXxhash64 equals the xxhash64 expression (1-arg and chained)") {
     import spark.implicits._
     val samples = Seq("", "a", "Domain", "host0.example.com", "Jürgen Müller ★",
