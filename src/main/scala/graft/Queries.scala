@@ -274,12 +274,14 @@ object Queries {
       .agg(
         sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"),
         sum(when(col("event_type") === "error", 1).otherwise(0)).as("errors"),
-        // avg over EXACT integer cents (values are 2-decimal): double
-        // summation order flipped round()'s last digit between engines
-        // (round-1 driver hash flake on the one user sitting on the
-        // 4-decimal boundary); integer sums are order-independent
-        round(sum(round(col("value") * 100).cast("bigint")).cast("double") / lit(100.0)
-          / count(lit(1)), 4).as("avg_value"))
+        // avg over EXACT integer cents (values are 2-decimal), emitted as
+        // integer 1e-4-dollar units via integer DIVISION: the round-1 fix
+        // (integer cent sums, then round(double,4)) still left ONE float
+        // round at the end, and the sf1 cross-check caught a user whose avg
+        // sits exactly on the .00005 boundary — Spark HALF_UP vs DuckDB's
+        // multiply-round disagree there. Integer DIV is engine-exact.
+        expr("sum(cast(round(value * 100) as bigint)) * 100 div count(1)")
+          .as("avg_value_c4"))
       .orderBy("user_id")),
 
     "q18_having" -> ((s, d) => t(s, d, "lineitem")
@@ -990,8 +992,8 @@ object Queries {
       """SELECT user_id,
         | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
         | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
-        | round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
-        |   / count(*), 4) AS avg_value
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) * 100
+        |   // count(*) AS avg_value_c4
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q18_having" ->
       """SELECT l_partkey, count(*) AS n FROM lineitem
@@ -1067,7 +1069,7 @@ object Queries {
     "q30_range_frame" ->
       """SELECT event_id, user_id,
         | round(avg(value) OVER (
-        |   PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+        |   PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
         |   RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 4) AS trail_avg
         |FROM events ORDER BY event_id""".stripMargin,
     "q28_asof" ->
@@ -1081,11 +1083,11 @@ object Queries {
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
     "q29_range_join" ->
-      """WITH m AS (SELECT CAST(epoch(min(ts)) AS BIGINT) AS t0 FROM events),
+      """WITH m AS (SELECT epoch_us(min(ts)) // 1000000 AS t0 FROM events),
         |w AS (SELECT r.range AS window_id,
         |        t0 + r.range * 21600 AS ws, t0 + r.range * 21600 + 10800 AS we
         |      FROM range(40) r, m),
-        |p AS (SELECT CAST(epoch(ts) AS BIGINT) AS pt FROM events)
+        |p AS (SELECT epoch_us(ts) // 1000000 AS pt FROM events)
         |SELECT window_id, count(*) AS n
         |FROM w JOIN p ON p.pt >= w.ws AND p.pt <= w.we
         |GROUP BY 1 ORDER BY 1""".stripMargin,
