@@ -24,6 +24,15 @@ object AppendProbe {
     val nBase = if (args.length > 0) args(0).toInt else 4000
     val nBatch = if (args.length > 1) args(1).toInt else 400
     val cores = if (args.length > 2) args(2).toInt else 32
+    // Optional 4th arg: buckets at the SMALLEST base, scaled linearly with
+    // the base (the production shape — numBuckets grows with the corpus so
+    // bucket SIZE stays constant). 0 / absent keeps the fixed default,
+    // which at large bases makes the batch's bucket-pruned reads span the
+    // whole table (a 4k-page batch hashes into all 32 buckets) and turns
+    // the probe corpus-linear for the wrong reason — measured: append at a
+    // 400k base read 2x a 100k base under fixed 32 buckets, flat once
+    // buckets scale.
+    val baseBuckets = if (args.length > 3) args(3).toInt else 0
     val spark = SparkSession.builder()
       .master(s"local[$cores]").appName("graft-append-probe")
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -47,16 +56,19 @@ object AppendProbe {
 
       scales.foreach { s =>
         val base = nBase * s
+        val nb = if (baseBuckets > 0) baseBuckets * s else TableIO.NumBuckets
         val dir = java.nio.file.Files.createTempDirectory(s"graft-append-probe-$base").toString
         val t0 = Pipeline.run(spark, range(0, base), c.nPersons)
-        val (_, buildSec) = time(Pipeline.materialize(spark, t0, dir))
+        val (_, buildSec) = time(Pipeline.materialize(spark, t0, dir, numBuckets = nb))
         t0.flatEnc.unpersist(false); t0.components.unpersist(false)
         val (stats, appendSec) =
-          time(Incremental.appendPages(spark, range(maxBase, maxBase + nBatch), dir, c.nPersons))
+          time(Incremental.appendPages(spark, range(maxBase, maxBase + nBatch), dir,
+            c.nPersons, numBuckets = nb))
         println(String.format(java.util.Locale.ROOT,
-          "[appendprobe] base=%d batch=%d buildSec=%.2f appendSec=%.2f " +
+          "[appendprobe] base=%d buckets=%d batch=%d buildSec=%.2f appendSec=%.2f " +
             "remapped=%d tripleBucketsRewritten=%d edgeBucketsRewritten=%d",
-          Long.box(base.toLong), Long.box(stats.pages), Double.box(buildSec),
+          Long.box(base.toLong), Long.box(nb.toLong), Long.box(stats.pages),
+          Double.box(buildSec),
           Double.box(appendSec), Long.box(stats.remappedIds),
           Long.box(stats.tripleBucketsRewritten.toLong),
           Long.box(stats.edgeBucketsRewritten.toLong)))
