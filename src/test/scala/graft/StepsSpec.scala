@@ -89,6 +89,22 @@ class StepsSpec extends AnyFunSuite with Matchers {
     f1.agg(min("label")).collect()(0).getLong(0) should be >= 0L
   }
 
+  test("neighborhood-hash via cached seed frames == direct path") {
+    // the session cache (Queries.nhashFrames) reuses frames across kernel
+    // runs — the split path must be bit-identical to the one-shot path
+    val direct = Steps.neighborhoodHashFeatures(t.nodes, t.edges, EK.Mentions,
+      onKinds = Some(Seq(NK.Page, NK.Mention)))
+    val (ini, e) = Steps.neighborhoodHashFrames(t.nodes, t.edges, EK.Mentions,
+      Some(Seq(NK.Page, NK.Mention)))
+    val fromFrames = Steps.neighborhoodHashFeaturesFrom(ini, e)
+    // run the frames path TWICE — reuse must not perturb the result
+    val a = fromFrames.collect().map(_.toString).sorted
+    a shouldBe Steps.neighborhoodHashFeaturesFrom(ini, e)
+      .collect().map(_.toString).sorted
+    a shouldBe direct.collect().map(_.toString).sorted
+    ini.unpersist(false); e.unpersist(false)
+  }
+
   test("siblings: co-children of the same parent, origin excluded per path") {
     val m = t.nodes.filter(col("kind") === NK.Mention).limit(1)
     val origin = m.head().getLong(0)
