@@ -190,10 +190,16 @@ object Bench {
   private def runSentinels(sfDir: String, cpus: Int): SentinelReport = {
     val disabled = sys.env.get("SPARK_GRAFT_SENTINEL_DISABLE").contains("1")
     val canonicalBasis = sfDir.contains("sf0.1") && cpus == 32
+    // sf1 band seeded by the first sf1 artifact (BASELINE.md "sf1-class
+    // canonical artifact": q1 0.80-1.17 s, q19 0.18-0.26 s warm) — armed by
+    // default so the 10x basis gets the same burst protection as canonical
+    val sf1Basis = sfDir.contains("sf1") && cpus == 32
     val armed = !disabled &&
-      (canonicalBasis || sys.env.contains("SPARK_GRAFT_SENTINEL_Q1_MAX"))
-    val q1Max = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_Q1_MAX", "0.62").toDouble
-    val q19Max = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_Q19_MAX", "0.30").toDouble
+      (canonicalBasis || sf1Basis || sys.env.contains("SPARK_GRAFT_SENTINEL_Q1_MAX"))
+    val q1Max = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_Q1_MAX",
+      if (sf1Basis) "1.80" else "0.62").toDouble
+    val q19Max = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_Q19_MAX",
+      if (sf1Basis) "0.40" else "0.30").toDouble
     val maxAttempts = if (armed) 3 else 1
     val pauseSec = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_PAUSE_SEC", "45").toLong
     var attempt = 0
@@ -272,45 +278,69 @@ object Bench {
     val effMidHigh = (thrHigh / thrMid) / (cpus.toDouble / midCpus)
 
     // ---- headline queries at local[N] ----
-    val spark = newSession(cpus)
     val headline = Seq("q1_agg", "q2_join_agg", "q6_window_latest", "q13_explode_tokens",
       "q19_running_sum", "d1_dedup_exact", "d3_minhash_lsh", "e1_ann_bruteforce",
       "kg_triples", "kg_step_nhash")
     val all = SparkEntry.queries
-    // Untimed KG-cache warmup (BASELINE.md "headline semantics", round 5):
+    // One headline phase = one fresh session, untimed KG-cache warmup, then
+    // ONE timed rep per query (BASELINE.md "headline semantics", round 5):
     // the headline metric is QUERY latency over a built KG — the build
     // itself (scan→extract→link→CC→cache) is exactly what the three
     // pipeline legs above measure, so charging it AGAIN to whichever KG
     // query happens to run first double-counted ~1-1.5 s of build inside
-    // kg_triples/kg_step_nhash. Materialize the session's encoded flat
-    // cache + component map here, outside every timed rep; set
-    // SPARK_GRAFT_HEADLINE_COLD=1 to restore the old first-touch-pays
-    // semantics for A/B comparison.
-    if (!sys.env.get("SPARK_GRAFT_HEADLINE_COLD").contains("1")) {
-      val kt = Queries.kg(spark, sfDir)
-      kt.flatEnc.count(); kt.components.count()
-      // nhash seed frames are part of the same session KG cache (pure
-      // functions of the built KG, eagerly checkpointed on construction)
-      Queries.nhashFrames(spark, sfDir)
+    // kg_triples/kg_step_nhash. The encoded flat cache, component map, and
+    // nhash seed frames (all pure functions of the built KG) materialize
+    // outside every timed rep; SPARK_GRAFT_HEADLINE_COLD=1 restores the old
+    // first-touch-pays semantics for A/B comparison.
+    def headlinePhase(): Seq[(String, Double)] = {
+      val spark = newSession(cpus)
+      try {
+        if (!sys.env.get("SPARK_GRAFT_HEADLINE_COLD").contains("1")) {
+          val kt = Queries.kg(spark, sfDir)
+          kt.flatEnc.count(); kt.components.count()
+          Queries.nhashFrames(spark, sfDir)
+        }
+        headline.flatMap { name =>
+          all.get(name).map { fn =>
+            val t0 = System.nanoTime()
+            try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+            name -> (System.nanoTime() - t0) / 1e9
+          }
+        }
+      } finally spark.stop()
     }
-    val results = headline.flatMap { name =>
-      all.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+    // Post-hoc audit WITH phase retry: the headline sentinels are
+    // re-measured inside the phase itself (q1/q19 touch no KG cache, so
+    // only host noise can move them) — a burst that starts AFTER the
+    // pre-flight gate used to reject the whole ~50-minute run over its
+    // one-shot ~2-minute tail (both sf1 attempts on 2026-08-20 died this
+    // way while their burst-resistant interleaved pipeline legs were
+    // clean). Give the headline phase the same chance the pipeline's
+    // best-of-N already has: re-run the PHASE (pause, fresh session) up to
+    // the pre-flight attempt budget, keeping per-query single-rep
+    // semantics — a retry re-measures, it never takes a min over reps.
+    def inBand(rs: Seq[(String, Double)]): Boolean = {
+      val m = rs.toMap
+      !sentinel.armed || (m.getOrElse("q1_agg", 0.0) <= sentinel.q1Max &&
+        m.getOrElse("q19_running_sum", 0.0) <= sentinel.q19Max)
     }
-    spark.stop()
+    val pauseSec = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_PAUSE_SEC", "45").toLong
+    val maxHeadline = if (sentinel.armed) 3 else 1
+    var headlineAttempts = 1
+    var results = headlinePhase()
+    while (!inBand(results) && headlineAttempts < maxHeadline) {
+      val m = results.toMap
+      System.err.println(f"[bench] headline attempt $headlineAttempts out of band: " +
+        f"q1_agg ${m.getOrElse("q1_agg", -1.0)}%.3f (max ${sentinel.q1Max}%.2f), " +
+        f"q19 ${m.getOrElse("q19_running_sum", -1.0)}%.3f (max ${sentinel.q19Max}%.2f) — retrying phase")
+      Thread.sleep(pauseSec * 1000)
+      results = headlinePhase()
+      headlineAttempts += 1
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // post-hoc audit: the headline sentinels are re-measured inside the run
-    // itself — a burst that started AFTER the pre-flight gate still shows
-    // here (q1/q19 touch no KG cache, so only host noise can move them)
-    val measured = results.toMap
-    val postHocBurst = sentinel.armed &&
-      (measured.getOrElse("q1_agg", 0.0) > sentinel.q1Max ||
-        measured.getOrElse("q19_running_sum", 0.0) > sentinel.q19Max)
+    val postHocBurst = !inBand(results)
     val gated = !sentinel.pass || postHocBurst
     val gatedJson = if (gated) """"gated":"burst-rejected",""" else ""
     // per-round raw seconds: the host is a shared microVM with multi-minute
@@ -318,7 +348,7 @@ object Bench {
     val roundsJson = rounds.map { case ((_, a), (_, b), (_, c)) =>
       f"[$a%.3f,$b%.3f,$c%.3f]" }.mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$gatedJson${sentinel.json},"queries":$qs,"sf":"$sfDir","pipeline":{"pages":$benchPages,"triples":$triplesHigh,"cores":[$lowCpus,$midCpus,$cpus],"sec":[$secLow%.3f,$secMid%.3f,$secHigh%.3f],"round_sec":$roundsJson,"triples_per_sec":[$thrLow%.1f,$thrMid%.1f,$thrHigh%.1f],"scaling_efficiency_${lowCpus}to$midCpus":$effLowMid%.3f,"scaling_efficiency_${midCpus}to$cpus":$effMidHigh%.3f}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",$gatedJson${sentinel.json},"headline_attempts":$headlineAttempts,"queries":$qs,"sf":"$sfDir","pipeline":{"pages":$benchPages,"triples":$triplesHigh,"cores":[$lowCpus,$midCpus,$cpus],"sec":[$secLow%.3f,$secMid%.3f,$secHigh%.3f],"round_sec":$roundsJson,"triples_per_sec":[$thrLow%.1f,$thrMid%.1f,$thrHigh%.1f],"scaling_efficiency_${lowCpus}to$midCpus":$effLowMid%.3f,"scaling_efficiency_${midCpus}to$cpus":$effMidHigh%.3f}}"""
     // the JSON must be machine-findable: sbt's logger prefixes every
     // println with "[info] ", which broke the round-1 driver parse — so
     // also (a) write it straight to fd 1, bypassing the redirected
