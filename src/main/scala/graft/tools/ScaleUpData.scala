@@ -25,9 +25,22 @@ import org.apache.spark.sql.functions._
   *   sbt -batch "runMain graft.tools.ScaleUpData /root/testdata/sf0.1 /dev/shm/graft-sf1 10"
   */
 object ScaleUpData {
+  /** One-file-per-table is the DuckDB-oracle layout, but a coalesce(1)
+    * write can emit a SINGLE row group (the 6M-row lineitem lands at
+    * ~108 MB compressed < the 128 MB writer block), and a one-row-group
+    * file is unsplittable — every scan of it runs one-task-serial no
+    * matter the core count (the same trap ExecScaleProbe's corpus hit,
+    * BASELINE.md "DRAM-attribution results"). A 4th CLI arg (row-group
+    * MiB, default 16) caps the writer block so the single file stays
+    * oracle-compatible AND splits ~8 ways at sf1. Pass 0 to restore the
+    * writer default (the layout of the first sf1 artifacts). */
+  private var rowGroupBytes: Long = 16L * 1024 * 1024
+
   private def writeOne(df: DataFrame, dst: String, name: String): Unit = {
     val tmp = s"$dst/_tmp_$name"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val w = df.coalesce(1).write.mode("overwrite")
+    (if (rowGroupBytes > 0) w.option("parquet.block.size", rowGroupBytes.toString)
+     else w).parquet(tmp)
     val part = new java.io.File(tmp).listFiles()
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       .getOrElse(sys.error(s"no part file for $name"))
@@ -41,6 +54,7 @@ object ScaleUpData {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/dev/shm/graft-sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    if (args.length > 3) rowGroupBytes = args(3).toLong * 1024 * 1024
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
