@@ -325,7 +325,9 @@ object Bench {
         m.getOrElse("q19_running_sum", 0.0) <= sentinel.q19Max)
     }
     val pauseSec = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_PAUSE_SEC", "45").toLong
-    val maxHeadline = if (sentinel.armed) 3 else 1
+    // no retry when the pre-flight gate already failed: the run is routed
+    // to the reject artifact regardless, so extra phases buy nothing
+    val maxHeadline = if (sentinel.armed && sentinel.pass) 3 else 1
     var headlineAttempts = 1
     var results = headlinePhase()
     while (!inBand(results) && headlineAttempts < maxHeadline) {
